@@ -1,7 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dedup.DedupOps
+import graft.multimodal.MultimodalOps
 import graft.operators.RelationalOps
+import graft.sim.SimilarityOps
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +19,8 @@ object SparkEntry {
 
   private def modules
       : Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    RelationalOps.catalog
+    RelationalOps.catalog ++ TextOps.catalog ++ DedupOps.catalog ++
+      SimilarityOps.catalog ++ MultimodalOps.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,313 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline: exact hashing, canonical-fingerprint dedup,
+  * n-gram Jaccard, MinHash+LSH, and SimHash with hamming-ball probing.
+  *
+  * Scale design (100 TB): nothing here is all-pairs. Exact/fingerprint
+  * dedup are single hash aggregations; MinHash candidates come from
+  * band-bucket equality joins (shuffle on band signature, cluster sizes
+  * bounded by collision probability); SimHash pairs come from a
+  * 17-key hamming-ball probe join instead of a cartesian product. The
+  * only quadratic work is *within* candidate groups, which LSH keeps
+  * tiny. All hashing is engine-portable (md5-derived 60-bit ints), so
+  * the DuckDB oracle reproduces signatures bit-for-bit.
+  */
+object DedupOps {
+
+  /** Modulus for the MinHash permutation family (< 2^30 so a*h+b stays
+    * well inside int64 in both engines — DuckDB errors on overflow). */
+  val P: Long = 1073741789L
+
+  /** 16 fixed (a, b) permutation parameters, a odd. */
+  val perms: Seq[(Long, Long)] =
+    (0 until 16).map(i => ((2654435761L * (i + 1)) % P | 1L, (40503L * (i + 7) * (i + 7)) % P))
+
+  val bands = 4
+  val rowsPerBand = 4
+
+  /** 60-bit token hash from md5 — identical in Spark and DuckDB. */
+  private val sparkHb = s"cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint) % $P"
+  private val duckHb = s"(('0x' || substr(md5(token), 1, 15))::BIGINT) % $P"
+
+  /** Distinct word-trigram shingles per doc (docs with >= 3 tokens).
+    * Shingling is what makes MinHash/SimHash discriminative: unigram
+    * token sets collapse under a small vocabulary (every doc looks like
+    * every other), while shingle sets stay sparse.
+    */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(tk) - 2), i -> " +
+          "concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))")))
+        .as("token"))
+
+  private val duckShinglesCte: String =
+    """shingles AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk) - 2),
+      |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))) AS token
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      |  WHERE len(tk) >= 3)""".stripMargin
+
+  /** Exact dedup: raw-text hash groups with keeper = min doc id —
+    * SURVEY §7.7's `scale` list item 1 (hash-groupBy). One shuffle on
+    * the 128-bit hash; map-side partial agg collapses dups early.
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+      .orderBy("h")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY h""".stripMargin
+
+  /** Fingerprint dedup: groups documents whose sorted distinct token
+    * sets coincide (catches shuffled/duplicated-token near-dups that
+    * exact hashing misses). Only emits real duplicate groups (n > 1).
+    */
+  def dedupFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(array_join(array_sort(array_distinct(
+        split(lower(col("text")), " "))), " ")).as("fp"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("fp")
+
+  val dedupFingerprintSql: String =
+    """SELECT md5(array_to_string(list_sort(list_distinct(
+      |    string_split(lower(text), ' '))), ' ')) AS fp,
+      |  min(doc_id) AS keeper, count(*) AS n
+      |FROM documents
+      |GROUP BY 1
+      |HAVING count(*) > 1
+      |ORDER BY fp""".stripMargin
+
+  /** Word-trigram Jaccard near-dup pairs (threshold 0.8). The join is on
+    * shared trigrams — an inverted-index join, not a cartesian product —
+    * then exact Jaccard verifies each candidate. Documents shorter than
+    * 3 tokens are excluded (no trigrams) in both engines.
+    */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("ng", array_distinct(expr(
+        "transform(sequence(1, size(tk) - 2), i -> " +
+          "concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))")))
+      .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
+    val ex = docs.select(col("doc_id"), col("n"),
+      explode(col("ng")).as("ngram"))
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.ngram") === col("y.ngram") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jac") >= 0.8)
+      .select("da", "db", "jac")
+      .orderBy("da", "db")
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(tk) - 2),
+      |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))) AS ng
+      |  FROM t),
+      |e AS (SELECT doc_id, len(ng) AS n, unnest(ng) AS ngram FROM g),
+      |inter AS (
+      |  SELECT x.doc_id AS da, y.doc_id AS db, x.n AS na, y.n AS nb,
+      |    count(*) AS inter
+      |  FROM e x JOIN e y ON x.ngram = y.ngram AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT da, db,
+      |  round(inter::DOUBLE / (na + nb - inter), 4) AS jac
+      |FROM inter
+      |WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.8
+      |ORDER BY da, db""".stripMargin
+
+  /** MinHash + LSH near-dup detection: 16 minhashes over the distinct
+    * word-trigram shingle set, banded 4×4; candidate pairs share at
+    * least one band signature; candidates are then verified with exact
+    * shingle-set Jaccard >= 0.7.
+    *
+    * This is the scale path for dedup at 100 TB: signatures are one
+    * narrow aggregation; the candidate join keys on (band, signature)
+    * so the shuffle only carries 4 rows per document and pair work is
+    * confined to true collision buckets.
+    */
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = shingles(spark, sfDir)
+      .withColumn("hb", expr(sparkHb))
+    val mhAggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * hb + $b) % $P")).as(s"mh$i")
+    }
+    val sig = toks.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val bandCols = (0 until bands).map { j =>
+      val ms = (0 until rowsPerBand).map(r => col(s"mh${rowsPerBand * j + r}"))
+      struct(lit(j).as("band"), md5(concat_ws(",", ms: _*)).as("sig"))
+    }
+    val buckets = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(toks.as("x"), col("da") === col("x.doc_id"))
+      .join(toks.as("y"),
+        col("db") === col("y.doc_id") && col("x.token") === col("y.token"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.as("sx"), col("da") === col("sx.doc_id"))
+      .join(sz.as("sy"), col("db") === col("sy.doc_id"))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("sx.n") + col("sy.n") - col("inter")), 4))
+      .filter(col("jac") >= 0.7)
+      .select("da", "db", "jac")
+      .orderBy("da", "db")
+  }
+
+  val dedupMinhashLshSql: String = {
+    val mhCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * hb + $b) % $P) AS mh$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { j =>
+      val ms = (0 until rowsPerBand).map(r => s"mh${rowsPerBand * j + r}")
+        .mkString(", ")
+      s"SELECT doc_id, $j AS band, md5(concat_ws(',', $ms)) AS sig FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $duckShinglesCte,
+       |h AS (SELECT doc_id, token, $duckHb AS hb FROM shingles),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mhCols
+       |  FROM h GROUP BY doc_id),
+       |bandt AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bandt a JOIN bandt b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+       |inter AS (
+       |  SELECT da, db, count(*) AS inter
+       |  FROM cand
+       |  JOIN h x ON x.doc_id = da
+       |  JOIN h y ON y.doc_id = db AND y.token = x.token
+       |  GROUP BY da, db)
+       |SELECT da, db,
+       |  round(inter::DOUBLE / (sx.n + sy.n - inter), 4) AS jac
+       |FROM inter
+       |JOIN sz sx ON sx.doc_id = da
+       |JOIN sz sy ON sy.doc_id = db
+       |WHERE round(inter::DOUBLE / (sx.n + sy.n - inter), 4) >= 0.7
+       |ORDER BY da, db""".stripMargin
+  }
+
+  /** SimHash width: 32 bits keeps hamming-≤1 collisions meaningful on
+    * small-vocabulary corpora (16 bits collides near-quadratically). */
+  val simhashBits = 32
+
+  /** Per-document SimHash over distinct-shingle hashes. */
+  private def simhashSig(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = shingles(spark, sfDir)
+      .withColumn("hb", expr(sparkHb))
+    val wAggs = (0 until simhashBits).map { k =>
+      sum(expr(s"case when (shiftright(hb, $k) & 1) = 1 then 1 else -1 end"))
+        .as(s"w$k")
+    }
+    val bitsExpr = (0 until simhashBits)
+      .map(k => s"(case when w$k >= 0 then ${1L << k} else 0 end)")
+      .mkString(" + ")
+    toks.groupBy("doc_id").agg(wAggs.head, wAggs.tail: _*)
+      .withColumn("simhash", expr(bitsExpr))
+      .select("doc_id", "simhash")
+  }
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSig(spark, sfDir).orderBy("doc_id")
+
+  private def duckSimhashCte: String = {
+    val wCols = (0 until simhashBits)
+      .map(k => s"sum(CASE WHEN ((hb >> $k) & 1) = 1 THEN 1 ELSE -1 END) AS w$k")
+      .mkString(",\n    ")
+    val bits = (0 until simhashBits)
+      .map(k => s"(CASE WHEN w$k >= 0 THEN ${1L << k} ELSE 0 END)")
+      .mkString(" + ")
+    s"""$duckShinglesCte,
+       |h AS (SELECT doc_id, $duckHb AS hb FROM shingles),
+       |w AS (
+       |  SELECT doc_id,
+       |    $wCols
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS simhash FROM w)""".stripMargin
+  }
+
+  val dedupSimhashSql: String =
+    s"""WITH $duckSimhashCte
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs with hamming distance <= 1, found by a
+    * hamming-ball probe join: each doc emits 17 keys (its signature and
+    * the 16 one-bit flips); pairs come from key equality — no cartesian
+    * product, so the approach survives arbitrary document counts.
+    */
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhashSig(spark, sfDir)
+    val probeExpr = (Seq("simhash") ++
+      (0 until simhashBits).map(k => s"simhash ^ ${1L << k}"))
+      .mkString("array(", ", ", ")")
+    val probes = sig.select(col("doc_id"), col("simhash"),
+      explode(expr(probeExpr)).as("probe"))
+    probes.as("a").join(sig.as("b"),
+        col("a.probe") === col("b.simhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .orderBy("da", "db")
+  }
+
+  val dedupSimhashPairsSql: String = {
+    val probeList = (Seq("simhash") ++
+      (0 until simhashBits).map(k => s"xor(simhash, ${1L << k})"))
+      .mkString(", ")
+    s"""WITH $duckSimhashCte,
+       |probes AS (
+       |  SELECT doc_id, simhash, unnest([$probeList]) AS probe FROM sig)
+       |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM probes a JOIN sig b
+       |  ON a.probe = b.simhash AND a.doc_id < b.doc_id
+       |ORDER BY da, db""".stripMargin
+  }
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("dedup_exact", dedupExact _, dedupExactSql),
+    ("dedup_fingerprint", dedupFingerprint _, dedupFingerprintSql),
+    ("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
+    ("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
+    ("dedup_simhash", dedupSimhash _, dedupSimhashSql),
+    ("dedup_simhash_pairs", dedupSimhashPairs _, dedupSimhashPairsSql))
+}

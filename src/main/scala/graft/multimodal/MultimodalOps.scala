@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Multimodal-column plumbing: images/audio/video ride through the
+  * engine as opaque `binary` columns plus a typed metadata struct.
+  *
+  * The container has no codec libraries, so the DECODE step is a
+  * clearly-marked deterministic fake (see [[fakeDecode]]); everything
+  * around it — schema, binary hashing, per-partition batching, the
+  * mapPartitions featurizer shape — is real and tested. On a cluster
+  * the fake body is swapped for a JNI/codec call; the plan shape
+  * (scan → mapPartitions → narrow project) is unchanged and shuffles
+  * nothing.
+  */
+object MultimodalOps {
+
+  /** Metadata/integrity projection over a binary payload column:
+    * byte length + sha256. Oracle-checked (documents.text bytes stand
+    * in for the payload).
+    */
+  def mmBinaryMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).as("payload_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha256"))
+      .orderBy("doc_id")
+
+  val mmBinaryMetaSql: String =
+    """SELECT doc_id,
+      |  octet_length(text::BLOB) AS payload_bytes,
+      |  sha256(text) AS sha256
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Schema of the decoded-media feature struct. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** STUB — deterministic fake decode. A real deployment replaces this
+    * body with the actual codec call (e.g. libjpeg/ffmpeg via JNI);
+    * signature and determinism contract stay identical. Features are
+    * derived from the payload bytes so tests are reproducible.
+    */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Double) = {
+    val h = java.util.Arrays.hashCode(payload)
+    val width = 16 + math.abs(h % 1024)
+    val height = 16 + math.abs((h / 1024) % 1024)
+    val nFrames = 1 + math.abs((h / 7) % 32)
+    val lumaSum = payload.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+    val meanLuma =
+      if (payload.isEmpty) 0.0 else lumaSum.toDouble / payload.length
+    (width, height, nFrames, meanLuma)
+  }
+
+  /** Attach a fake binary payload column (UTF-8 text bytes) — stands in
+    * for reading real media blobs from object storage.
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", col("text").cast("binary"))
+
+  /** Per-partition featurizer: decodes each payload and appends the
+    * feature struct. mapPartitions (not a per-row UDF) so a real codec
+    * can amortize init cost per partition — the same batch shape
+    * `mapInPandas` gives PySpark.
+    */
+  def featurize(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val in = withPayload(docs)
+    val outSchema = StructType(in.schema.fields :+
+      StructField("features", featureSchema, nullable = false))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      // per-partition init would go here (codec handles, buffers)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (w, h, f, luma) = fakeDecode(payload)
+        Row.fromSeq(r.toSeq :+ Row(w, h, f, luma))
+      }
+    }(encoder)
+  }
+
+  /** Frame sampling plan: every media row explodes into `n_frames`
+    * (frame_idx, frame_sha) rows — the Spark-side shape of
+    * decode-and-sample, with the frame payload faked as a hash.
+    */
+  def sampleFrames(spark: SparkSession, docs: DataFrame, stride: Int = 8)
+      : DataFrame =
+    featurize(spark, docs)
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0, features.n_frames - 1, $stride)")))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        sha2(concat(col("payload"), col("frame_idx").cast("string")
+          .cast("binary")), 256).as("frame_sha"))
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("mm_binary_meta", mmBinaryMeta _, mmBinaryMetaSql),
+    ("mm_frame_sample",
+      (s: SparkSession, d: String) =>
+        sampleFrames(s, Tables.documents(s, d)).orderBy("doc_id", "frame_idx"),
+      ""))
+}

@@ -1,0 +1,158 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * canonical fingerprinting.
+  *
+  * Everything is a pure codegen'd projection (split / HOF lambdas /
+  * regexp) followed by at most one narrow aggregation — no UDFs, no
+  * shuffles on the per-document stage, so each operator streams through
+  * whole-stage codegen and scales linearly with document count.
+  */
+object TextOps {
+
+  /** Whitespace + BPE-ish token counts per document. `regexp_count` with
+    * a word/number/punct alternation approximates a byte-pair tokenizer's
+    * piece count without any dictionary.
+    */
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')")
+          .as("n_bpe_pieces"))
+      .orderBy("doc_id")
+
+  val textTokensSql: String =
+    """SELECT doc_id, n_chars,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+      |    AS n_bpe_pieces
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Heuristic quality score: token count, mean token length, stopword
+    * ratio — the standard cheap filters applied before expensive model
+    * scoring in data pipelines.
+    */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        round(expr("cast(aggregate(tk, 0L, (acc, x) -> acc + length(x)) as double)") /
+          size(col("tk")), 4).as("avg_token_len"),
+        round(expr(s"cast(size(filter(tk, x -> x in ${inList(stopwords)})) as double)") /
+          size(col("tk")), 4).as("stop_ratio"))
+      .withColumn("quality",
+        round(lit(0.5) * least(col("n_tokens") / 100.0, lit(1.0))
+          + lit(0.3) * col("stop_ratio")
+          + lit(0.2) * least(col("avg_token_len") / 10.0, lit(1.0)), 4))
+      .orderBy("doc_id")
+
+  val textQualitySql: String =
+    s"""SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
+       |  round(0.5 * least(n_tokens / 100.0, 1.0)
+       |      + 0.3 * stop_ratio
+       |      + 0.2 * least(avg_token_len / 10.0, 1.0), 4) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    len(tk) AS n_tokens,
+       |    round(list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk), 4)
+       |      AS avg_token_len,
+       |    round(len(list_filter(tk, x -> x IN ${inList(stopwords)}))::DOUBLE
+       |      / len(tk), 4) AS stop_ratio
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  private val langSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of"),
+    "es" -> Seq("el", "que", "los", "las"),
+    "de" -> Seq("der", "und", "das", "ist"),
+    "fr" -> Seq("les", "des", "une", "dans"))
+
+  /** N-gram-free language ID heuristic: count hits against four disjoint
+    * stopword sets, argmax with fixed precedence (en > es > de > fr).
+    * Real pipelines swap in fastText-style models; the Spark plumbing
+    * (pure projection, no shuffle) is identical.
+    */
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("tk", split(col("text"), " "))
+    val withHits = langSets.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"${lang}_hits",
+        expr(s"size(filter(tk, x -> x in ${inList(words)}))"))
+    }
+    withHits
+      .withColumn("predicted_lang",
+        when(col("en_hits") >= col("es_hits") &&
+          col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("fr_hits"), "en")
+          .when(col("es_hits") >= col("de_hits") &&
+            col("es_hits") >= col("fr_hits"), "es")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+      .select("doc_id", "en_hits", "es_hits", "de_hits", "fr_hits",
+        "predicted_lang")
+      .orderBy("doc_id")
+  }
+
+  val textLangIdSql: String = {
+    val hitCols = langSets.map { case (lang, words) =>
+      s"len(list_filter(tk, x -> x IN ${inList(words)})) AS ${lang}_hits"
+    }.mkString(",\n    ")
+    s"""SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+       |  CASE
+       |    WHEN en_hits >= es_hits AND en_hits >= de_hits
+       |      AND en_hits >= fr_hits THEN 'en'
+       |    WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+       |    WHEN de_hits >= fr_hits THEN 'de'
+       |    ELSE 'fr' END AS predicted_lang
+       |FROM (
+       |  SELECT doc_id,
+       |    $hitCols
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set. Robust to token order and repetition — catches the
+    * shuffled-near-duplicate class that exact text hashing misses.
+    */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(array_join(array_sort(array_distinct(
+          split(lower(col("text")), " "))), " ")).as("fp"),
+        size(array_distinct(split(lower(col("text")), " ")))
+          .as("n_distinct_tokens"))
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    string_split(lower(text), ' '))), ' ')) AS fp,
+      |  len(list_distinct(string_split(lower(text), ' ')))
+      |    AS n_distinct_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("text_tokens", textTokens _, textTokensSql),
+    ("text_quality", textQuality _, textQualitySql),
+    ("text_langid", textLangId _, textLangIdSql),
+    ("text_fingerprint", textFingerprint _, textFingerprintSql))
+}

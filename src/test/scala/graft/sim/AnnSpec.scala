@@ -1,0 +1,41 @@
+package graft.sim
+
+import graft.SparkSuite
+
+class AnnSpec extends SparkSuite {
+
+  test("LSH top-k achieves reasonable recall against brute force") {
+    val brute = SimilarityOps.annBruteTopK(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = SimilarityOps.annLshTopK(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(brute.nonEmpty)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // random-hyperplane multi-probe at 8 bits: recall well above chance
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+  }
+
+  test("LSH results are a subset of valid neighbors (no self matches)") {
+    val lsh = SimilarityOps.annLshTopK(spark, sf0001).collect()
+    assert(lsh.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(lsh.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 5))
+  }
+
+  test("brute-force ranks are dense and cosines descend per query") {
+    val rows = SimilarityOps.annBruteTopK(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.size).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      })
+    }
+  }
+}
