@@ -1,0 +1,58 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's exploratory analytics over `ratings_full`
+  * (`Explorativa/Explorativa2.ipynb` cells 5-9) — top-K films, top film
+  * per genre, genre counts.
+  */
+object MovieLensAnalytics {
+
+  /** Ratings-count per film with global rank (`posicion`).
+    * Reference: `Explorativa2.ipynb:133-140` (cell 5) ranks the FULL
+    * table through a single-partition window (C12 anti-pattern). Here:
+    * aggregate, take top `limit` via TakeOrderedAndProject, and only
+    * rank those — identical output for any asked-for prefix, scalable
+    * input. `groupBy` includes the array column `genders` exactly as
+    * the reference does (A2).
+    */
+  def topFilms(ratingsFull: DataFrame, limit: Int = 100): DataFrame = {
+    val agg = ratingsFull
+      .groupBy("filmId", "film", "genders")
+      .agg(count(lit(1)).as("num_notas"))
+      .orderBy(desc("num_notas"), asc("filmId"))
+      .limit(limit)
+    agg.withColumn("posicion",
+      row_number().over(Window.orderBy(desc("num_notas"), asc("filmId"))))
+  }
+
+  /** Top-1 film per genre — explode + partitioned row_number, keep
+    * rn == 1. Reference: `Explorativa2.ipynb:194-196` (cell 7); the
+    * canonical scalable top-k-per-group (W2).
+    */
+  def topPerGenre(ratingsFull: DataFrame): DataFrame = {
+    val counts = ratingsFull
+      .groupBy("filmId", "film", "genders")
+      .agg(count(lit(1)).as("num_notas"))
+      .withColumn("genre", explode(col("genders")))
+    val w = Window.partitionBy("genre")
+      .orderBy(desc("num_notas"), asc("filmId"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("genre", "filmId", "film", "num_notas")
+  }
+
+  /** Genre frequencies — explode + filter-not-null + count.
+    * Reference: `Explorativa1_pyspark.ipynb:139-143` (cell 4, A1).
+    */
+  def genreCounts(movies: DataFrame): DataFrame =
+    movies
+      .select(explode(col("genders")).as("genre"))
+      .where(col("genre").isNotNull)
+      .groupBy("genre")
+      .agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), asc("genre"))
+}
