@@ -5,6 +5,7 @@ import graft.dedup.DedupOps
 import graft.multimodal.MultimodalOps
 import graft.operators.RelationalOps
 import graft.sim.SimilarityOps
+import graft.streaming.EventWindows
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +21,8 @@ object SparkEntry {
   private def modules
       : Seq[(String, (SparkSession, String) => DataFrame, String)] =
     RelationalOps.catalog ++ TextOps.catalog ++ DedupOps.catalog ++
-      SimilarityOps.catalog ++ MultimodalOps.catalog
+      SimilarityOps.catalog ++ MultimodalOps.catalog ++
+      EventWindows.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Event-time windowing over the `events` table — the engine's ST4
+  * extension (the reference is processing-time only; SURVEY §2.10 notes
+  * watermarks/windowed aggs absent).
+  *
+  * Each operator exists in two forms with identical semantics:
+  * a batch DataFrame (oracle-checked against DuckDB) and a streaming
+  * variant with `withWatermark` (differential-tested against the batch
+  * result in StreamingSpec). Windows shuffle once on (window, key);
+  * sessionization shuffles once on user_id — both scale linearly.
+  */
+object EventWindows {
+
+  /** Hourly tumbling window per event type: count + sum(value).
+    * `window(ts, '1 hour').start` ≡ `date_trunc('hour', ts)` for
+    * epoch-aligned hours, which is what the oracle uses.
+    */
+  def hourlyWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("hour_us", "event_type")
+
+  val hourlyWindowSql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_us, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap) per user via
+    * window functions: flag session starts with lag(ts), prefix-sum the
+    * flags into session ids, aggregate per session. One shuffle on
+    * user_id; works identically at any scale (no driver loops).
+    */
+  def sessionize(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  def sessionizeSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH t AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       |    lag(epoch_us(ts)) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |      AS prev_us
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > $gapUs
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM t),
+       |sessions AS (
+       |  SELECT *, (sum(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |    AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, min(ts_us) AS start_us,
+       |  max(ts_us) AS end_us, count(*) AS n_events,
+       |  round(sum(value), 2) AS sum_value
+       |FROM sessions
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+  }
+
+  /** Streaming variant of [[hourlyWindow]]: parquet file stream with a
+    * 10-minute watermark, append mode — only windows the watermark has
+    * passed are emitted (exactly-once window finalization). Input is
+    * the pre-converted events DataFrame's schema.
+    */
+  def hourlyWindowStreaming(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_hourly_window", hourlyWindow _, hourlyWindowSql),
+    ("ev_sessionize",
+      (s: SparkSession, d: String) => sessionize(s, d), sessionizeSql()))
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.SparkSession
+
+/** The reference's headline experiment (SURVEY §4 C6): incremental
+  * processing (`append` + `latest` offsets) vs full-replay
+  * (`update` + `earliest`), measured per-trigger
+  * (`apps_mediciones/live_counts_metrics.py` vs
+  * `live_counts_update_earliest.py`; BASELINE.md rows 1-5).
+  *
+  * Without a Kafka broker the offset semantics are mirrored with the
+  * MemorySource: variant A sees each batch as it "arrives"; variant B
+  * first replays the entire backlog as epoch 0 (what `earliest` does on
+  * restart) and then processes the same increments. Both produce the
+  * reference's `epoch_id,count,duration_ms,timestamp` CSV shape, so
+  * `TriggerMetrics.stats` / `improvementPct` compare directly against
+  * the published 70.40ms / 82.97ms / +17.86% numbers.
+  */
+object ModesBenchmark {
+
+  final case class Result(
+      append: TriggerMetrics.LatencyStats,
+      updateEarliest: TriggerMetrics.LatencyStats,
+      improvementPct: Double)
+
+  def run(spark: SparkSession, batches: Seq[Seq[String]], dir: Path)
+      : Result = {
+    // A: append + latest — only new messages per trigger
+    val csvA = dir.resolve("metrics_append.csv")
+    TriggerMetrics.initCsv(csvA)
+    val srcA = new MemorySource(spark)
+    val qA = FeedbackPipeline.startForeachBatch(
+      FeedbackPipeline.parse(srcA.load(spark)),
+      TriggerMetrics.saveAndLogFn(csvA, "ab_append"), "append")
+    batches.foreach { b => srcA.add(b); qA.processAllAvailable() }
+    qA.stop()
+
+    // B: update + earliest — full backlog replay as epoch 0, then the
+    // same increments
+    val csvB = dir.resolve("metrics_update_earliest.csv")
+    TriggerMetrics.initCsv(csvB)
+    val srcB = new MemorySource(spark)
+    srcB.add(batches.flatten)
+    val qB = FeedbackPipeline.startForeachBatch(
+      FeedbackPipeline.parse(srcB.load(spark)),
+      TriggerMetrics.saveAndLogFn(csvB, "ab_update"), "update")
+    qB.processAllAvailable()
+    batches.foreach { b => srcB.add(b); qB.processAllAvailable() }
+    qB.stop()
+
+    val a = TriggerMetrics.stats(csvA)
+    val b = TriggerMetrics.stats(csvB)
+    Result(a, b, TriggerMetrics.improvementPct(a, b))
+  }
+}

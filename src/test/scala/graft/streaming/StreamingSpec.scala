@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("feedback parse: schema, age bins, malformed JSON -> null row") {
+    val msgs = Seq(
+      """{"gender": "Mujer", "occupation": "Jubilado", "age": 67, "ratings": [{"filmId": 1, "rating": 5}]}""",
+      """{"gender": "Hombre", "occupation": "Programador", "age": 17}""",
+      """{"gender": "Hombre", "occupation": "X", "age": 18}""",
+      """{"gender": "Hombre", "occupation": "X", "age": 24}""",
+      """{"gender": "Hombre", "occupation": "X", "age": 25}""",
+      """{"gender": "Hombre", "occupation": "X", "age": 55}""",
+      """{"gender": "Hombre", "occupation": "X", "age": 56}""",
+      "this is not json")
+    val parsed = FeedbackPipeline.parse(msgs.toDF("value")).collect()
+    assert(parsed.length == 8)
+    val bins = parsed.map(r => Option(r.getAs[String]("age_bin")))
+    assert(bins.take(7).flatten.toSeq ==
+      Seq("56+", "<18", "18-24", "18-24", "25-34", "50-55", "56+"))
+    // malformed JSON -> null fields, age_bin falls through to otherwise
+    val bad = parsed(7)
+    assert(bad.isNullAt(bad.fieldIndex("gender")))
+  }
+
+  test("memory append sink accumulates across micro-batches (S9)") {
+    val src = new MemorySource(spark)
+    val q = FeedbackPipeline.startMemoryAppend(
+      FeedbackPipeline.parse(src.load(spark)), "feedback_raw_test")
+    src.add(FeedbackGenerator.batch("inserso", 0, 10))
+    q.processAllAvailable()
+    src.add(FeedbackGenerator.batch("revista", 10, 15))
+    q.processAllAvailable()
+    val t = spark.sql("select * from feedback_raw_test")
+    assert(t.count() == 25)
+    // inserso profile must spike Jubilado/56+ (the reference's bot soak
+    // check, SURVEY §5)
+    val jub = t.filter(col("occupation") === "Jubilado").count()
+    assert(jub == 10)
+    assert(t.filter(col("age_bin") === "<18").count() == 15)
+    q.stop()
+  }
+
+  test("complete-mode last-200 keeps latest by ts (O4)") {
+    val src = new MemorySource(spark)
+    val q = DemoStream.startLast200(
+      DemoStream.parse(src.load(spark)), "demo_agg_test", n = 200)
+    src.add((0 until 150).map(i => s"""{"ts": $i, "value": ${i * 0.5}}"""))
+    q.processAllAvailable()
+    src.add((150 until 250).map(i => s"""{"ts": $i, "value": ${i * 0.5}}"""))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from demo_agg_test").collect()
+    assert(rows.length == 200)
+    val tss = rows.map(_.getAs[Long]("ts")).sorted
+    assert(tss.head == 50 && tss.last == 249)
+    q.stop()
+  }
+
+  test("LastNPoints: dedup (ts,value), sort, tail-N (S11)") {
+    val state = new LastNPoints(n = 5)
+    state.update(Seq((3L, 0.3), (1L, 0.1), (2L, 0.2)))
+    // duplicate (ts,value) dropped; new points merged in ts order
+    val s2 = state.update(Seq((2L, 0.2), (5L, 0.5), (4L, 0.4)))
+    assert(s2 == Vector((1L, 0.1), (2L, 0.2), (3L, 0.3), (4L, 0.4), (5L, 0.5)))
+    // same ts, different value is NOT a duplicate
+    val s3 = state.update(Seq((5L, 0.9), (6L, 0.6)))
+    assert(s3.size == 5) // tail-5 keeps latest
+    assert(s3.last == (6L, 0.6))
+    assert(s3.count(_._1 == 5L) == 2)
+  }
+
+  test("LastNPoints via foreachBatch writes JSON snapshots (S11)") {
+    val out = Files.createTempFile("lastn", ".json")
+    val state = new LastNPoints(n = 200, outPath = Some(out))
+    val src = new MemorySource(spark)
+    val q = FeedbackPipeline.startForeachBatch(
+      DemoStream.parse(src.load(spark)), state.foreachBatchFn)
+    src.add(Seq("""{"ts": 10, "value": 1.5}""", """{"ts": 20, "value": 2.5}"""))
+    q.processAllAvailable()
+    q.stop()
+    val json = Files.readString(out)
+    assert(json.contains(""""ts": 10""") && json.contains(""""value": 2.5"""))
+    assert(state.snapshot.size == 2)
+  }
+
+  test("foreachBatch metrics CSV: one line per trigger; temp view shows only latest batch (ST6/ST7)") {
+    val csv = Files.createTempFile("metrics", ".csv")
+    Files.delete(csv)
+    TriggerMetrics.initCsv(csv)
+    val src = new MemorySource(spark)
+    val q = FeedbackPipeline.startForeachBatch(
+      FeedbackPipeline.parse(src.load(spark)),
+      TriggerMetrics.saveAndLogFn(csv, "feedback_raw_metrics"))
+    src.add(FeedbackGenerator.batch("masculino", 0, 7))
+    q.processAllAvailable()
+    src.add(FeedbackGenerator.batch("masculino", 7, 3))
+    q.processAllAvailable()
+    q.stop()
+    val lines = Files.readAllLines(csv)
+    // header + >=2 trigger lines (first trigger may be an empty batch 0)
+    val dataLines = lines.subList(1, lines.size())
+    val counts = scala.jdk.CollectionConverters
+      .ListHasAsScala(dataLines).asScala
+      .map(_.split(",")(1).toInt).filter(_ > 0)
+    assert(counts.toSeq == Seq(7, 3))
+    // ST7 quirk: replace-per-batch view exposes ONLY the last batch
+    assert(
+      spark.sql("select * from global_temp.feedback_raw_metrics").count() == 3)
+    val stats = TriggerMetrics.stats(csv)
+    assert(stats.n >= 2 && stats.meanMs > 0)
+  }
+
+  test("update-mode aggregated counts match batch value_counts (A8)") {
+    val src = new MemorySource(spark)
+    val q = FeedbackPipeline.startCountsUpdate(
+      FeedbackPipeline.parse(src.load(spark)), "age_bin", "live_counts_test")
+    val msgs = FeedbackGenerator.batch("inserso", 0, 20) ++
+      FeedbackGenerator.batch("revista", 20, 10)
+    src.add(msgs)
+    q.processAllAvailable()
+    val got = spark.sql("select * from live_counts_test").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = FeedbackPipeline.parse(msgs.toDF("value"))
+      .groupBy("age_bin").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    q.stop()
+  }
+
+  test("streaming hourly window with watermark matches batch result (ST4 extension)") {
+    // stream the events parquet as files; compare emitted windows to
+    // the batch oracle query for windows the watermark closed
+    val batch = EventWindows.hourlyWindow(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val events = Tables.events(spark, sf0001)
+    val dir = Files.createTempDirectory("ev_stream")
+    events.write.mode("overwrite").parquet(dir.toString)
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .parquet(dir.toString)
+    val q = EventWindows.hourlyWindowStreaming(streamIn)
+      .writeStream.format("memory").queryName("ev_hourly_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.sql("select * from ev_hourly_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(emitted.nonEmpty, "watermark should close at least some windows")
+    // every emitted window must agree exactly with the batch computation
+    emitted.foreach { case (k, v) =>
+      assert(batch(k) == v, s"window $k: stream $v != batch ${batch(k)}")
+    }
+  }
+}
