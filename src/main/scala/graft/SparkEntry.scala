@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.DedupOps
+import graft.graph.GraphOps
 import graft.multimodal.MultimodalOps
 import graft.operators.RelationalOps
 import graft.sim.SimilarityOps
@@ -22,7 +23,7 @@ object SparkEntry {
       : Seq[(String, (SparkSession, String) => DataFrame, String)] =
     RelationalOps.catalog ++ TextOps.catalog ++ DedupOps.catalog ++
       SimilarityOps.catalog ++ MultimodalOps.catalog ++
-      EventWindows.catalog
+      EventWindows.catalog ++ GraphOps.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,156 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bipartite user↔item graph analytics on GraphX (SURVEY §2.12; the
+  * reference uses GraphFrames, whose jar is not in this environment —
+  * GraphX ships with Spark and has matching semantics for everything
+  * the reference runs: degrees, fixed-iteration PageRank, connected
+  * components).
+  *
+  * G1 id-collision caveat: the reference's user and movie id spaces
+  * overlap (both start at 1) and it silently merges them. GraphX needs
+  * unique VertexIds, so item ids are offset by [[ItemOffset]] — a
+  * documented deviation that makes the graph genuinely bipartite.
+  */
+object BipartiteGraph {
+
+  val ItemOffset: Long = 10000000L
+
+  /** vertices (id, tipo) = users ∪ items; edges (src=user, dst=item,
+    * weight=rating) — `GraphFrames_prueba/Explorativa3.ipynb:86-102`.
+    * Input: (userCol, itemCol, weightCol) columns.
+    */
+  def build(ratings: DataFrame, userCol: String, itemCol: String,
+      weightCol: String): Graph[String, Int] = {
+    val edges = ratings
+      .select(col(userCol).cast("long"), col(itemCol).cast("long"),
+        col(weightCol).cast("int"))
+      .rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1) + ItemOffset, r.getInt(2)))
+    // vertex attr = tipo tag ("user" | "item")
+    Graph.fromEdges[String, Int](edges, defaultValue = "")
+      .mapVertices((id, _) => if (id >= ItemOffset) "item" else "user")
+  }
+
+  /** Item popularity = in-degrees; user activity = out-degrees
+    * (G2, `Explorativa3.ipynb` cells 7-11). Returned as DataFrames with
+    * original (un-offset) ids.
+    */
+  def itemInDegrees(spark: SparkSession, g: Graph[String, Int]): DataFrame = {
+    import spark.implicits._
+    g.inDegrees
+      .map { case (vid, d) => (vid - ItemOffset, d) }
+      .toDF("id", "in_degree")
+  }
+
+  def userOutDegrees(spark: SparkSession, g: Graph[String, Int]): DataFrame = {
+    import spark.implicits._
+    g.outDegrees.map { case (vid, d) => (vid, d) }.toDF("id", "out_degree")
+  }
+
+  /** Fixed-iteration PageRank (G3): `staticPageRank(10, 0.15)` — same
+    * semantics as GraphFrames' maxIter mode used by the reference
+    * (`Explorativa3.ipynb:370-375`: resetProbability 0.15, maxIter 10).
+    * Returns item ranks (un-offset), descending.
+    */
+  def itemPageRank(spark: SparkSession, g: Graph[String, Int],
+      iters: Int = 10, reset: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    g.staticPageRank(iters, reset)
+      .vertices
+      .filter { case (vid, _) => vid >= ItemOffset }
+      .map { case (vid, rank) => (vid - ItemOffset, rank) }
+      .toDF("id", "pagerank")
+      .orderBy(desc("pagerank"), asc("id"))
+  }
+
+  /** Connected components (G4): component sizes descending, with the
+    * per-(component, tipo) breakdown the reference prints
+    * (`Explorativa3.ipynb` cells 15-17).
+    */
+  def componentSizes(spark: SparkSession, g: Graph[String, Int]): DataFrame = {
+    import spark.implicits._
+    g.connectedComponents()
+      .vertices
+      .map { case (_, comp) => comp }
+      .toDF("component")
+      .groupBy("component")
+      .agg(count(lit(1)).as("size"))
+      .orderBy(desc("size"), asc("component"))
+  }
+
+  def componentsByTipo(spark: SparkSession, g: Graph[String, Int])
+      : DataFrame = {
+    import spark.implicits._
+    val cc = g.connectedComponents().vertices
+    val tipo = g.vertices
+    cc.join(tipo)
+      .map { case (_, (comp, t)) => (comp, t) }
+      .toDF("component", "tipo")
+      .groupBy("component", "tipo")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc("component"), asc("tipo"))
+  }
+}
+
+/** Graph queries over the driver's testdata (rows-only checks for the
+  * iterative algorithms; degrees are oracle-checkable as plain counts).
+  */
+object GraphOps {
+  import graft.core.Tables
+
+  /** Event-type popularity via GraphX in-degrees on the bipartite
+    * user→event_type graph. Semantically identical to
+    * `SELECT event_type, count(*)` — which is exactly the oracle —
+    * proving the GraphX bridge agrees with the relational engine.
+    */
+  def graphEventDegrees(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      // map event types to stable small ids for vertex encoding
+      .withColumn("type_id",
+        when(col("event_type") === "click", 1)
+          .when(col("event_type") === "view", 2)
+          .when(col("event_type") === "purchase", 3)
+          .when(col("event_type") === "signup", 4)
+          .when(col("event_type") === "error", 5)
+          .otherwise(0))
+    val g = BipartiteGraph.build(ev, "user_id", "type_id", "type_id")
+    val deg = BipartiteGraph.itemInDegrees(spark, g)
+    val names = Seq((1, "click"), (2, "view"), (3, "purchase"),
+      (4, "signup"), (5, "error"))
+    import spark.implicits._
+    val dim = names.toDF("id", "event_type")
+    deg.join(dim, Seq("id"))
+      .select(col("event_type"), col("in_degree").cast("long").as("n"))
+      .orderBy("event_type")
+  }
+
+  val graphEventDegreesSql: String =
+    """SELECT event_type, count(*) AS n FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** PageRank over the user↔event_type graph (rows-only: iterative
+    * algorithm, not SQL-expressible). */
+  def graphEventPageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("type_id",
+        when(col("event_type") === "click", 1)
+          .when(col("event_type") === "view", 2)
+          .when(col("event_type") === "purchase", 3)
+          .when(col("event_type") === "signup", 4)
+          .when(col("event_type") === "error", 5)
+          .otherwise(0))
+    val g = BipartiteGraph.build(ev, "user_id", "type_id", "type_id")
+    BipartiteGraph.itemPageRank(spark, g)
+  }
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
+    Seq(
+      ("graph_event_degrees", graphEventDegrees _, graphEventDegreesSql),
+      ("graph_event_pagerank", graphEventPageRank _, ""))
+}
