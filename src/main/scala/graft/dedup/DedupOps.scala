@@ -39,14 +39,25 @@ object DedupOps {
     * token sets collapse under a small vocabulary (every doc looks like
     * every other), while shingle sets stay sparse.
     */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+  /** (doc_id, ng: array<string>, n) — one row per doc with its distinct
+    * shingle set; checkpointed because several plan branches reuse it. */
+  private def shingleArrays(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      // small single-file inputs arrive as ONE partition; spread the
+      // CPU-heavy shingle build across cores (at 100 TB the scan itself
+      // provides the parallelism and this repartition is a no-op cost)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
+      .withColumn("ng", array_distinct(expr(
         "transform(sequence(1, size(tk) - 2), i -> " +
           "concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))")))
-        .as("token"))
+      .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
+      .localCheckpoint()
+
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    shingleArrays(spark, sfDir)
+      .select(col("doc_id"), explode(col("ng")).as("token"))
 
   private val duckShinglesCte: String =
     """shingles AS (
@@ -93,37 +104,65 @@ object DedupOps {
       |HAVING count(*) > 1
       |ORDER BY fp""".stripMargin
 
-  /** Word-trigram Jaccard near-dup pairs (threshold 0.8). The join is on
-    * shared trigrams — an inverted-index join, not a cartesian product —
-    * then exact Jaccard verifies each candidate. Documents shorter than
-    * 3 tokens are excluded (no trigrams) in both engines.
+  /** Jaccard threshold for the n-gram near-dup join. */
+  val ngramJacThreshold = 0.8
+
+  /** Word-trigram Jaccard near-dup pairs (threshold 0.8), via PREFIX
+    * FILTERING (the ppjoin family): order every document's shingles by
+    * ascending global document frequency and index only the first
+    * ⌊(1−t)·n⌋+1 of them. Any pair with Jaccard ≥ t MUST share a
+    * prefix shingle under a consistent global order, so candidate
+    * generation is exact, and the inverted index only carries the
+    * globally rarest ~20% of postings — the self-join stays near-linear
+    * where a naive shingle join is quadratic on frequent shingles.
+    * Candidates are verified with exact Jaccard over FULL shingle sets.
+    * Documents shorter than 3 tokens are excluded in both engines.
     */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= 3)
       .withColumn("ng", array_distinct(expr(
         "transform(sequence(1, size(tk) - 2), i -> " +
           "concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))")))
       .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
-    val ex = docs.select(col("doc_id"), col("n"),
+    val docsM = docs.localCheckpoint() // shared by prefix build + verify
+    // postings feed the df counts and the prefix index
+    val ex = docsM.select(col("doc_id"), col("n"),
       explode(col("ng")).as("ngram"))
-    val inter = ex.as("x").join(ex.as("y"),
+      .localCheckpoint()
+    val dfs = ex.groupBy("ngram").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "ngram")
+    val prefix = ex.join(dfs, Seq("ngram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        floor(col("n") * (1.0 - ngramJacThreshold)).cast("int") + 1)
+      .select("doc_id", "n", "ngram")
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.ngram") === col("y.ngram") &&
           col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
         col("x.n").as("na"), col("y.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-    inter
+      .distinct()
+    // verify candidates against FULL shingle sets with array_intersect:
+    // O(na+nb) per pair in one projection, no posting-list re-join
+    cand
+      .join(docsM.select(col("doc_id").as("da"), col("ng").as("nga")),
+        Seq("da"))
+      .join(docsM.select(col("doc_id").as("db"), col("ng").as("ngb")),
+        Seq("db"))
+      .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jac") >= 0.8)
+      .filter(col("jac") >= ngramJacThreshold)
       .select("da", "db", "jac")
       .orderBy("da", "db")
   }
 
   val dedupNgramJaccardSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
       |g AS (
@@ -132,15 +171,29 @@ object DedupOps {
       |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))) AS ng
       |  FROM t),
       |e AS (SELECT doc_id, len(ng) AS n, unnest(ng) AS ngram FROM g),
+      |dfs AS (SELECT ngram, count(*) AS df FROM e GROUP BY ngram),
+      |pref AS (
+      |  SELECT doc_id, n, ngram FROM (
+      |    SELECT e.doc_id, e.n, e.ngram,
+      |      row_number() OVER (PARTITION BY e.doc_id
+      |        ORDER BY dfs.df, e.ngram) AS rn
+      |    FROM e JOIN dfs USING (ngram))
+      |  WHERE rn <= (floor(n * ${1.0 - ngramJacThreshold}))::INT + 1),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.n AS na,
+      |    y.n AS nb
+      |  FROM pref x JOIN pref y
+      |    ON x.ngram = y.ngram AND x.doc_id < y.doc_id),
       |inter AS (
-      |  SELECT x.doc_id AS da, y.doc_id AS db, x.n AS na, y.n AS nb,
-      |    count(*) AS inter
-      |  FROM e x JOIN e y ON x.ngram = y.ngram AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2, 3, 4)
+      |  SELECT da, db, na, nb,
+      |    len(list_intersect(ga.ng, gb.ng)) AS inter
+      |  FROM cand
+      |  JOIN g ga ON ga.doc_id = da
+      |  JOIN g gb ON gb.doc_id = db)
       |SELECT da, db,
       |  round(inter::DOUBLE / (na + nb - inter), 4) AS jac
       |FROM inter
-      |WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.8
+      |WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= $ngramJacThreshold
       |ORDER BY da, db""".stripMargin
 
   /** MinHash + LSH near-dup detection: 16 minhashes over the distinct
@@ -154,7 +207,8 @@ object DedupOps {
     * confined to true collision buckets.
     */
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = shingles(spark, sfDir)
+    val arr = shingleArrays(spark, sfDir)
+    val toks = arr.select(col("doc_id"), explode(col("ng")).as("token"))
       .withColumn("hb", expr(sparkHb))
     val mhAggs = perms.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * hb + $b) % $P")).as(s"mh$i")
@@ -172,17 +226,15 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(toks.as("x"), col("da") === col("x.doc_id"))
-      .join(toks.as("y"),
-        col("db") === col("y.doc_id") && col("x.token") === col("y.token"))
-      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.as("sx"), col("da") === col("sx.doc_id"))
-      .join(sz.as("sy"), col("db") === col("sy.doc_id"))
+    // exact shingle-set Jaccard via array_intersect on the full sets
+    cand
+      .join(arr.select(col("doc_id").as("da"), col("ng").as("nga"),
+        col("n").as("na")), Seq("da"))
+      .join(arr.select(col("doc_id").as("db"), col("ng").as("ngb"),
+        col("n").as("nb")), Seq("db"))
+      .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
       .withColumn("jac", round(col("inter").cast("double") /
-        (col("sx.n") + col("sy.n") - col("inter")), 4))
+        (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jac") >= 0.7)
       .select("da", "db", "jac")
       .orderBy("da", "db")
@@ -209,19 +261,22 @@ object DedupOps {
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bandt a JOIN bandt b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |sz AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+       |garr AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))) AS ng
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+       |  WHERE len(tk) >= 3),
        |inter AS (
-       |  SELECT da, db, count(*) AS inter
+       |  SELECT da, db, len(ga.ng) AS na, len(gb.ng) AS nb,
+       |    len(list_intersect(ga.ng, gb.ng)) AS inter
        |  FROM cand
-       |  JOIN h x ON x.doc_id = da
-       |  JOIN h y ON y.doc_id = db AND y.token = x.token
-       |  GROUP BY da, db)
+       |  JOIN garr ga ON ga.doc_id = da
+       |  JOIN garr gb ON gb.doc_id = db)
        |SELECT da, db,
-       |  round(inter::DOUBLE / (sx.n + sy.n - inter), 4) AS jac
+       |  round(inter::DOUBLE / (na + nb - inter), 4) AS jac
        |FROM inter
-       |JOIN sz sx ON sx.doc_id = da
-       |JOIN sz sy ON sy.doc_id = db
-       |WHERE round(inter::DOUBLE / (sx.n + sy.n - inter), 4) >= 0.7
+       |WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.7
        |ORDER BY da, db""".stripMargin
   }
 
@@ -243,6 +298,7 @@ object DedupOps {
     toks.groupBy("doc_id").agg(wAggs.head, wAggs.tail: _*)
       .withColumn("simhash", expr(bitsExpr))
       .select("doc_id", "simhash")
+      .localCheckpoint() // reused by probe and build sides of the join
   }
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =

@@ -22,9 +22,14 @@ import graft.core.Tables
   */
 object SimilarityOps {
 
-  /** embedding as double[] plus its L2 norm. */
+  /** embedding as double[] plus its L2 norm. Repartitions first: the
+    * small single-file embeddings scan arrives as one partition and the
+    * vector math is CPU-bound (no-op at real scale, where the scan
+    * already splits).
+    */
   private def withVec(df: DataFrame): DataFrame =
-    df.withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("norm", expr(
         "sqrt(aggregate(vec, cast(0 as double), (acc, x) -> acc + x * x))"))
 
@@ -105,18 +110,22 @@ object SimilarityOps {
       |ORDER BY va, vb""".stripMargin
 
   /** Random-hyperplane LSH top-k with `nTables` independent hash tables
-    * of `nBits` bits each (hyperplanes deterministic per (table, bit,
-    * dim)). A candidate is any vector sharing a bucket — or a 1-bit
-    * flip of it (multi-probe) — with the query in ANY table; candidates
-    * are then scored exactly. Approximate — AnnSpec asserts recall
-    * against annBruteTopK. No DuckDB oracle: rows-only check.
+    * of `nBits` bits each. Hyperplanes are DATA, not code: a broadcast
+    * (table, bit, plane[dim]) dim table joined against the vectors, so
+    * the signature pass is a broadcast join over 32 tiny rows per
+    * vector aggregated into (vec, table) -> bucket. (A literal-sum
+    * expression formulation was tried first and produced pathological
+    * codegen: 2048-term expressions; the join formulation is faster
+    * and is the shape a real cluster wants.)
     *
-    * Scale shape: signatures are one projection pass; the candidate
-    * join keys on (table, bucket) equality, so work is proportional to
-    * bucket collisions, never |corpus| × |queries|.
+    * A candidate is any vector sharing a bucket -- or a 1-bit flip of
+    * it (multi-probe) -- with the query in ANY table; candidates are
+    * then scored exactly. Approximate -- AnnSpec asserts recall against
+    * annBruteTopK. No DuckDB oracle: rows-only check.
     */
   def annLshTopK(spark: SparkSession, sfDir: String, nBits: Int = 8,
       nTables: Int = 4, k: Int = 5): DataFrame = {
+    import spark.implicits._
     val dim = 64
     // Deterministic pseudo-random hyperplanes: h(t, b, d) in [-1, 1).
     def coef(t: Int, b: Int, d: Int): Double = {
@@ -125,41 +134,39 @@ object SimilarityOps {
       val m = (x * 6364136223846793005L + 1442695040888963407L)
       (m >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
-    def sigExpr(t: Int): String = (0 until nBits).map { b =>
-      val terms = (0 until dim)
-        .map(d => s"element_at(vec, ${d + 1}) * (${coef(t, b, d)})")
-        .mkString(" + ")
-      s"(case when ($terms) >= 0 then ${1L << b} else 0 end)"
-    }.mkString(" + ")
-    val e = withVec(Tables.embeddings(spark, sfDir))
-    val sig = (0 until nTables).foldLeft(e) { (df, t) =>
-      df.withColumn(s"sig$t", expr(sigExpr(t)))
-    }
-    // corpus: one (table, bucket) row per table
-    val bucketStructs = (0 until nTables)
-      .map(t => s"struct($t as t, sig$t as bucket)").mkString(", ")
-    val c = sig.select(col("vec_id").as("nid"), col("vec").as("nvec"),
-        col("norm").as("nnorm"),
-        explode(expr(s"array($bucketStructs)")).as("tb"))
-      .select(col("nid"), col("nvec"), col("nnorm"),
-        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    // queries: bucket plus 1-bit-flip probes per table
-    val probeStructs = (0 until nTables).flatMap { t =>
-      Seq(s"struct($t as t, sig$t as bucket)") ++
-        (0 until nBits).map(b => s"struct($t as t, sig$t ^ ${1L << b} as bucket)")
-    }.mkString(", ")
-    val q = sig.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
-        col("norm").as("qnorm"),
-        explode(expr(s"array($probeStructs)")).as("tb"))
-      .select(col("qid"), col("qvec"), col("qnorm"),
-        col("tb.t").as("qt"), col("tb.bucket").as("qbucket"))
-    val scored = c.join(broadcast(q),
-        col("qt") === col("t") && col("qbucket") === col("bucket") &&
-          col("qid") =!= col("nid"))
+    val planes = (for {
+      t <- 0 until nTables
+      b <- 0 until nBits
+    } yield (t, b, (0 until dim).map(d => coef(t, b, d)).toArray))
+      .toDF("t", "b", "plane")
+    val e = withVec(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    // bucket id per (vector, table): sign bits of the nBits projections
+    val buckets = e.crossJoin(broadcast(planes))
+      .withColumn("bit", when(dot("vec", "plane") >= 0,
+        expr("shiftleft(1L, b)")).otherwise(lit(0L)))
+      .groupBy(col("vec_id"), col("t"))
+      .agg(sum("bit").as("bucket"))
+      .localCheckpoint() // reused as probe and build sides
+    val probeArr = (Seq("bucket") ++
+      (0 until nBits).map(b => s"bucket ^ ${1L << b}"))
+      .mkString("array(", ", ", ")")
+    val qProbes = buckets.filter(col("vec_id") < 20)
+      .withColumn("probe", explode(expr(probeArr)))
+      .select(col("vec_id").as("qid"), col("t").as("qt"), col("probe"))
+    val cand = buckets.join(broadcast(qProbes),
+        col("probe") === col("bucket") && col("qt") === col("t") &&
+          col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    // exact scoring of candidates only
+    val qv = e.select(col("vec_id").as("qid"), col("vec").as("qvec"),
+      col("norm").as("qnorm"))
+    val nv = e.select(col("vec_id").as("nid"), col("vec").as("nvec"),
+      col("norm").as("nnorm"))
+    val scored = cand.join(broadcast(qv.filter(col("qid") < 20)), Seq("qid"))
+      .join(nv, Seq("nid"))
       .select(col("qid"), col("nid"),
         round(dot("qvec", "nvec") / (col("qnorm") * col("nnorm")), 4).as("cos"))
-      .distinct()
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
