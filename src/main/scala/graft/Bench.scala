@@ -26,16 +26,26 @@ object Bench {
     // shuffle machinery costs don't land on whichever query happens to
     // run first — timed numbers then measure steady-state throughput.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // queries that localCheckpoint shared subplans leave RDD blocks
+    // behind; drop them between queries so storage pressure from one
+    // query never skews another's timing
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
+      dropCheckpoints()
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropCheckpoints()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

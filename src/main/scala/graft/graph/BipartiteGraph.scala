@@ -135,9 +135,14 @@ object GraphOps {
       |ORDER BY event_type""".stripMargin
 
   /** PageRank over the user↔event_type graph (rows-only: iterative
-    * algorithm, not SQL-expressible). */
+    * algorithm, not SQL-expressible). Edges are down-sampled first,
+    * mirroring the reference's C8 strategy (`sample(0.05)` before
+    * PageRank, `Explorativa3.ipynb:361`) — seeded, so deterministic
+    * within Spark (SURVEY §2.2 P13).
+    */
   def graphEventPageRank(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
+      .sample(withReplacement = false, 0.5, 42)
       .withColumn("type_id",
         when(col("event_type") === "click", 1)
           .when(col("event_type") === "view", 2)

@@ -494,6 +494,61 @@ object RelationalOps {
        |ORDER BY tier""".stripMargin
   }
 
+  /** CSV write + header/inferSchema read-back (SURVEY §2.1 S2/S5;
+    * reference: metrics CSVs, `Explorativa2.ipynb:423`): a slice of
+    * events round-trips through CSV files and is re-aggregated. The
+    * oracle computes the same aggregate from parquet — doubles survive
+    * the text round-trip because Spark writes shortest-round-trip
+    * representations.
+    */
+  def q22CsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt")
+      .resolve("events_csv").toString
+    Tables.events(spark, sfDir)
+      .filter(col("event_id") < 2000)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  val q22Sql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE event_id < 2000
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Temp-view registration + SQL entry point (SURVEY §2.1 S14/S15;
+    * reference: `spark.sql("select … from feedback_raw")`,
+    * `app3/live_counts.py:73`) — the engine's Catalyst SQL parser path.
+    */
+  def q23SqlEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q23Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** All (name, spark-impl, oracle-sql) triples this module exports. */
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -515,5 +570,7 @@ object RelationalOps {
     ("q18_running_window", q18RunningWindow _, q18Sql),
     ("q19_asof_click", q19AsofClick _, q19Sql),
     ("q20_map_label", q20MapLabel _, q20Sql),
-    ("q21_range_label", q21RangeLabel _, q21Sql))
+    ("q21_range_label", q21RangeLabel _, q21Sql),
+    ("q22_csv_roundtrip", q22CsvRoundtrip _, q22Sql),
+    ("q23_sql_entry", q23SqlEntry _, q23Sql))
 }

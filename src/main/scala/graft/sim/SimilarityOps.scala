@@ -37,6 +37,15 @@ object SimilarityOps {
     expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), " +
       "cast(0 as double), (acc, v) -> acc + v)")
 
+  /** Cosine via the native fused-loop expression
+    * ([[graft.functions.CosineSimilarity]]): one pass, no intermediate
+    * zipped array, fully inside whole-stage codegen. Numerically
+    * identical to dot/(norm·norm) — both accumulate left-to-right in
+    * double.
+    */
+  private def cosine(a: String, b: String): Column =
+    graft.functions.CosineSimilarity.cosineSim(col(a), col(b))
+
   /** Exact brute-force top-5 cosine neighbors for query vectors
     * (vec_id < 20). Queries are broadcast; ranking uses the rounded
     * cosine with vec_id tiebreak so result sets are deterministic
@@ -50,8 +59,7 @@ object SimilarityOps {
     val c = e.select(col("vec_id").as("nid"), col("vec").as("nvec"),
       col("norm").as("nnorm"))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("cos",
-        round(dot("qvec", "nvec") / (col("qnorm") * col("nnorm")), 4))
+      .withColumn("cos", round(cosine("qvec", "nvec"), 4))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -87,8 +95,7 @@ object SimilarityOps {
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        round(dot("a.vec", "b.vec") / (col("a.norm") * col("b.norm")), 4))
+      .withColumn("cos", round(cosine("a.vec", "b.vec"), 4))
       .filter(col("cos") >= 0.3)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.label").as("label"), col("cos"))
@@ -166,7 +173,7 @@ object SimilarityOps {
     val scored = cand.join(broadcast(qv.filter(col("qid") < 20)), Seq("qid"))
       .join(nv, Seq("nid"))
       .select(col("qid"), col("nid"),
-        round(dot("qvec", "nvec") / (col("qnorm") * col("nnorm")), 4).as("cos"))
+        round(cosine("qvec", "nvec"), 4).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
