@@ -116,6 +116,30 @@ class RecoSpec extends SparkSuite {
     assert(recs.size == 2)
   }
 
+  test("TrainingMonitor records ALS training stages (M7)") {
+    val (model, stages) = TrainingMonitor.monitored(spark) {
+      AlsTrainer.train(AlsTrainer.prepare(ratings),
+        AlsTrainer.Config(rank = 2, maxIter = 3))
+    }
+    assert(model.rank == 2)
+    assert(stages.nonEmpty)
+    // ALS lowers to RDD stages whose call sites name ALS.scala —
+    // the same labels the reference's REST poller matches
+    assert(stages.exists(_.name.contains("ALS.scala")),
+      s"no ALS stage in: ${stages.map(_.name).distinct.take(10)}")
+  }
+
+  test("summary/describe profile the prepared ratings (A10)") {
+    val prepared = AlsTrainer.prepare(ratings)
+    val summary = prepared.summary().collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(summary.contains("count") && summary.contains("50%"))
+    assert(summary("count").getString(1).toLong == prepared.count())
+    val desc = prepared.describe("rating").collect()
+      .map(_.getString(0)).toSet
+    assert(Set("count", "mean", "stddev", "min", "max").subsetOf(desc))
+  }
+
   test("fold-in end-to-end from a trained ALSModel (M6 + S16)") {
     val model = AlsTrainer.train(AlsTrainer.prepare(ratings),
       AlsTrainer.Config(rank = 2, maxIter = 5))
