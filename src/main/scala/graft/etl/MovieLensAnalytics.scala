@@ -28,6 +28,22 @@ object MovieLensAnalytics {
       row_number().over(Window.orderBy(desc("num_notas"), asc("filmId"))))
   }
 
+  /** Reference-faithful variant of [[topFilms]]: rank EVERYTHING with a
+    * global-order `row_number`, then filter `posicion <= limit`
+    * (`Explorativa2.ipynb:133-140` verbatim). Safe in Spark 4 because
+    * Catalyst's LimitPushDownThroughWindow/InferWindowGroupLimit
+    * rewrites the rank-filter into TakeOrderedAndProject — per-task
+    * top-k heaps — so the single-partition window only ever sees
+    * `limit` rows (verified via explain: `Window <- TakeOrderedAndProject`).
+    */
+  def topFilmsFullRank(ratingsFull: DataFrame, limit: Int = 100): DataFrame =
+    ratingsFull
+      .groupBy("filmId", "film", "genders")
+      .agg(count(lit(1)).as("num_notas"))
+      .withColumn("posicion",
+        row_number().over(Window.orderBy(desc("num_notas"), asc("filmId"))))
+      .filter(col("posicion") <= limit)
+
   /** Top-1 film per genre — explode + partitioned row_number, keep
     * rn == 1. Reference: `Explorativa2.ipynb:194-196` (cell 7); the
     * canonical scalable top-k-per-group (W2).

@@ -136,6 +136,21 @@ class MovieLensSpec extends SparkSuite {
       (1 to top.length).toSeq)
   }
 
+  test("topFilmsFullRank (reference-faithful global window) equals topFilms") {
+    val full = MovieLens.buildRatingsFull(spark, moviesPath, usersPath,
+      ratingsPath)
+    val a = MovieLensAnalytics.topFilms(full, 5).collect()
+      .map(r => (r.getAs[Int]("filmId"), r.getAs[Int]("posicion"))).toSet
+    val b = MovieLensAnalytics.topFilmsFullRank(full, 5).collect()
+      .map(r => (r.getAs[Int]("filmId"), r.getAs[Int]("posicion"))).toSet
+    assert(a == b)
+    // Catalyst must have rewritten the global rank-filter into a top-k
+    // (TakeOrderedAndProject) instead of a full single-partition sort
+    val plan = MovieLensAnalytics.topFilmsFullRank(full, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
   test("topPerGenre picks the most-rated film in each genre") {
     val full = MovieLens.buildRatingsFull(spark, moviesPath, usersPath,
       ratingsPath)
