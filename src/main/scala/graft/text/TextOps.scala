@@ -45,35 +45,50 @@ object TextOps {
   /** Heuristic quality score: token count, mean token length, stopword
     * ratio — the standard cheap filters applied before expensive model
     * scoring in data pipelines.
+    *
+    * quality = 0.5·min(n,100)/100 + 0.3·stop_hits/n + 0.2·min(tl/n,10)/10,
+    * emitted (like the ratios) in integer BASIS POINTS via half-up
+    * integer division: `(x·10⁴ + d/2) div d`. Floats are avoided
+    * entirely — at sf0.1, boundary documents exposed both
+    * last-ulp-of-a-float-sum divergence AND a genuine engine
+    * difference: Spark's round() is decimal-string-aware while
+    * DuckDB's rounds raw doubles, so exact .XXXX5 values round apart.
+    * Integer arithmetic is bit-identical everywhere, forever.
     */
-  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)
       .withColumn("tk", split(col("text"), " "))
       .select(
         col("doc_id"),
-        size(col("tk")).as("n_tokens"),
-        round(expr("cast(aggregate(tk, 0L, (acc, x) -> acc + length(x)) as double)") /
-          size(col("tk")), 4).as("avg_token_len"),
-        round(expr(s"cast(size(filter(tk, x -> x in ${inList(stopwords)})) as double)") /
-          size(col("tk")), 4).as("stop_ratio"))
-      .withColumn("quality",
-        round(lit(0.5) * least(col("n_tokens") / 100.0, lit(1.0))
-          + lit(0.3) * col("stop_ratio")
-          + lit(0.2) * least(col("avg_token_len") / 10.0, lit(1.0)), 4))
+        size(col("tk")).cast("long").as("n"),
+        expr("aggregate(tk, 0L, (acc, x) -> acc + length(x))").as("tl"),
+        expr(s"cast(size(filter(tk, x -> x in ${inList(stopwords)})) as long)")
+          .as("sh"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        expr("(tl * 10000L + n div 2) div n").as("avg_len_e4"),
+        expr("(sh * 10000L + n div 2) div n").as("stop_e4"),
+        expr("""((100 * least(n, 100) * n + 6000 * sh +
+                |  (case when tl <= 10 * n then 400 * tl else 4000 * n end))
+                |  * 10000L + (20000 * n) div 2) div (20000 * n)"""
+          .stripMargin).as("quality_e4"))
       .orderBy("doc_id")
+  }
 
   val textQualitySql: String =
-    s"""SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
-       |  round(0.5 * least(n_tokens / 100.0, 1.0)
-       |      + 0.3 * stop_ratio
-       |      + 0.2 * least(avg_token_len / 10.0, 1.0), 4) AS quality
+    s"""SELECT doc_id,
+       |  n AS n_tokens,
+       |  (tl * 10000 + n // 2) // n AS avg_len_e4,
+       |  (sh * 10000 + n // 2) // n AS stop_e4,
+       |  ((100 * least(n, 100) * n + 6000 * sh +
+       |    (CASE WHEN tl <= 10 * n THEN 400 * tl ELSE 4000 * n END))
+       |    * 10000 + (20000 * n) // 2) // (20000 * n) AS quality_e4
        |FROM (
        |  SELECT doc_id,
-       |    len(tk) AS n_tokens,
-       |    round(list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk), 4)
-       |      AS avg_token_len,
-       |    round(len(list_filter(tk, x -> x IN ${inList(stopwords)}))::DOUBLE
-       |      / len(tk), 4) AS stop_ratio
+       |    len(tk)::BIGINT AS n,
+       |    list_sum(list_transform(tk, x -> len(x)))::BIGINT AS tl,
+       |    len(list_filter(tk, x -> x IN ${inList(stopwords)}))::BIGINT AS sh
        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
        |ORDER BY doc_id""".stripMargin
 
