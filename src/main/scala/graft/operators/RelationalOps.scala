@@ -549,6 +549,53 @@ object RelationalOps {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** JSON field extraction from a string column — SURVEY §2.8 F8 batch
+    * path (streaming from_json lives in FeedbackPipeline): pull `k`
+    * out of events.props, bucket it, aggregate. Codegen'd projection,
+    * one small agg.
+    */
+  def q24JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k_bucket", col("k") - (col("k") % 10))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("k_bucket")
+
+  val q24Sql: String =
+    """SELECT k - (k % 10) AS k_bucket, count(*) AS n,
+      |  round(avg(value), 4) AS avg_value
+      |FROM (SELECT json_extract_string(props, '$.k')::INT AS k, value
+      |      FROM events)
+      |GROUP BY 1
+      |ORDER BY k_bucket""".stripMargin
+
+  /** INTERSECT / EXCEPT set operators — beyond the reference (SURVEY
+    * §2.7 lists them absent). Both lower to hash-dedup + semi/anti
+    * joins in Catalyst.
+    */
+  def q25SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("int").as("key"))
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_nationkey").cast("int").as("key"))
+    val both = c.intersect(s).withColumn("which", lit("both"))
+    val custOnly = c.except(s).withColumn("which", lit("customer_only"))
+    both.unionByName(custOnly).orderBy("which", "key")
+  }
+
+  val q25Sql: String =
+    """SELECT key, 'both' AS which FROM (
+      |  SELECT c_nationkey::INT AS key FROM customer
+      |  INTERSECT
+      |  SELECT s_nationkey::INT AS key FROM supplier)
+      |UNION ALL
+      |SELECT key, 'customer_only' AS which FROM (
+      |  SELECT c_nationkey::INT AS key FROM customer
+      |  EXCEPT
+      |  SELECT s_nationkey::INT AS key FROM supplier)
+      |ORDER BY which, key""".stripMargin
+
   /** All (name, spark-impl, oracle-sql) triples this module exports. */
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -572,5 +619,7 @@ object RelationalOps {
     ("q20_map_label", q20MapLabel _, q20Sql),
     ("q21_range_label", q21RangeLabel _, q21Sql),
     ("q22_csv_roundtrip", q22CsvRoundtrip _, q22Sql),
-    ("q23_sql_entry", q23SqlEntry _, q23Sql))
+    ("q23_sql_entry", q23SqlEntry _, q23Sql),
+    ("q24_json_extract", q24JsonExtract _, q24Sql),
+    ("q25_set_ops", q25SetOps _, q25Sql))
 }
