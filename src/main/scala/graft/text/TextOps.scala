@@ -165,9 +165,42 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Karp-Rabin rolling-hash fingerprints: whole document plus the
+    * first-16-token prefix (the cheap near-head-dup signal). Runs
+    * through the native codegen'd [[graft.functions.RollingHash]]
+    * expression; the oracle reproduces it with list_reduce over code
+    * points — exact integer parity.
+    */
+  def textRollingFp(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.RollingHash.rollingHash
+    Tables.documents(spark, sfDir)
+      .withColumn("prefix",
+        array_join(slice(split(col("text"), " "), 1, 16), " "))
+      .select(
+        col("doc_id"),
+        rollingHash(col("text")).as("doc_hash"),
+        rollingHash(col("prefix")).as("prefix_hash"))
+      .orderBy("doc_id")
+  }
+
+  val textRollingFpSql: String = {
+    def rh(e: String): String =
+      s"""list_reduce(list_transform(range(1, len($e) + 1),
+         |  i -> ascii($e[i])::BIGINT), (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+    s"""SELECT doc_id,
+       |  ${rh("text")} AS doc_hash,
+       |  ${rh("prefix")} AS prefix_hash
+       |FROM (
+       |  SELECT doc_id, text,
+       |    array_to_string(string_split(text, ' ')[1:16], ' ') AS prefix
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("text_tokens", textTokens _, textTokensSql),
     ("text_quality", textQuality _, textQualitySql),
     ("text_langid", textLangId _, textLangIdSql),
-    ("text_fingerprint", textFingerprint _, textFingerprintSql))
+    ("text_fingerprint", textFingerprint _, textFingerprintSql),
+    ("text_rolling_fp", textRollingFp _, textRollingFpSql))
 }
