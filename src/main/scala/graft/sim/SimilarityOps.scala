@@ -181,8 +181,63 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-style ANN top-k: an MLlib k-means coarse quantizer partitions
+    * the corpus into `nCells` cells; each query probes only its
+    * `nProbe` nearest cells and scores those candidates exactly. The
+    * canonical big-corpus trade-off (recall vs fraction of corpus
+    * touched); AnnSpec asserts recall against brute force. Rows-only
+    * check (iterative training is not SQL-expressible).
+    *
+    * Scale shape: training samples the corpus; assignment is one
+    * broadcast-join projection; the search join keys on cell id, so
+    * per-query work is |corpus| * nProbe / nCells.
+    */
+  def annIvfTopK(spark: SparkSession, sfDir: String, nCells: Int = 16,
+      nProbe: Int = 4, k: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .withColumn("features", array_to_vector(col("vec")))
+      .localCheckpoint()
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features")
+    val model = km.fit(e.select("features"))
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("vec"), col("norm"),
+        col(model.getPredictionCol).as("cell"))
+      .localCheckpoint()
+    // query -> nProbe nearest cells (distance to centroids, driver-side
+    // constant table of nCells centroids)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val q = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qvec, centroid, (p, c) -> (p - c) * (p - c)), " +
+          "cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("cell_rank") <= nProbe)
+      .select("qid", "qvec", "qnorm", "cell")
+    val scored = assigned.join(broadcast(probed),
+        probed("cell") === assigned("cell") &&
+          col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine("qvec", "vec"), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+      .orderBy("qid", "rank")
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ann_brute_topk", annBruteTopK _, annBruteTopKSql),
     ("embedding_neardup", embeddingNearDup _, embeddingNearDupSql),
-    ("ann_lsh_topk", (s: SparkSession, d: String) => annLshTopK(s, d), ""))
+    ("ann_lsh_topk", (s: SparkSession, d: String) => annLshTopK(s, d), ""),
+    ("ann_ivf_topk", (s: SparkSession, d: String) => annIvfTopK(s, d), ""))
 }
