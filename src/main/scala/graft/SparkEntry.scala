@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.DedupOps
 import graft.graph.GraphOps
 import graft.multimodal.MultimodalOps
-import graft.operators.RelationalOps
+import graft.operators.{BucketedOps, RelationalOps, StatsOps}
 import graft.sim.SimilarityOps
 import graft.streaming.EventWindows
 import graft.text.TextOps
@@ -21,7 +21,8 @@ object SparkEntry {
 
   private def modules
       : Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    RelationalOps.catalog ++ TextOps.catalog ++ DedupOps.catalog ++
+    RelationalOps.catalog ++ StatsOps.catalog ++ BucketedOps.catalog ++
+      TextOps.catalog ++ DedupOps.catalog ++
       SimilarityOps.catalog ++ MultimodalOps.catalog ++
       EventWindows.catalog ++ GraphOps.catalog
 

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Approximate / sketch-based aggregates — the scale substitutes for the
+  * exact aggregates in [[RelationalOps]] (q17's exact countDistinct is a
+  * two-phase shuffle of every distinct key; at 100 TB you want a
+  * constant-size sketch instead).
+  *
+  * Reference analog: the reference only ever computes exact counts
+  * (`Explorativa2.ipynb:136-138` ratings-per-film) at MovieLens-1M scale.
+  * These operators keep the same query shapes answerable when the input
+  * is 5 orders of magnitude larger.
+  *
+  * None of these are cross-engine deterministic (HLL++/GK/DataSketches
+  * implementations differ between Spark and DuckDB), so the catalog
+  * entries are rows-only checks; StatsSpec asserts the error bounds that
+  * make them trustworthy (HLL rel-err ~1/sqrt(2^lgK), percentile rank
+  * error ≤ 1/accuracy).
+  */
+object StatsOps {
+
+  /** Per-nation distinct-customer cardinality, exact vs HLL++.
+    * approx_count_distinct carries a fixed ~few-KB sketch per group
+    * through the partial agg, so the shuffle is O(groups), not
+    * O(distinct keys) — the q17 scale fix promised in its Scaladoc.
+    */
+  def statApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    o.join(broadcast(c.select("c_custkey", "c_nationkey")),
+        o("o_custkey") === c("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_cust"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Approximate quantiles of order value per priority bucket.
+    * percentile_approx (GK sketch) is single-pass and mergeable; exact
+    * percentile needs a full sort per group. accuracy=10000 bounds rank
+    * error at 0.01% of rows.
+    */
+  def statApproxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2)
+          .as("p50"),
+        round(percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)), 2)
+          .as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Mergeable-sketch rollup: build one DataSketches HLL sketch per
+    * nation, then union the binary sketches up to region level WITHOUT
+    * rescanning the fact table. This is the pattern that matters at
+    * 100 TB: per-shard sketches are tiny, re-aggregation at any coarser
+    * grain is a merge of sketches, not a second scan.
+    */
+  def statHllUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val perNation = o
+      .join(broadcast(c.select("c_custkey", "c_nationkey")),
+        o("o_custkey") === c("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sketch"))
+    perNation
+      .join(broadcast(n.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("approx_region_cust"))
+      .orderBy("n_regionkey")
+  }
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("stat_approx_distinct", statApproxDistinct _, ""),
+    ("stat_approx_quantiles", statApproxQuantiles _, ""),
+    ("stat_hll_union", statHllUnion _, ""))
+}
