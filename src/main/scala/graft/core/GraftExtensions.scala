@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, TopKByScore}
 
 /** Engine extensions installable via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
@@ -17,5 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction(
+      (FunctionIdentifier("topk_ids"),
+        new ExpressionInfo(classOf[TopKByScore].getName, "topk_ids"),
+        (exprs: Seq[Expression]) =>
+          TopKByScore(exprs(0), exprs(1), exprs(2))))
   }
 }

@@ -80,8 +80,31 @@ object StatsOps {
       .orderBy("n_regionkey")
   }
 
+  /** Per-nation top-3 customers by account balance via the native
+    * [[graft.functions.TopKByScore]] aggregate. Unlike the window
+    * formulation (q05/q06), the shuffle carries k ids per
+    * (partition, nation) — not every customer row. Ids are emitted as
+    * a comma-joined string for a type-robust cross-engine compare.
+    */
+  def statTopkAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy("c_nationkey")
+      .agg(array_join(
+        graft.functions.TopKByScore.topkIds(
+          col("c_acctbal"), col("c_custkey").cast("long"), 3), ",")
+        .as("top_cust"))
+      .orderBy("c_nationkey")
+
+  val statTopkSql: String =
+    """SELECT c_nationkey,
+      |  array_to_string((list(c_custkey ORDER BY c_acctbal DESC, c_custkey ASC))[:3], ',') AS top_cust
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("stat_approx_distinct", statApproxDistinct _, ""),
     ("stat_approx_quantiles", statApproxQuantiles _, ""),
-    ("stat_hll_union", statHllUnion _, ""))
+    ("stat_hll_union", statHllUnion _, ""),
+    ("stat_topk_agg", statTopkAgg _, statTopkSql))
 }
