@@ -199,10 +199,16 @@ object SimilarityOps {
     import spark.implicits._
     val e = withVec(Tables.embeddings(spark, sfDir))
       .withColumn("features", array_to_vector(col("vec")))
-      .localCheckpoint()
-    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+    // random init: k-means|| init costs several extra passes over the
+    // sample for no recall benefit at this k; 5 Lloyd iterations on a
+    // bounded sample is how production IVF quantizers are trained
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features")
-    val model = km.fit(e.select("features"))
+    // train the quantizer on a bounded sample (standard IVF practice:
+    // centroid quality saturates long before the full corpus is seen,
+    // and at 100 TB a full-corpus fit would dominate the build)
+    val model = km.fit(e.select("features").limit(4096))
     val assigned = model.transform(e)
       .select(col("vec_id"), col("vec"), col("norm"),
         col(model.getPredictionCol).as("cell"))
