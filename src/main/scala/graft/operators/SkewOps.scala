@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Skew-mitigation operator patterns (the builder prompt's "salting for
+  * skew" bullet). AQE's skew-join splitting (enabled in
+  * [[graft.core.GraftSession]]) handles most runtime join skew
+  * automatically; these are the static rewrites for the cases AQE
+  * cannot touch — reducer-skewed aggregations, and joins whose skew is
+  * known up front. Both produce salt-invariant results, so the DuckDB
+  * oracle runs the plain formulation.
+  */
+object SkewOps {
+
+  /** Exact distinct-count per low-cardinality group via the two-phase
+    * rewrite: pre-aggregate on (group, key) — spreading each group's
+    * keys across every partition — then count per group. The naive
+    * count(DISTINCT) funnels all of a group's rows through one reducer:
+    * with 5 event types and 1000 executors, 995 sit idle. The rewrite
+    * keeps every partition busy in phase 1 and ships one row per
+    * (partition-local group, key) into a 5-row final agg.
+    */
+  def q27SaltedDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("_n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum("_n").as("n_events"))
+      .orderBy("event_type")
+
+  val q27Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Salted fact-to-dim join: the fact side gets a deterministic salt
+    * in [0, nSalts), the dim side is replicated nSalts times, and the
+    * join key becomes (key, salt) — so a hot key's rows spread over
+    * nSalts reducers instead of one. The salt is a function of
+    * non-join columns, which keeps the query deterministic and the
+    * result identical to the unsalted join (SkewSpec asserts this).
+    * Use when the dim is too big to broadcast and the hot keys are
+    * known; prefer AQE skew-join when they are not.
+    */
+  def q28SaltedJoin(spark: SparkSession, sfDir: String,
+      nSalts: Int = 8): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("salt",
+        pmod(hash(col("l_linenumber"), col("l_partkey")), lit(nSalts)))
+    val ords = Tables.orders(spark, sfDir)
+      .withColumn("salt",
+        explode(sequence(lit(0), lit(nSalts - 1))))
+    li.join(ords,
+        li("l_orderkey") === ords("o_orderkey") &&
+          li("salt") === ords("salt"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q28Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q27_salted_distinct", q27SaltedDistinct _, q27Sql),
+    ("q28_salted_join", (s: SparkSession, d: String) => q28SaltedJoin(s, d),
+      q28Sql))
+}
