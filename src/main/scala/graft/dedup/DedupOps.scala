@@ -135,10 +135,13 @@ object DedupOps {
       .localCheckpoint()
     val dfs = ex.groupBy("ngram").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "ngram")
+    // exact prefix length for Jaccard >= 4/5 is n - ceil(4n/5) + 1,
+    // computed in INTEGER arithmetic: floor(n * (1.0 - 0.8)) rounds the
+    // double 0.19999... down one element whenever 5 | n, silently
+    // dropping true pairs (found by differential test vs brute force)
     val prefix = ex.join(dfs, Seq("ngram"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <=
-        floor(col("n") * (1.0 - ngramJacThreshold)).cast("int") + 1)
+      .filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
       .select("doc_id", "n", "ngram")
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.ngram") === col("y.ngram") &&
@@ -148,10 +151,12 @@ object DedupOps {
       .distinct()
     // verify candidates against FULL shingle sets with array_intersect:
     // O(na+nb) per pair in one projection, no posting-list re-join
+    // docsM is a localCheckpoint — AQE has no stats for it, so force
+    // the broadcast (one shingle-set row per doc; candidates stay put)
     cand
-      .join(docsM.select(col("doc_id").as("da"), col("ng").as("nga")),
+      .join(broadcast(docsM.select(col("doc_id").as("da"), col("ng").as("nga"))),
         Seq("da"))
-      .join(docsM.select(col("doc_id").as("db"), col("ng").as("ngb")),
+      .join(broadcast(docsM.select(col("doc_id").as("db"), col("ng").as("ngb"))),
         Seq("db"))
       .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
       .withColumn("jac", round(col("inter").cast("double") /
@@ -178,7 +183,7 @@ object DedupOps {
       |      row_number() OVER (PARTITION BY e.doc_id
       |        ORDER BY dfs.df, e.ngram) AS rn
       |    FROM e JOIN dfs USING (ngram))
-      |  WHERE rn <= (floor(n * ${1.0 - ngramJacThreshold}))::INT + 1),
+      |  WHERE rn <= n - ((4 * n + 4) // 5) + 1),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.n AS na,
       |    y.n AS nb

@@ -1,0 +1,60 @@
+package graft.dedup
+
+import graft.SparkSuite
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Differential tests against brute-force ground truth. The DuckDB
+  * oracle replicates the prefix-filter ALGORITHM, so an algorithmic
+  * bug passes the oracle on both sides — only an independent all-pairs
+  * computation can catch it (it caught the floor(n * 0.1999...)
+  * short-prefix bug).
+  */
+class DedupSpec extends SparkSuite {
+
+  /** All-pairs exact trigram Jaccard — O(n^2), test-only. */
+  private def groundTruth(threshold: Double): DataFrame = {
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("ng", array_distinct(expr(
+        "transform(sequence(1, size(tk) - 2), i -> " +
+          "concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), " +
+          "element_at(tk, i + 2)))")))
+      .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
+    docs.as("x").crossJoin(docs.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("x.ng"), col("y.ng"))))
+      // same 4-decimal rounding as the product queries: the test
+      // isolates candidate-generation completeness, not boundary
+      // semantics at the threshold
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("x.n") + col("y.n") - col("inter")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+  }
+
+  test("prefix-filter ngram Jaccard finds EXACTLY the ground-truth pairs") {
+    val truth = groundTruth(DedupOps.ngramJacThreshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = DedupOps.dedupNgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "ground truth empty — test data changed?")
+    assert(got == truth,
+      s"missed ${truth -- got}; spurious ${got -- truth}")
+  }
+
+  test("minhash-LSH pairs are sound and recall ground truth well") {
+    val got = DedupOps.dedupMinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness is guaranteed by exact verification; recall of the
+    // banded signature scheme at its 0.7 threshold is probabilistic —
+    // assert it finds most of the >= 0.8 (easier) ground-truth pairs
+    val strong = groundTruth(0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & strong).size.toDouble / strong.size
+    assert(recall >= 0.8, s"LSH recall $recall of ${strong.size} pairs")
+  }
+}
