@@ -290,7 +290,7 @@ object DedupOps {
   val simhashBits = 32
 
   /** Per-document SimHash over distinct-shingle hashes. */
-  private def simhashSig(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def simhashSig(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = shingles(spark, sfDir)
       .withColumn("hb", expr(sparkHb))
     val wAggs = (0 until simhashBits).map { k =>

@@ -46,6 +46,19 @@ class DedupSpec extends SparkSuite {
       s"missed ${truth -- got}; spurious ${got -- truth}")
   }
 
+  test("simhash hamming-ball probe finds exactly the all-pairs matches") {
+    val got = DedupOps.dedupSimhashPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sig = DedupOps.simhashSig(spark, sf0001)
+    val truth = sig.as("x").crossJoin(sig.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("bit_count(x.simhash ^ y.simhash) <= 1"))
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"missed ${truth -- got}; spurious ${got -- truth}")
+  }
+
   test("minhash-LSH pairs are sound and recall ground truth well") {
     val got = DedupOps.dedupMinhashLsh(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
