@@ -36,26 +36,43 @@ object SkewOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
-  /** Salted fact-to-dim join: the fact side gets a deterministic salt
-    * in [0, nSalts), the dim side is replicated nSalts times, and the
-    * join key becomes (key, salt) — so a hot key's rows spread over
-    * nSalts reducers instead of one. The salt is a function of
-    * non-join columns, which keeps the query deterministic and the
-    * result identical to the unsalted join (SkewSpec asserts this).
-    * Use when the dim is too big to broadcast and the hot keys are
-    * known; prefer AQE skew-join when they are not.
+  /** Hot-key-only salted join — the production form of salting. A
+    * frequency pass finds keys above `hotThreshold`; ONLY those fact
+    * rows get a deterministic salt in [0, nSalts) and only those dim
+    * rows are replicated nSalts times (everything else joins with
+    * salt 0, i.e. exactly the plain join). Hot-key rows spread over
+    * nSalts reducers; cold keys pay nothing — so when no key is hot
+    * this degenerates to the plain join plus one map-combined
+    * frequency aggregation. The salt is a function of non-join
+    * columns, which keeps the query deterministic and the result
+    * identical to the unsalted join (SkewSpec asserts this). Prefer
+    * AQE skew-join when hot keys are unknowable; this static form
+    * wins when they are stable (power-law ids at 100 TB) or when the
+    * skewed exchange feeds a non-join operator AQE will not rewrite.
     */
   def q28SaltedJoin(spark: SparkSession, sfDir: String,
-      nSalts: Int = 8): DataFrame = {
+      nSalts: Int = 8, hotThreshold: Long = 7): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-      .withColumn("salt",
+    // hot keys are few BY DEFINITION (they are the heavy hitters), so
+    // the set broadcasts; the agg map-combines to one row per key
+    val hot = li.groupBy("l_orderkey").agg(count(lit(1)).as("key_n"))
+      .filter(col("key_n") >= hotThreshold)
+      .select(col("l_orderkey").as("hot_key"))
+    val liSalted = li
+      .join(broadcast(hot), li("l_orderkey") === col("hot_key"), "left")
+      .withColumn("salt", when(col("hot_key").isNotNull,
         pmod(hash(col("l_linenumber"), col("l_partkey")), lit(nSalts)))
+        .otherwise(lit(0)))
+      .drop("hot_key")
     val ords = Tables.orders(spark, sfDir)
-      .withColumn("salt",
-        explode(sequence(lit(0), lit(nSalts - 1))))
-    li.join(ords,
-        li("l_orderkey") === ords("o_orderkey") &&
-          li("salt") === ords("salt"))
+    val ordsSalted = ords
+      .join(broadcast(hot), ords("o_orderkey") === col("hot_key"), "left")
+      .withColumn("salt", explode(when(col("hot_key").isNotNull,
+        sequence(lit(0), lit(nSalts - 1))).otherwise(array(lit(0)))))
+      .drop("hot_key")
+    liSalted.join(ordsSalted,
+        liSalted("l_orderkey") === ordsSalted("o_orderkey") &&
+          liSalted("salt") === ordsSalted("salt"))
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_items"),

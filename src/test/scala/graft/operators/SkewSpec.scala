@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 
 class SkewSpec extends SparkSuite {
 
+  test("salted join equals the plain join even with every key salted") {
+    val allSalted = SkewOps.q28SaltedJoin(spark, sf0001, hotThreshold = 1)
+      .collect()
+    val default = SkewOps.q28SaltedJoin(spark, sf0001).collect()
+    assert(allSalted.toSeq == default.toSeq)
+  }
+
   test("salted join equals the plain join") {
     val salted = SkewOps.q28SaltedJoin(spark, sf0001).collect()
     val plain = Tables.lineitem(spark, sf0001)
