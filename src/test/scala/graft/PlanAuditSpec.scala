@@ -1,0 +1,35 @@
+package graft
+
+/** Catalog-wide physical-plan audit: every SparkEntry query is planned
+  * at sf0.001 and screened for shapes that do not survive scale.
+  * Queries evolve; this keeps the plan invariants from regressing
+  * silently (a reviewer checks one explain once — this checks all of
+  * them every build).
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf0001).queryExecution.executedPlan.toString
+    }
+
+  test("no query plans a CartesianProduct") {
+    val offenders = plans.filter(_._2.contains("CartesianProduct")).keys
+    assert(offenders.isEmpty,
+      s"cartesian product in: ${offenders.mkString(", ")}")
+  }
+
+  test("every parquet scan prunes columns (no full-width lineitem read)") {
+    // lineitem is 16 columns; no catalog query needs more than 8 of
+    // them, so a ReadSchema carrying 14+ fields means pruning broke
+    val schemaRe = "ReadSchema: struct<([^>]*)>".r
+    val offenders = plans.flatMap { case (name, plan) =>
+      schemaRe.findAllMatchIn(plan)
+        .map(_.group(1).count(_ == ',') + 1)
+        .filter(_ >= 14)
+        .map(n => s"$name ($n cols)")
+    }
+    assert(offenders.isEmpty,
+      s"unpruned scans: ${offenders.mkString(", ")}")
+  }
+}
