@@ -54,7 +54,23 @@ object Bench {
       dropCheckpoints()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // streaming per-trigger latency A/B — the reference's headline
+    // experiment (BASELINE.md: append 70.40 ms mean vs update+earliest
+    // 82.97 ms). Reported in seconds-per-trigger alongside the batch
+    // queries so the comparison is direct.
+    val streaming: Map[String, Double] = try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+      val batches = (0 until 40).map(i =>
+        graft.streaming.FeedbackGenerator.batch("random", i * 25, 25))
+      val res = graft.streaming.ModesBenchmark.run(spark, batches, dir)
+      Map(
+        "st_append_trigger_mean" -> res.append.meanMs / 1000.0,
+        "st_update_earliest_trigger_mean" ->
+          res.updateEarliest.meanMs / 1000.0)
+    } catch { case _: Throwable => Map.empty[String, Double] }
+
+    val all = results ++ streaming
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
