@@ -62,7 +62,8 @@ object Bench {
       val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
       val batches = (0 until 40).map(i =>
         graft.streaming.FeedbackGenerator.batch("random", i * 25, 25))
-      val res = graft.streaming.ModesBenchmark.run(spark, batches, dir)
+      val res = graft.streaming.ModesBenchmark.run(spark, batches, dir,
+        backlogFactor = 15)
       Map(
         "st_append_trigger_mean" -> res.append.meanMs / 1000.0,
         "st_update_earliest_trigger_mean" ->
