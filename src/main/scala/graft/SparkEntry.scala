@@ -23,6 +23,7 @@ object SparkEntry {
       : Seq[(String, (SparkSession, String) => DataFrame, String)] =
     RelationalOps.catalog ++ StatsOps.catalog ++ BucketedOps.catalog ++
       SkewOps.catalog ++ PartitionedOps.catalog ++
+      graft.plans.IntervalJoinQueries.catalog ++
       TextOps.catalog ++ DedupOps.catalog ++
       SimilarityOps.catalog ++ MultimodalOps.catalog ++
       EventWindows.catalog ++ GraphOps.catalog

@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[TopKByScore].getName, "topk_ids"),
         (exprs: Seq[Expression]) =>
           TopKByScore(exprs(0), exprs(1), exprs(2))))
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoin.RewriteRule)
+    e.injectPlannerStrategy(_ => graft.plans.IntervalJoin.JoinStrategy)
   }
 }

@@ -1,0 +1,76 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class IntervalJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def installed(): Unit = IntervalJoin.install(spark)
+
+  test("hinted range join plans as IntervalJoinExec, unhinted does not") {
+    installed()
+    val dim = spark.range(0, 100).select(col("id").as("bin"),
+      (col("id") * 10.0).as("lo"), ((col("id") + 1) * 10.0).as("hi"))
+    val fact = Seq(5.0, 15.0, 999.5).toDF("v")
+    val hinted = fact.join(broadcast(dim),
+      col("v") >= col("lo") && col("v") < col("hi"))
+    assert(hinted.queryExecution.executedPlan.toString
+      .contains("IntervalJoin"))
+    val unhinted = fact.join(dim,
+      col("v") >= col("lo") && col("v") < col("hi"))
+    assert(!unhinted.queryExecution.executedPlan.toString
+      .contains("IntervalJoin"))
+  }
+
+  test("matches the brute-force join on overlapping intervals") {
+    installed()
+    // overlapping dim: every v in [0,100) sits in ~3 intervals
+    val dim = spark.range(0, 50).select(col("id").as("iid"),
+      (col("id") * 2.0).as("lo"), (col("id") * 2.0 + 6.0).as("hi"))
+      .localCheckpoint()
+    val fact = spark.range(0, 200)
+      .select((col("id") * 0.5).as("v")).localCheckpoint()
+    val custom = fact.join(broadcast(dim),
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .select("v", "iid").collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .toSet
+    val brute = fact.crossJoin(dim)
+      .filter(col("v") >= col("lo") && col("v") < col("hi"))
+      .select("v", "iid").collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .toSet
+    assert(custom == brute, s"missing ${brute -- custom}; extra ${custom -- brute}")
+    assert(custom.nonEmpty)
+  }
+
+  test("strictness variants and left-outer nulls behave correctly") {
+    installed()
+    val dim = Seq((0, 0.0, 10.0), (1, 10.0, 20.0)).toDF("iid", "lo", "hi")
+    val fact = Seq(10.0, 25.0).toDF("v")
+    // closed-open [lo, hi): 10.0 belongs to interval 1 only
+    val co = fact.join(broadcast(dim),
+        col("v") >= col("lo") && col("v") < col("hi"), "left")
+      .select("v", "iid").collect()
+      .map(r => (r.getDouble(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toSet
+    assert(co == Set((10.0, 1), (25.0, -1)))
+    // open-closed (lo, hi]: 10.0 belongs to interval 0 only
+    val oc = fact.join(broadcast(dim),
+        col("v") > col("lo") && col("v") <= col("hi"), "left")
+      .select("v", "iid").collect()
+      .map(r => (r.getDouble(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toSet
+    assert(oc == Set((10.0, 0), (25.0, -1)))
+  }
+
+  test("binned aggregate matches the arithmetic formulation on testdata") {
+    installed()
+    val got = IntervalJoinQueries.q31IntervalJoin(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = graft.core.Tables.orders(spark, sf0001)
+      .groupBy(floor(col("o_totalprice") / 300.0).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+}
