@@ -194,29 +194,55 @@ object SimilarityOps {
     */
   def annIvfTopK(spark: SparkSession, sfDir: String, nCells: Int = 16,
       nProbe: Int = 4, k: Int = 5): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
-    val e = withVec(Tables.embeddings(spark, sfDir))
-      .withColumn("features", array_to_vector(col("vec")))
-    // random init: k-means|| init costs several extra passes over the
-    // sample for no recall benefit at this k; 5 Lloyd iterations on a
-    // bounded sample is how production IVF quantizers are trained
-    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("features")
-    // train the quantizer on a bounded sample (standard IVF practice:
-    // centroid quality saturates long before the full corpus is seen,
-    // and at 100 TB a full-corpus fit would dominate the build)
-    val model = km.fit(e.select("features").limit(4096))
-    val assigned = model.transform(e)
+    val e = withVec(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    // Quantizer training is a DRIVER-side Lloyd's loop over a bounded
+    // sample (faiss-style): 4096 x 64 doubles is ~2 MB, and centroid
+    // quality saturates long before the full corpus is seen — at
+    // 100 TB a distributed fit would spend its time on job scheduling,
+    // not math. Sample order is made deterministic by vec_id.
+    val sample: Array[Array[Double]] = e.orderBy("vec_id").limit(4096)
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    val dim = sample.head.length
+    val stride = math.max(1, sample.length / nCells)
+    var cents: Array[Array[Double]] = Array.tabulate(nCells)(i =>
+      sample((i * stride) % sample.length).clone())
+    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until 5) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val cnts = new Array[Long](nCells)
+      sample.foreach { v =>
+        val b = nearest(cents, v)
+        cnts(b) += 1
+        val s = sums(b); var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(nCells)(c =>
+        if (cnts(c) == 0) cents(c) else sums(c).map(_ / cnts(c)))
+    }
+    // corpus assignment: one map stage over broadcast centroids — no
+    // shuffle, no per-row ML pipeline machinery
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bestCell = udf { (v: Seq[Double]) =>
+      nearest(bcCents.value, v.toArray)
+    }
+    val assigned = e
       .select(col("vec_id"), col("vec"), col("norm"),
-        col(model.getPredictionCol).as("cell"))
+        bestCell(col("vec")).as("cell"))
       .localCheckpoint()
     // query -> nProbe nearest cells (distance to centroids, driver-side
     // constant table of nCells centroids)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
     val q = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"),
