@@ -49,9 +49,14 @@ object SkewOps {
     * AQE skew-join when hot keys are unknowable; this static form
     * wins when they are stable (power-law ids at 100 TB) or when the
     * skewed exchange feeds a non-join operator AQE will not rewrite.
+    *
+    * TPC-H-shaped lineitem caps at 7 rows per order — genuinely no
+    * skew — so the default threshold correctly salts NOTHING and the
+    * query costs one frequency pass over the plain join. SkewSpec
+    * forces every key hot (threshold 1) to exercise the salted path.
     */
   def q28SaltedJoin(spark: SparkSession, sfDir: String,
-      nSalts: Int = 8, hotThreshold: Long = 7): DataFrame = {
+      nSalts: Int = 8, hotThreshold: Long = 64): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     // hot keys are few BY DEFINITION (they are the heavy hitters), so
     // the set broadcasts; the agg map-combines to one row per key
