@@ -63,15 +63,27 @@ object SkewOps {
     val hot = li.groupBy("l_orderkey").agg(count(lit(1)).as("key_n"))
       .filter(col("key_n") >= hotThreshold)
       .select(col("l_orderkey").as("hot_key"))
+    val ordsPlain = Tables.orders(spark, sfDir)
+    // adaptive branch: when the frequency pass finds no heavy hitter,
+    // run the plain join — salting machinery should cost nothing on
+    // unskewed data beyond the detection pass itself
+    if (hot.isEmpty) {
+      return li.join(ordsPlain, li("l_orderkey") === ordsPlain("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }
     val liSalted = li
       .join(broadcast(hot), li("l_orderkey") === col("hot_key"), "left")
       .withColumn("salt", when(col("hot_key").isNotNull,
         pmod(hash(col("l_linenumber"), col("l_partkey")), lit(nSalts)))
         .otherwise(lit(0)))
       .drop("hot_key")
-    val ords = Tables.orders(spark, sfDir)
-    val ordsSalted = ords
-      .join(broadcast(hot), ords("o_orderkey") === col("hot_key"), "left")
+    val ordsSalted = ordsPlain
+      .join(broadcast(hot), ordsPlain("o_orderkey") === col("hot_key"), "left")
       .withColumn("salt", explode(when(col("hot_key").isNotNull,
         sequence(lit(0), lit(nSalts - 1))).otherwise(array(lit(0)))))
       .drop("hot_key")
