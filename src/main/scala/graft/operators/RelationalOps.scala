@@ -597,6 +597,37 @@ object RelationalOps {
       |ORDER BY which, key""".stripMargin
 
   /** All (name, spark-impl, oracle-sql) triples this module exports. */
+  /** GROUPING SETS with grouping() disambiguation — beyond q16's
+    * rollup: three independent aggregation grains in ONE scan (Spark
+    * expands with a single Expand node feeding one hash agg, not three
+    * scans). grouping() tells a real NULL apart from a rolled-up one.
+    */
+  def q32GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  grouping(o_orderpriority) AS g_prio,
+        |  grouping(o_orderstatus) AS g_status,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), (o_orderstatus))
+        |ORDER BY g_prio, g_status, o_orderpriority NULLS FIRST,
+        |  o_orderstatus NULLS FIRST""".stripMargin)
+  }
+
+  val q32Sql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  grouping(o_orderpriority) AS g_prio,
+      |  grouping(o_orderstatus) AS g_status,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |  (o_orderpriority), (o_orderstatus))
+      |ORDER BY g_prio, g_status, o_orderpriority NULLS FIRST,
+      |  o_orderstatus NULLS FIRST""".stripMargin
+
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_top_orders", q02TopOrders _, q02Sql),
@@ -621,5 +652,6 @@ object RelationalOps {
     ("q22_csv_roundtrip", q22CsvRoundtrip _, q22Sql),
     ("q23_sql_entry", q23SqlEntry _, q23Sql),
     ("q24_json_extract", q24JsonExtract _, q24Sql),
-    ("q25_set_ops", q25SetOps _, q25Sql))
+    ("q25_set_ops", q25SetOps _, q25Sql),
+    ("q32_grouping_sets", q32GroupingSets _, q32Sql))
 }
