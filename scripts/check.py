@@ -19,17 +19,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _canon_val(v):
+    """Lists/arrays -> tuples so values are hashable and printable."""
+    try:
+        import numpy as np
+        if isinstance(v, np.ndarray):
+            return tuple(v.tolist())
+    except ImportError:
+        pass
+    if isinstance(v, list):
+        return tuple(v)
+    return v
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    # stringify for stable compare (lists -> tuples first)
+    """Canonical stringified form: copy (never mutate the caller's
+    frame), stringify every value, THEN sort — sorting typed object
+    columns that mix tuples and None/NaN raises TypeError in pandas."""
+    df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list,)) else v)
-        try:
-            import numpy as np
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, np.ndarray) else v)
-        except ImportError:
-            pass
+        df[c] = df[c].map(_canon_val)
+    df = df.astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
 

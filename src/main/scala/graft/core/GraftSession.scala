@@ -25,6 +25,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet is TIMESTAMP(NANOS); set once here instead of
+      // mutating the live session from inside a table loader
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
   def getOrCreate(appName: String = "graft"): SparkSession = {

@@ -23,9 +23,16 @@ object Tables {
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects; read nanos as long and truncate to microseconds
     * (matching what DuckDB/the oracle sees for the same file).
+    *
+    * nanosAsLong is a session-wide flag (the parquet schema converter
+    * reads SQLConf, not per-scan options). [[GraftSession]] and the
+    * engine mains set it at session construction; the guarded set here
+    * only covers foreign sessions and fires at most once, so it never
+    * flips behavior mid-session for other nanos-timestamp reads.
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

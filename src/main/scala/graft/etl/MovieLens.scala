@@ -51,10 +51,12 @@ object MovieLens {
         new String(t.getBytes, 0, t.getLength,
           java.nio.charset.Charset.forName(csName))
       }
-    // try_cast: malformed fields yield null (the reference's PERMISSIVE
-    // behavior) instead of an ANSI cast error.
+    // try_element_at + try_cast: a short/blank line yields null fields
+    // (the reference's PERMISSIVE behavior) — plain element_at would
+    // throw INVALID_ARRAY_INDEX under ANSI mode, and try_cast alone
+    // only guards the cast, not the array access.
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      expr(s"try_cast(element_at(split(line, '::'), ${i + 1}) " +
+      expr(s"try_cast(try_element_at(split(line, '::'), ${i + 1}) " +
         s"as ${f.dataType.sql})").as(f.name)
     }
     lines.toDF("line").select(fields: _*)

@@ -39,6 +39,22 @@ case class TopKByScore(
   // k must be a constant: it sizes every buffer in the aggregation
   private lazy val kVal: Int = k.eval().asInstanceOf[Number].intValue()
 
+  // Mirror built-in aggregates (approx_percentile): a non-foldable or
+  // null k fails at ANALYSIS, not as an executor NPE from kVal.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!k.foldable)
+      TypeCheckFailure("topk_ids: k must be a constant (foldable) expression")
+    else if (k.eval() == null)
+      TypeCheckFailure("topk_ids: k must not be null")
+    else if (k.eval().asInstanceOf[Number].intValue() <= 0)
+      TypeCheckFailure("topk_ids: k must be positive")
+    else TypeCheckSuccess
+  }
+
   // dequeue order = "worst first": lowest score, then largest id
   private val ord: Ordering[(Double, Long)] =
     Ordering.by { case (s, i) => (-s, i) }
@@ -113,7 +129,13 @@ case class TopKByScore(
 object TopKByScore {
   /** DataFrame-API form: `topkIds($"score", $"id", 3)`. */
   def topkIds(score: Column, id: Column, k: Int): Column =
+    topkIdsExpr(score, id, ColumnBridge.column(Literal(k)))
+
+  /** Column-k form; k must still be a non-null constant (enforced at
+    * analysis by checkInputDataTypes). */
+  def topkIdsExpr(score: Column, id: Column, k: Column): Column =
     ColumnBridge.column(
       TopKByScore(ColumnBridge.expression(score),
-        ColumnBridge.expression(id), Literal(k)).toAggregateExpression())
+        ColumnBridge.expression(id),
+        ColumnBridge.expression(k)).toAggregateExpression())
 }

@@ -58,8 +58,13 @@ object IntervalJoin {
     * the user's promise — same contract as `broadcast()`).
     */
   object RewriteRule extends Rule[LogicalPlan] {
-    // scalar types only, so plain equality is the right test
-    private def sameType(a: DataType, b: DataType): Boolean = a == b
+    // AtomicType only: the exec orders runtime values with Catalyst's
+    // interpreted ordering, and non-scalar orderable types (array/
+    // struct) as well as exotic equal-but-distinct cases are exactly
+    // where a silent rewrite could diverge from the stock join. Those
+    // fall through to Spark's own BroadcastNestedLoopJoin.
+    private def sameType(a: DataType, b: DataType): Boolean =
+      a == b && org.apache.spark.sql.graftbridge.ColumnBridge.isAtomic(a)
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case j @ Join(l, r, jt @ (Inner | LeftOuter), Some(cond), hint)
@@ -152,11 +157,14 @@ object IntervalJoin {
     }
 
     override protected def doExecute(): RDD[InternalRow] = {
-      // boxed runtime values of our numeric/string/decimal types are
-      // Comparable; the rule guarantees probe/lo/hi share one type.
-      // Local function so task closures never capture the SparkPlan.
-      val cmp: (Any, Any) => Int =
-        (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+      // Catalyst's interpreted ordering, NOT Comparable.compareTo: for
+      // doubles Spark's >=/< compare -0.0 == 0.0 (SQLOrderingUtil)
+      // where Double.compareTo orders them, and the same instance
+      // covers every atomic type the rule admits. Local val so task
+      // closures never capture the SparkPlan.
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(probe.dataType)
+      val cmp: (Any, Any) => Int = (a, b) => ord.compare(a, b)
       val loBound = BindReferences.bindReference(lo: Expression, right.output)
       val hiBound = BindReferences.bindReference(hi: Expression, right.output)
       val dim = right.executeCollect()

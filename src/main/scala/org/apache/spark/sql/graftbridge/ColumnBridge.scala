@@ -18,4 +18,9 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** AtomicType is protected[sql]; scalar-type checks for rewrite rules
+    * live here so engine code can ask without touching the hierarchy. */
+  def isAtomic(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt.isInstanceOf[org.apache.spark.sql.types.AtomicType]
 }

@@ -56,6 +56,22 @@ class MovieLensSpec extends SparkSuite {
     MovieLens.enrichUsers(spark,
       MovieLens.readDat(spark, usersPath, MovieLens.usersSchema))
 
+  test("short/blank/malformed lines degrade to null fields, not errors") {
+    val p = writeDat(dir, "mangled.dat", Seq(
+      "1::F::1::10::48067", // well-formed
+      "2::M::56",           // truncated: occupation/zip missing
+      "",                   // blank line
+      "x::y::z::w::v"))     // wrong types everywhere
+    val rows = MovieLens.readDat(spark, p, MovieLens.usersSchema)
+      .collect()
+    assert(rows.length == 4)
+    val truncated = rows.find(r => !r.isNullAt(0) && r.getInt(0) == 2).get
+    assert(truncated.isNullAt(3) && truncated.isNullAt(4))
+    assert(rows.exists(r => (0 until 5).forall(r.isNullAt))) // blank
+    val wrongTypes = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    assert(wrongTypes.exists(_.getString(1) == "y")) // strings survive
+  }
+
   test("movies cleaning: year extract, title strip, genre split+filter") {
     val rows = movies.orderBy("filmId").collect()
     val toy = rows(0)

@@ -28,6 +28,25 @@ class TopKByScoreSpec extends SparkSuite {
       s"expected two-phase agg in:\n$plan")
   }
 
+  test("non-constant or null k fails at analysis, not on executors") {
+    val df = Seq((1, 1.0, 1L)).toDF("g", "score", "id")
+    // non-foldable k: a column reference
+    val nonFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g")
+        .agg(TopKByScore.topkIdsExpr(col("score"), col("id"),
+          col("g").cast("int"))).collect()
+    }
+    assert(nonFoldable.getMessage.toLowerCase.contains("foldable") ||
+      nonFoldable.getMessage.toLowerCase.contains("constant"))
+    // null k literal
+    val nullK = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g")
+        .agg(TopKByScore.topkIdsExpr(col("score"), col("id"),
+          lit(null).cast("int"))).collect()
+    }
+    assert(nullK.getMessage.toLowerCase.contains("null"))
+  }
+
   test("topk_ids is callable from SQL via GraftExtensions") {
     // extensions apply at session creation: detach the suite session so
     // the builder constructs a fresh one on the shared SparkContext

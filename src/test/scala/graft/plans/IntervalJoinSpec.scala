@@ -63,6 +63,34 @@ class IntervalJoinSpec extends SparkSuite {
     assert(oc == Set((10.0, 0), (25.0, -1)))
   }
 
+  test("-0.0 probe matches +0.0 bound exactly as the stock join does") {
+    installed()
+    // Catalyst's >=/< treat -0.0 == 0.0 (SQLOrderingUtil); the exec
+    // orders with the interpreted ordering, so -0.0 must land in the
+    // [0.0, 10.0) interval — Double.compareTo would have dropped it.
+    val dim = Seq((0, 0.0, 10.0), (1, -10.0, 0.0)).toDF("iid", "lo", "hi")
+    val fact = Seq(-0.0, 0.0).toDF("v")
+    def ids(hinted: Boolean) = {
+      val d = if (hinted) broadcast(dim) else dim
+      fact.join(d, col("v") >= col("lo") && col("v") < col("hi"))
+        .select("iid").collect().map(_.getInt(0)).sorted.toSeq
+    }
+    assert(ids(hinted = true) == ids(hinted = false))
+    assert(ids(hinted = true) == Seq(0, 0))
+  }
+
+  test("non-atomic (array) bounds fall back to the stock join") {
+    installed()
+    val dim = Seq((0, Seq(0), Seq(9)), (1, Seq(10), Seq(19)))
+      .toDF("iid", "lo", "hi")
+    val fact = Seq(Seq(5), Seq(12)).toDF("v")
+    val j = fact.join(broadcast(dim),
+      col("v") >= col("lo") && col("v") < col("hi"))
+    assert(!j.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+    // and it still executes correctly via Spark's own join
+    assert(j.select("iid").collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1))
+  }
+
   test("binned aggregate matches the arithmetic formulation on testdata") {
     installed()
     val got = IntervalJoinQueries.q31IntervalJoin(spark, sf0001)
