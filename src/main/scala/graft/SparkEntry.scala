@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.DedupOps
 import graft.graph.GraphOps
 import graft.multimodal.MultimodalOps
-import graft.operators.{BucketedOps, PartitionedOps, RelationalOps, SkewOps, StatsOps}
+import graft.operators.{AnalyticsOps, BucketedOps, PartitionedOps, RelationalOps, SkewOps, StatsOps}
 import graft.sim.SimilarityOps
 import graft.streaming.EventWindows
 import graft.text.TextOps
@@ -21,7 +21,8 @@ object SparkEntry {
 
   private def modules
       : Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    RelationalOps.catalog ++ StatsOps.catalog ++ BucketedOps.catalog ++
+    RelationalOps.catalog ++ AnalyticsOps.catalog ++
+      StatsOps.catalog ++ BucketedOps.catalog ++
       SkewOps.catalog ++ PartitionedOps.catalog ++
       graft.plans.IntervalJoinQueries.catalog ++
       TextOps.catalog ++ DedupOps.catalog ++

@@ -364,11 +364,65 @@ object DedupOps {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** Near-dup CLUSTERING: MinHash-LSH pairs are only edges — real
+    * dedup keeps one doc per connected component of the near-dup
+    * graph (A~B, B~C must collapse to ONE keeper even when A~C was
+    * never emitted as a pair). GraphX connectedComponents (Pregel
+    * label propagation, component id = min doc_id) over the verified
+    * pair edges; singleton docs keep themselves. This is the standard
+    * 100 TB dedup architecture: candidate pairs stay near-linear via
+    * LSH, and the transitive closure runs on the (tiny) edge set, not
+    * the corpus.
+    *
+    * Oracle: the same pair SQL fed through a recursive-CTE transitive
+    * closure with min-label aggregation.
+    */
+  def dedupClusterCc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import org.apache.spark.sql.expressions.Window
+    val pairs = dedupMinhashLsh(spark, sfDir).select("da", "db")
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val edges = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val verts = docs.rdd.map(r => (r.getLong(0), 1))
+    val cc = Graph(verts, edges, defaultVertexAttr = 1)
+      .connectedComponents().vertices
+    import spark.implicits._
+    val clus = cc.toDF("doc_id", "cluster")
+    clus
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .withColumn("is_keeper", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClusterCcSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT da, db FROM ($dedupMinhashLshSql) mh),
+       |e2 AS (SELECT da AS a, db AS b FROM pairs
+       |       UNION SELECT db AS a, da AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e2
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+       |  WHERE e.b <> r.a),
+       |labels AS (SELECT a AS doc_id, min(b) AS min_reach
+       |           FROM reach GROUP BY a),
+       |clus AS (
+       |  SELECT d.doc_id,
+       |    coalesce(least(l.min_reach, d.doc_id), d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+       |SELECT c.doc_id, c.cluster, s.n AS cluster_size,
+       |  (c.doc_id = c.cluster) AS is_keeper
+       |FROM clus c JOIN (SELECT cluster, count(*) AS n FROM clus
+       |                  GROUP BY cluster) s USING (cluster)
+       |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("dedup_exact", dedupExact _, dedupExactSql),
     ("dedup_fingerprint", dedupFingerprint _, dedupFingerprintSql),
     ("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
     ("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
     ("dedup_simhash", dedupSimhash _, dedupSimhashSql),
-    ("dedup_simhash_pairs", dedupSimhashPairs _, dedupSimhashPairsSql))
+    ("dedup_simhash_pairs", dedupSimhashPairs _, dedupSimhashPairsSql),
+    ("dedup_cluster_cc", dedupClusterCc _, dedupClusterCcSql))
 }

@@ -1,0 +1,341 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Analytic-SQL surface beyond the reference (SURVEY §2.5/§2.7/§2.8
+  * list these absent): ranking/distribution window functions, bounded
+  * frames, CUBE, full-outer joins, correlated and scalar subqueries,
+  * array/date/string function suites, and exact percentiles.
+  *
+  * Scale notes baked into each query: window partitions are keyed (no
+  * global single-partition windows, SURVEY C12); CUBE expands in ONE
+  * scan via Expand; subqueries lower to broadcast semi-joins or a
+  * one-row broadcast scalar; everything stays inside whole-stage
+  * codegen except the Expand/Window boundaries Spark defines.
+  */
+object AnalyticsOps {
+
+  /** Ranking + distribution window functions over per-customer order
+    * history: lead, ntile, percent_rank, cume_dist. One hash-partition
+    * shuffle on the window key, then a partition-local sort — the same
+    * plan shape at any scale because the key (custkey) is
+    * high-cardinality.
+    */
+  def q33WindowAnalytics(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q33Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Bounded sliding frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    * per-supplier moving average over ship history. The frame is what
+    * makes this cheap at scale — state per partition is 3 rows, not
+    * the whole partition.
+    */
+  def q34WindowFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    // the synthetic lineitem contains exact duplicate (orderkey,
+    // linenumber) rows, so the ordering also includes the two columns
+    // the frame aggregates — any remaining ties are value-identical
+    // and frame contents are engine-independent
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .rowsBetween(-2, Window.currentRow)
+    // avg over l_quantity (integer-valued doubles): the 3-element sum
+    // is EXACT, so avg = exact/3 rounds identically in both engines.
+    // Averaging l_extendedprice here would diverge — DuckDB's window
+    // aggregation associates the sum differently, and a 1-ulp
+    // difference flips round(x, 2) at .005 boundaries. Price gets
+    // min/max instead (no arithmetic, always exact).
+    Tables.lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        round(avg("l_quantity").over(w), 2).as("mov_avg_qty"),
+        round(sum("l_quantity").over(w), 2).as("mov_sum_qty"),
+        max("l_extendedprice").over(w).as("mov_max_price"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  val q34Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey,
+      |  round(avg(l_quantity) OVER w, 2) AS mov_avg_qty,
+      |  round(sum(l_quantity) OVER w, 2) AS mov_sum_qty,
+      |  max(l_extendedprice) OVER w AS mov_max_price
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber,
+      |    l_quantity, l_extendedprice
+      |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** CUBE: all four aggregation grains of (priority × status) in one
+    * scan — Catalyst plans a single Expand feeding one hash aggregate,
+    * not four scans. grouping() distinguishes real NULLs from
+    * rolled-up ones (completes the rollup/grouping-sets/cube trio with
+    * q16/q32).
+    */
+  def q35Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(
+        grouping("o_orderpriority").as("g_prio"),
+        grouping("o_orderstatus").as("g_status"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("g_prio"), col("g_status"),
+        asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+
+  val q35Sql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  grouping(o_orderpriority) AS g_prio,
+      |  grouping(o_orderstatus) AS g_status,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY g_prio, g_status,
+      |  o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  /** FULL OUTER join with rows unique to each side: per-nation
+    * customer stats (nations 0-24) against a literal watch-list of
+    * nation keys 20-29 — keys 25-29 exist only on the right, 0-19
+    * only on the left, so both null-extension directions execute.
+    */
+  def q36FullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val left = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").cast("int").as("nkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum("c_acctbal"), 2).as("sum_bal"))
+    val right = spark.range(20, 30)
+      .select(col("id").cast("int").as("wkey"), lit(true).as("watched"))
+    // coalesce every null-extended column: null booleans/longs surface
+    // differently per engine's parquet/pandas path (None vs NaN)
+    left.join(right, left("nkey") === right("wkey"), "full_outer")
+      .select(
+        coalesce(col("nkey"), col("wkey")).as("key"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("sum_bal"), lit(0.0)).as("sum_bal"),
+        coalesce(col("watched"), lit(false)).as("watched"))
+      .orderBy("key")
+  }
+
+  val q36Sql: String =
+    """SELECT coalesce(nkey, wkey) AS key,
+      |  coalesce(n_cust, 0) AS n_cust,
+      |  coalesce(sum_bal, 0.0) AS sum_bal,
+      |  coalesce(watched, false) AS watched
+      |FROM (SELECT c_nationkey::INT AS nkey, count(*) AS n_cust,
+      |        round(sum(c_acctbal), 2) AS sum_bal
+      |      FROM customer GROUP BY 1) l
+      |FULL OUTER JOIN (SELECT i::INT AS wkey, true AS watched
+      |      FROM generate_series(20, 29) AS t(i)) r
+      |  ON nkey = wkey
+      |ORDER BY key""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS subqueries — Catalyst decorrelates
+    * both into semi/anti joins (no per-row subquery execution; the
+    * oracle's planner does the same), so the 100 TB plan is one join,
+    * not |customer| probes.
+    */
+  def q37ExistsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_ex")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_ex")
+    spark.sql(
+      """SELECT c_mktsegment, 'has_big_order' AS which, count(*) AS n
+        |FROM customer_ex c
+        |WHERE EXISTS (SELECT 1 FROM orders_ex o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT c_mktsegment, 'no_order_at_all' AS which, count(*) AS n
+        |FROM customer_ex c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders_ex o
+        |  WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY which, c_mktsegment""".stripMargin)
+  }
+
+  val q37Sql: String =
+    """SELECT c_mktsegment, 'has_big_order' AS which, count(*) AS n
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT c_mktsegment, 'no_order_at_all' AS which, count(*) AS n
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY which, c_mktsegment""".stripMargin
+
+  /** Scalar subquery as a filter threshold: parts above the global
+    * mean retail price. The subquery runs once and broadcasts one row.
+    * The mean is rounded to 2 decimals BEFORE the comparison so both
+    * engines compare against bit-identical thresholds (raw fp sums
+    * can differ in the last ulp across reduction orders).
+    */
+  def q38ScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("part_sc")
+    spark.sql(
+      """SELECT p_brand, count(*) AS n_above,
+        |  round(avg(p_retailprice), 2) AS avg_above
+        |FROM part_sc
+        |WHERE p_retailprice > (SELECT round(avg(p_retailprice), 2)
+        |                       FROM part_sc)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  val q38Sql: String =
+    """SELECT p_brand, count(*) AS n_above,
+      |  round(avg(p_retailprice), 2) AS avg_above
+      |FROM part
+      |WHERE p_retailprice > (SELECT round(avg(p_retailprice), 2) FROM part)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Array function suite over document token arrays: size, distinct,
+    * sort, slice. All codegen'd array expressions over the split —
+    * no explode, so no row explosion at scale.
+    */
+  def q39ArrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        slice(array_sort(array_distinct(col("toks"))), 1, 3).as("first3"))
+      .orderBy("doc_id")
+
+  val q39Sql: String =
+    """SELECT doc_id, len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_distinct,
+      |  list_sort(list_distinct(toks))[1:3] AS first3
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Date arithmetic suite: month truncation, day offsets from an
+    * epoch, add_months, last_day. Date outputs are formatted to
+    * strings (the engine's cross-system convention — SURVEY §1.2 keeps
+    * reference dates as strings too).
+    */
+  def q40DateArith(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("month_start", date_trunc("month", col("o_orderdate")))
+      .groupBy(date_format(col("month_start"), "yyyy-MM-dd").as("month"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(datediff(col("o_orderdate"), lit("1995-01-01").cast("date")))
+          .as("max_day_off"),
+        date_format(add_months(min(col("o_orderdate")), 1), "yyyy-MM-dd")
+          .as("next_month_anchor"),
+        date_format(last_day(max(col("o_orderdate"))), "yyyy-MM-dd")
+          .as("month_last_day"))
+      .orderBy("month")
+
+  val q40Sql: String =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+      |  count(*) AS n,
+      |  max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS max_day_off,
+      |  strftime(min(o_orderdate) + INTERVAL 1 MONTH, '%Y-%m-%d')
+      |    AS next_month_anchor,
+      |  strftime(last_day(max(o_orderdate)::DATE), '%Y-%m-%d')
+      |    AS month_last_day
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin
+
+  /** String function suite: levenshtein distance, translate, substr,
+    * concat_ws — grouped so the output stays small at any SF.
+    */
+  def q41StringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(
+        levenshtein(col("p_brand"), lit("Brand#33")).as("lev"),
+        upper(substring(col("p_type"), 1, 4)).as("t4"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tname"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("bt"))
+      .groupBy("lev", "t4")
+      .agg(count(lit(1)).as("n"), min("tname").as("min_tname"),
+        max("bt").as("max_bt"))
+      .orderBy("lev", "t4")
+
+  val q41Sql: String =
+    """SELECT levenshtein(p_brand, 'Brand#33') AS lev,
+      |  upper(substr(p_type, 1, 4)) AS t4, count(*) AS n,
+      |  min(translate(p_name, 'aeiou', 'AEIOU')) AS min_tname,
+      |  max(concat_ws('/', p_brand, p_type)) AS max_bt
+      |FROM part
+      |GROUP BY 1, 2
+      |ORDER BY lev, t4""".stripMargin
+
+  /** Exact percentiles (percentile_cont WITHIN GROUP + median) — the
+    * exact counterpart of stat_approx_quantiles: interpolation is
+    * deterministic, so unlike the sketches this is oracle-checkable.
+    * At 100 TB exact percentiles need a full sort per group — that is
+    * the point of keeping BOTH this and the KLL/GK approx path.
+    */
+  def q42ExactPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_pc")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  round(median(l_quantity), 2) AS med_qty,
+        |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 2)
+        |    AS q1_qty,
+        |  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 2)
+        |    AS q3_qty,
+        |  round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+        |    AS p95_price
+        |FROM lineitem_pc
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q42Sql: String =
+    """SELECT l_returnflag,
+      |  round(median(l_quantity), 2) AS med_qty,
+      |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 2)
+      |    AS q1_qty,
+      |  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 2)
+      |    AS q3_qty,
+      |  round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+      |    AS p95_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
+    Seq(
+      ("q33_window_analytics", q33WindowAnalytics _, q33Sql),
+      ("q34_window_frames", q34WindowFrames _, q34Sql),
+      ("q35_cube", q35Cube _, q35Sql),
+      ("q36_full_outer", q36FullOuter _, q36Sql),
+      ("q37_exists_subquery", q37ExistsSubquery _, q37Sql),
+      ("q38_scalar_subquery", q38ScalarSubquery _, q38Sql),
+      ("q39_array_funcs", q39ArrayFuncs _, q39Sql),
+      ("q40_date_arith", q40DateArith _, q40Sql),
+      ("q41_string_funcs", q41StringFuncs _, q41Sql),
+      ("q42_exact_percentiles", q42ExactPercentiles _, q42Sql))
+}

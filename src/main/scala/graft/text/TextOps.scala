@@ -197,10 +197,95 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic stratified sampling: K docs per language stratum,
+    * chosen by md5 order (a seeded hash shuffle both engines compute
+    * bit-identically — unlike rand(), which can never oracle-match).
+    * This is how a 100 TB pipeline draws stable per-language eval
+    * slices: one window per stratum key, no global sort, and the same
+    * doc set on every run and every engine.
+    */
+  def textStratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(concat(lit("salt42:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select("doc_id", "lang", "rk")
+      .orderBy("lang", "rk")
+  }
+
+  val textStratifiedSampleSql: String =
+    """SELECT doc_id, lang, rk FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('salt42:' || doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+
+  /** Quality-filter pipeline: the composite keep/drop decision a
+    * training-data pipeline runs before tokenization, with the REASON
+    * kept per document (reason-tagged drops are what make corpus
+    * curation debuggable). First matching rule wins: too_short →
+    * stopword_spam → low_quality → keep. All thresholds compare the
+    * integer basis-point scores from [[textQuality]], so the verdict
+    * is bit-identical across engines. Output is the per-(lang, reason)
+    * census — O(strata), not O(corpus).
+    */
+  def textQualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("tk")).cast("long").as("n"),
+        expr("aggregate(tk, 0L, (acc, x) -> acc + length(x))").as("tl"),
+        expr(s"cast(size(filter(tk, x -> x in ${inList(stopwords)})) as long)")
+          .as("sh"))
+      .withColumn("stop_e4", expr("(sh * 10000L + n div 2) div n"))
+      .withColumn("quality_e4",
+        expr("""((100 * least(n, 100) * n + 6000 * sh +
+                |  (case when tl <= 10 * n then 400 * tl else 4000 * n end))
+                |  * 10000L + (20000 * n) div 2) div (20000 * n)"""
+          .stripMargin))
+      .withColumn("reason",
+        when(col("n") < 5, "too_short")
+          .when(col("stop_e4") > 4000, "stopword_spam")
+          .when(col("quality_e4") < 3000, "low_quality")
+          .otherwise("keep"))
+      .groupBy("lang", "reason")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("sample_doc"))
+      .orderBy("lang", "reason")
+
+  val textQualityFilterSql: String =
+    s"""SELECT lang, reason, count(*) AS n_docs, min(doc_id) AS sample_doc
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CASE
+       |      WHEN n < 5 THEN 'too_short'
+       |      WHEN (sh * 10000 + n // 2) // n > 4000 THEN 'stopword_spam'
+       |      WHEN ((100 * least(n, 100) * n + 6000 * sh +
+       |        (CASE WHEN tl <= 10 * n THEN 400 * tl ELSE 4000 * n END))
+       |        * 10000 + (20000 * n) // 2) // (20000 * n) < 3000
+       |        THEN 'low_quality'
+       |      ELSE 'keep' END AS reason
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      len(tk)::BIGINT AS n,
+       |      list_sum(list_transform(tk, x -> len(x)))::BIGINT AS tl,
+       |      len(list_filter(tk, x -> x IN ${inList(stopwords)}))::BIGINT AS sh
+       |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+       |          FROM documents)))
+       |GROUP BY lang, reason
+       |ORDER BY lang, reason""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("text_tokens", textTokens _, textTokensSql),
     ("text_quality", textQuality _, textQualitySql),
     ("text_langid", textLangId _, textLangIdSql),
     ("text_fingerprint", textFingerprint _, textFingerprintSql),
-    ("text_rolling_fp", textRollingFp _, textRollingFpSql))
+    ("text_rolling_fp", textRollingFp _, textRollingFpSql),
+    ("text_stratified_sample", textStratifiedSample _, textStratifiedSampleSql),
+    ("text_quality_filter", textQualityFilter _, textQualityFilterSql))
 }

@@ -59,6 +59,34 @@ class DedupSpec extends SparkSuite {
       s"missed ${truth -- got}; spurious ${got -- truth}")
   }
 
+  test("cc clustering equals union-find transitive closure of the pairs") {
+    val pairs = DedupOps.dedupMinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    // independent union-find (not the GraphX path, not the oracle CTE)
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    (pairs ++ pairs.map(_.swap)).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = docs.map(d => d -> find(d)).toMap
+    val got = DedupOps.dedupClusterCc(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == docs.length)
+    assert(got == truth,
+      s"diverging docs: ${got.filter { case (k, v) => truth(k) != v }.take(5)}")
+    // keeper flag: exactly one keeper per cluster, and it IS the min id
+    val keepers = DedupOps.dedupClusterCc(spark, sf0001).collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(keepers == truth.values.toSet)
+  }
+
   test("minhash-LSH pairs are sound and recall ground truth well") {
     val got = DedupOps.dedupMinhashLsh(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
