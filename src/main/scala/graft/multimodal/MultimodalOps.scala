@@ -101,10 +101,54 @@ object MultimodalOps {
         sha2(concat(col("payload"), col("frame_idx").cast("string")
           .cast("binary")), 256).as("frame_sha"))
 
+  /** Oracle for the frame-sample plan. The fake decode's frame count is
+    * `1 + abs((h / 7) % 32)` where h = java.util.Arrays.hashCode over
+    * the UTF-8 payload bytes (`h = 31*h + signed_byte`, int32
+    * wraparound). DuckDB reproduces it exactly: hex(payload) → byte
+    * list → list_reduce with explicit mod-2^32 wraparound and
+    * truncating (not flooring) division. Every arithmetic step is
+    * integer, so the frame explosion is bit-identical cross-engine.
+    */
+  val mmFrameSampleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb FROM documents),
+      |bytes AS (
+      |  SELECT doc_id, text,
+      |    list_transform(generate_series(1, nb),
+      |      i -> ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT) AS ub
+      |  FROM b),
+      |hashed AS (
+      |  SELECT doc_id, text,
+      |    list_reduce(
+      |      list_prepend(1::BIGINT,
+      |        list_transform(ub,
+      |          x -> CASE WHEN x > 127 THEN x - 256 ELSE x END)),
+      |      (a, c) -> CASE
+      |        WHEN ((a * 31 + c) % 4294967296 + 4294967296) % 4294967296
+      |             >= 2147483648
+      |        THEN ((a * 31 + c) % 4294967296 + 4294967296) % 4294967296
+      |             - 4294967296
+      |        ELSE ((a * 31 + c) % 4294967296 + 4294967296) % 4294967296
+      |        END) AS h
+      |  FROM bytes),
+      |frames AS (
+      |  SELECT doc_id, text,
+      |    1 + abs(trunc(h / 7.0)::BIGINT % 32) AS n_frames
+      |  FROM hashed)
+      |SELECT doc_id, frame_idx,
+      |  sha256(text || frame_idx::VARCHAR) AS frame_sha
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, n_frames - 1, 8)) AS frame_idx
+      |  FROM frames)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("mm_binary_meta", mmBinaryMeta _, mmBinaryMetaSql),
     ("mm_frame_sample",
       (s: SparkSession, d: String) =>
         sampleFrames(s, Tables.documents(s, d)).orderBy("doc_id", "frame_idx"),
-      ""))
+      mmFrameSampleSql))
 }
