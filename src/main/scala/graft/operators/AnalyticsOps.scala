@@ -326,6 +326,78 @@ object AnalyticsOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** PIVOT with an explicit value list: per-priority counts spread
+    * into one column per order status. The explicit `Seq("F","O","P")`
+    * matters at scale — without it Spark runs an extra distinct-values
+    * job over the full table before it can even plan. Empty cells are
+    * coalesced to 0 (Spark pivots them to null; SQL FILTER counts 0).
+    */
+  def q43Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  val q43Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+      |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+      |  count(*) FILTER (o_orderstatus = 'P') AS n_p
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** UNPIVOT (melt): the wide per-status counts fold back into tall
+    * (priority, status, n) rows — the inverse of q43, exercising
+    * Spark's unpivot/melt operator. Oracle is the UNION ALL
+    * formulation every engine agrees on.
+    */
+  def q44Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    q43Pivot(spark, sfDir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o"), col("n_p")),
+        "status_col", "n")
+      .orderBy("o_orderpriority", "status_col")
+
+  val q44Sql: String =
+    """WITH wide AS (
+      |  SELECT o_orderpriority,
+      |    count(*) FILTER (o_orderstatus = 'F') AS n_f,
+      |    count(*) FILTER (o_orderstatus = 'O') AS n_o,
+      |    count(*) FILTER (o_orderstatus = 'P') AS n_p
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM wide
+      |UNION ALL
+      |SELECT o_orderpriority, 'n_o' AS status_col, n_o AS n FROM wide
+      |UNION ALL
+      |SELECT o_orderpriority, 'n_p' AS status_col, n_p AS n FROM wide
+      |ORDER BY o_orderpriority, status_col""".stripMargin
+
+  /** posexplode — generator with ordinality (SURVEY §2.8 F5 covers
+    * plain explode; this adds the position). Bounded to the first 5
+    * tokens so output is O(docs), not O(corpus tokens).
+    */
+  def q45Posexplode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, 5))
+          .as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+
+  val q45Sql: String =
+    """SELECT doc_id,
+      |  unnest(generate_series(1, least(len(tk), 5))) - 1 AS pos,
+      |  unnest(tk[1:least(len(tk), 5)]) AS token
+      |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      |ORDER BY doc_id, pos""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("q33_window_analytics", q33WindowAnalytics _, q33Sql),
@@ -337,5 +409,8 @@ object AnalyticsOps {
       ("q39_array_funcs", q39ArrayFuncs _, q39Sql),
       ("q40_date_arith", q40DateArith _, q40Sql),
       ("q41_string_funcs", q41StringFuncs _, q41Sql),
-      ("q42_exact_percentiles", q42ExactPercentiles _, q42Sql))
+      ("q42_exact_percentiles", q42ExactPercentiles _, q42Sql),
+      ("q43_pivot", q43Pivot _, q43Sql),
+      ("q44_unpivot", q44Unpivot _, q44Sql),
+      ("q45_posexplode", q45Posexplode _, q45Sql))
 }
