@@ -19,6 +19,19 @@ class PlanAuditSpec extends SparkSuite {
       s"cartesian product in: ${offenders.mkString(", ")}")
   }
 
+  test("no unpartitioned window without a group-limit bound") {
+    // A Window over Exchange(SinglePartition) funnels the whole input
+    // through one task — fatal at scale unless Catalyst bounded it
+    // with WindowGroupLimit (rank <= k rewrites). Today NO catalog
+    // query plans one (verified empty); this keeps it that way.
+    val offenders = plans.filter { case (name, p) =>
+      p.contains("Window") && p.contains("SinglePartition") &&
+        !p.contains("WindowGroupLimit")
+    }.keys
+    assert(offenders.isEmpty,
+      s"unbounded global window in: ${offenders.mkString(", ")}")
+  }
+
   test("every parquet scan prunes columns (no full-width lineitem read)") {
     // lineitem is 16 columns; no catalog query needs more than 8 of
     // them, so a ReadSchema carrying 14+ fields means pruning broke
