@@ -267,8 +267,51 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
+  /** Symmetric int8 quantization per vector — the standard compression
+    * step before shipping embeddings to an ANN index or training job
+    * (4x smaller than float32, 8x than the double staging form). Scale
+    * = 127/max|x| per vector; codes via floor(v + 0.5) — written out
+    * explicitly because Spark's round() and DuckDB's differ on
+    * negative .5 ties, while floor(+0.5) is bit-identical everywhere.
+    * max|x| is an associative fold (exact in fp regardless of order),
+    * so unlike sums, the per-vector scale is oracle-safe.
+    */
+  def embInt8Quant(spark: SparkSession, sfDir: String): DataFrame =
+    withVec(Tables.embeddings(spark, sfDir))
+      .withColumn("maxabs", expr(
+        "aggregate(vec, cast(0 as double), (acc, x) -> greatest(acc, abs(x)))"))
+      .filter(col("maxabs") > 0)
+      .withColumn("qv", expr(
+        "transform(vec, x -> cast(floor(x * 127.0 / maxabs + 0.5) as int))"))
+      .select(
+        col("vec_id"),
+        round(col("maxabs"), 4).as("maxabs_r"),
+        expr("element_at(qv, 1)").as("q1"),
+        expr("element_at(qv, 2)").as("q2"),
+        expr("element_at(qv, 3)").as("q3"),
+        expr("element_at(qv, 4)").as("q4"),
+        expr("aggregate(qv, 0L, (acc, x) -> acc + abs(x))").as("l1_q"))
+      .orderBy("vec_id")
+
+  val embInt8QuantSql: String =
+    """SELECT vec_id, round(maxabs, 4) AS maxabs_r,
+      |  qv[1] AS q1, qv[2] AS q2, qv[3] AS q3, qv[4] AS q4,
+      |  list_sum(list_transform(qv, x -> abs(x)))::BIGINT AS l1_q
+      |FROM (
+      |  SELECT vec_id, maxabs,
+      |    list_transform(vec, x -> floor(x * 127.0 / maxabs + 0.5)::INT)
+      |      AS qv
+      |  FROM (
+      |    SELECT vec_id, embedding::DOUBLE[] AS vec,
+      |      list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+      |        AS maxabs
+      |    FROM embeddings)
+      |  WHERE maxabs > 0)
+      |ORDER BY vec_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ann_brute_topk", annBruteTopK _, annBruteTopKSql),
+    ("emb_int8_quant", embInt8Quant _, embInt8QuantSql),
     ("embedding_neardup", embeddingNearDup _, embeddingNearDupSql),
     ("ann_lsh_topk", (s: SparkSession, d: String) => annLshTopK(s, d), ""),
     ("ann_ivf_topk", (s: SparkSession, d: String) => annIvfTopK(s, d), ""))
