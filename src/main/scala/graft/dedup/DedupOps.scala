@@ -380,7 +380,11 @@ object DedupOps {
   def dedupClusterCc(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: GraphX materializes the edge RDD several times
+    // (graph build + each Pregel round) — without this every
+    // materialization re-runs the whole LSH pipeline
     val pairs = dedupMinhashLsh(spark, sfDir).select("da", "db")
+      .localCheckpoint()
     val docs = Tables.documents(spark, sfDir).select("doc_id")
     val edges = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     val verts = docs.rdd.map(r => (r.getLong(0), 1))
