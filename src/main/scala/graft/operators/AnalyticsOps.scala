@@ -398,6 +398,43 @@ object AnalyticsOps {
       |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** Column profiling — SURVEY §2.4 A10 (`describe(include="all")`
+    * null/min/max/freq checks) as a catalog query instead of only a
+    * test. One aggregation PER COLUMN unioned (each is a single
+    * hash-agg pass; at 100 TB you profile the columns you need, not
+    * the table). All outputs exact: counts, exact distinct, min/max
+    * stringified. Doubles here stay < 1e7 so Spark's cast-to-string
+    * never switches to scientific notation (which DuckDB's never
+    * does).
+    */
+  def q47Profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_quantity", "l_discount", "l_returnflag", "l_linestatus")
+    cols.map { c =>
+      li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .withColumn("col", lit(c))
+    }.reduce(_ unionByName _)
+      .select("col", "n", "n_null", "n_distinct", "min_s", "max_s")
+      .orderBy("col")
+  }
+
+  val q47Sql: String = {
+    val per = Seq("l_quantity", "l_discount", "l_returnflag", "l_linestatus")
+      .map { c =>
+        s"""SELECT '$c' AS col, count(*) AS n,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"$per\nORDER BY col"
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("q33_window_analytics", q33WindowAnalytics _, q33Sql),
@@ -412,5 +449,6 @@ object AnalyticsOps {
       ("q42_exact_percentiles", q42ExactPercentiles _, q42Sql),
       ("q43_pivot", q43Pivot _, q43Sql),
       ("q44_unpivot", q44Unpivot _, q44Sql),
-      ("q45_posexplode", q45Posexplode _, q45Sql))
+      ("q45_posexplode", q45Posexplode _, q45Sql),
+      ("q47_profile", q47Profile _, q47Sql))
 }
