@@ -69,16 +69,23 @@ object Bench {
     // experiment (BASELINE.md: append 70.40 ms mean vs update+earliest
     // 82.97 ms). Reported in seconds-per-trigger alongside the batch
     // queries so the comparison is direct.
+    // same two-run/min treatment as the batch queries: a single A/B
+    // run's mean straddles the baseline (53 ms vs 73 ms observed for
+    // identical code) purely on host load
     val streaming: Map[String, Double] = try {
-      val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
-      val batches = (0 until 40).map(i =>
-        graft.streaming.FeedbackGenerator.batch("random", i * 25, 25))
-      val res = graft.streaming.ModesBenchmark.run(spark, batches, dir,
-        backlogFactor = 15)
+      def once(): (Double, Double) = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+        val batches = (0 until 40).map(i =>
+          graft.streaming.FeedbackGenerator.batch("random", i * 25, 25))
+        val res = graft.streaming.ModesBenchmark.run(spark, batches, dir,
+          backlogFactor = 15)
+        (res.append.meanMs, res.updateEarliest.meanMs)
+      }
+      val (a1, u1) = once()
+      val (a2, u2) = once()
       Map(
-        "st_append_trigger_mean" -> res.append.meanMs / 1000.0,
-        "st_update_earliest_trigger_mean" ->
-          res.updateEarliest.meanMs / 1000.0)
+        "st_append_trigger_mean" -> math.min(a1, a2) / 1000.0,
+        "st_update_earliest_trigger_mean" -> math.min(u1, u2) / 1000.0)
     } catch { case _: Throwable => Map.empty[String, Double] }
 
     val all = results ++ streaming
