@@ -121,6 +121,33 @@ object MovieLens {
     (247, 268, "WV"), (530, 549, "WI"), (820, 831, "WY"), (6, 9, "PR"),
     (8, 8, "VI"), (969, 969, "GU"))
 
+  /** First-match-equivalent DISJOINT ranges for the join. The
+    * reference UDF linear-scans `zipStateRanges` and returns the FIRST
+    * match; the list contains one true overlap — (6,9,PR) shadows
+    * (8,8,VI) — so a naive range JOIN would emit TWO rows for a
+    * prefix-008 zip (row explosion + a state the reference never
+    * returns). Subtracting every earlier range from each range makes
+    * the dim disjoint: the join matches at most once and agrees with
+    * the linear scan on every input (pinned by the zip_to_state
+    * property test).
+    */
+  val zipStateRangesDisjoint: Seq[(Int, Int, String)] = {
+    val covered = new Array[Boolean](1000)
+    zipStateRanges.flatMap { case (lo, hi, st) =>
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      var i = lo
+      while (i <= hi) {
+        if (!covered(i)) {
+          var j = i
+          while (j <= hi && !covered(j)) { covered(j) = true; j += 1 }
+          segs += ((i, j - 1, st))
+          i = j
+        } else i += 1
+      }
+      segs
+    }
+  }
+
   /** Users enrichment. The reference's ONLY Python UDF (`zip_to_state`,
     * `Explorativa1_pyspark.ipynb:266-280`) is replaced by native
     * expressions + a broadcast range join against the 58-row ranges dim
@@ -146,7 +173,7 @@ object MovieLens {
       }
       (m, l)
     }
-    val ranges = broadcast(zipStateRanges.toDF("lo", "hi", "state"))
+    val ranges = broadcast(zipStateRangesDisjoint.toDF("lo", "hi", "state"))
     val withPrefix = users
       .withColumn("zip_digits", regexp_replace(col("zip"), "[^0-9]", ""))
       .withColumn("zip_prefix",
