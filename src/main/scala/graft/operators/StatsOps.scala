@@ -102,9 +102,40 @@ object StatsOps {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** Per-day heavy hitters via the native DataSketches frequencies
+    * aggregate ([[graft.functions.FreqItemsSketch]], Misra-Gries).
+    * The partial state crossing the shuffle is a fixed 64-entry map
+    * per (partition, day) no matter how many events — the 100 TB
+    * substitute for an exact terms groupBy. With 5 distinct event
+    * types ≪ 64 map slots the sketch is provably EXACT, so unlike the
+    * other sketches this one oracle-checks against plain counts.
+    */
+  def statFreqItems(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day")
+      .agg(graft.functions.FreqItemsSketch.freqItems(col("event_type"), 64)
+        .as("fi"))
+      .select(col("day"), posexplode(col("fi")).as(Seq("pos", "f")))
+      .filter(col("pos") < 3)
+      .select(col("day"), (col("pos") + 1).cast("int").as("rank"),
+        col("f.item").as("item"), col("f.est").as("n"))
+      .orderBy("day", "rank")
+
+  val statFreqItemsSql: String =
+    """SELECT day, rank, item, n FROM (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS item,
+      |    count(*) AS n,
+      |    row_number() OVER (PARTITION BY strftime(ts, '%Y-%m-%d')
+      |      ORDER BY count(*) DESC, event_type) AS rank
+      |  FROM events GROUP BY 1, 2)
+      |WHERE rank <= 3
+      |ORDER BY day, rank""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("stat_approx_distinct", statApproxDistinct _, ""),
     ("stat_approx_quantiles", statApproxQuantiles _, ""),
     ("stat_hll_union", statHllUnion _, ""),
-    ("stat_topk_agg", statTopkAgg _, statTopkSql))
+    ("stat_topk_agg", statTopkAgg _, statTopkSql),
+    ("stat_freq_items", statFreqItems _, statFreqItemsSql))
 }
