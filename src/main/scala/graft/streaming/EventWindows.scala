@@ -103,8 +103,59 @@ object EventWindows {
       .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Spark's BUILT-IN session_window — the declarative form of
+    * [[sessionize]] (which builds sessions from lag + prefix sums).
+    * One subtle semantic difference the oracle encodes: the built-in
+    * closes a session when the next event is >= gap away (end =
+    * last_ts + gap defines a half-open window), while the lag
+    * formulation above uses strictly-greater — so the oracle flags a
+    * new session on `diff >= gap`, and end_us = max(ts) + gap.
+    * Same single shuffle on user_id; works in streaming with a
+    * watermark unchanged.
+    */
+  def sessionWindowBuiltin(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
+  def sessionWindowBuiltinSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH t AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+       |    lag(epoch_us(ts)) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= $gapUs
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM t),
+       |sessions AS (
+       |  SELECT *, (sum(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts_us
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |    AS session_id
+       |  FROM flagged)
+       |SELECT user_id, min(ts_us) AS start_us,
+       |  max(ts_us) + $gapUs AS end_us, count(*) AS n_events,
+       |  round(sum(value), 2) AS sum_value
+       |FROM sessions
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, start_us""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ev_hourly_window", hourlyWindow _, hourlyWindowSql),
     ("ev_sessionize",
-      (s: SparkSession, d: String) => sessionize(s, d), sessionizeSql()))
+      (s: SparkSession, d: String) => sessionize(s, d), sessionizeSql()),
+    ("ev_session_window",
+      (s: SparkSession, d: String) => sessionWindowBuiltin(s, d),
+      sessionWindowBuiltinSql()))
 }
