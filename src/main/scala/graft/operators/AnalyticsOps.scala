@@ -398,6 +398,69 @@ object AnalyticsOps {
       |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** JSON-lines roundtrip (SURVEY §2.1 source breadth + §2.8 F8's
+    * batch counterpart): write a subset as JSON, read back with an
+    * EXPLICIT schema (schema inference over JSON is a full extra scan
+    * at 100 TB — never infer in production paths), aggregate. The
+    * oracle computes the same aggregate from the parquet table, so
+    * the check proves the JSON write→read cycle is lossless.
+    */
+  def q48JsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_rt")
+      .resolve("orders_json").toString
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < 5000)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").json(dir)
+    spark.read
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .json(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        min("o_orderkey").as("min_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q48Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS sum_price,
+      |  min(o_orderkey) AS min_key
+      |FROM orders
+      |WHERE o_orderkey < 5000
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** ORC roundtrip — the second columnar format Spark ships natively.
+    * Same lossless-cycle proof as q22/q48; ORC keeps vectorized reads
+    * and predicate pushdown, so a lakehouse mixing parquet and ORC
+    * behaves identically through this engine.
+    */
+  def q49OrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_rt")
+      .resolve("lineitem_orc").toString
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 5000)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .filter(col("l_quantity") >= 10) // pushed into the ORC scan
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q49Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem
+      |WHERE l_orderkey < 5000 AND l_quantity >= 10
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Column profiling — SURVEY §2.4 A10 (`describe(include="all")`
     * null/min/max/freq checks) as a catalog query instead of only a
     * test. One aggregation PER COLUMN unioned (each is a single
@@ -450,5 +513,7 @@ object AnalyticsOps {
       ("q43_pivot", q43Pivot _, q43Sql),
       ("q44_unpivot", q44Unpivot _, q44Sql),
       ("q45_posexplode", q45Posexplode _, q45Sql),
-      ("q47_profile", q47Profile _, q47Sql))
+      ("q47_profile", q47Profile _, q47Sql),
+      ("q48_json_roundtrip", q48JsonRoundtrip _, q48Sql),
+      ("q49_orc_roundtrip", q49OrcRoundtrip _, q49Sql))
 }
