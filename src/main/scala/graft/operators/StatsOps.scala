@@ -132,10 +132,49 @@ object StatsOps {
       |WHERE rank <= 3
       |ORDER BY day, rank""".stripMargin
 
+  /** Audience overlap via theta-sketch set algebra
+    * ([[graft.functions.ThetaSketch]]): ONE scan builds a sketch per
+    * event_type, then every pairwise |users(A) ∩ users(B)| is
+    * answered from the 5 sketches alone. At 100 TB this is the
+    * difference between 10 self-joins of the fact table and 10
+    * intersections of kilobyte sketches. Distinct users per type
+    * (1.5k at sf0.1) sit far below the 2^14 nominal entries, so the
+    * estimates are exact and the oracle checks true intersection
+    * counts.
+    */
+  def statThetaOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ThetaSketch
+    val sk = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(ThetaSketch.thetaSketch(col("user_id").cast("string")).as("sk"))
+      .localCheckpoint() // both join sides reuse it; 5 rows
+    sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(
+        col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        ThetaSketch.thetaIntersectEst(col("a.sk"), col("b.sk"))
+          .as("overlap"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val statThetaOverlapSql: String =
+    """SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  (SELECT count(DISTINCT e1.user_id) FROM events e1
+      |   WHERE e1.event_type = a.event_type
+      |     AND e1.user_id IN (SELECT e2.user_id FROM events e2
+      |                        WHERE e2.event_type = b.event_type))
+      |    AS overlap
+      |FROM (SELECT DISTINCT event_type FROM events) a
+      |JOIN (SELECT DISTINCT event_type FROM events) b
+      |  ON a.event_type < b.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("stat_approx_distinct", statApproxDistinct _, ""),
     ("stat_approx_quantiles", statApproxQuantiles _, ""),
     ("stat_hll_union", statHllUnion _, ""),
     ("stat_topk_agg", statTopkAgg _, statTopkSql),
-    ("stat_freq_items", statFreqItems _, statFreqItemsSql))
+    ("stat_freq_items", statFreqItems _, statFreqItemsSql),
+    ("stat_theta_overlap", statThetaOverlap _, statThetaOverlapSql))
 }
