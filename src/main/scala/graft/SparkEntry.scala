@@ -22,6 +22,7 @@ object SparkEntry {
   private def modules
       : Seq[(String, (SparkSession, String) => DataFrame, String)] =
     RelationalOps.catalog ++ AnalyticsOps.catalog ++
+      graft.operators.SqlSurfaceOps.catalog ++
       graft.operators.TypedOps.catalog ++
       StatsOps.catalog ++ BucketedOps.catalog ++
       SkewOps.catalog ++ PartitionedOps.catalog ++
