@@ -41,6 +41,20 @@ object StreamJoins {
           .as("latency_us"))
   }
 
+  /** Stream x static enrichment join — the one join shape the
+    * reference's architecture implies (its streaming pipeline enriches
+    * events against fixed vocabularies; SURVEY §2.10) but never writes
+    * as a join. The static side is broadcast-hinted: each micro-batch
+    * hash-joins against the dim copy already resident on executors, so
+    * the stream side never shuffles and no join state accumulates —
+    * stream-static joins are stateless by construction (the static
+    * side is re-resolvable per batch, which is also the refresh hook:
+    * swap the underlying table and the next batch sees it).
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Left-outer variant: impressions with no click inside the window
     * emit a null-click row once the watermark passes the window end —
     * the streaming form of "unconverted impressions". Same bounded
