@@ -280,6 +280,58 @@ object TextOps {
        |GROUP BY lang, reason
        |ORDER BY lang, reason""".stripMargin
 
+  /** Benchmark decontamination — flag training documents that share
+    * any 5-gram with a held-out benchmark set (here: doc_id % 7 == 0
+    * stands in for the eval suite). This is the standard pre-training
+    * hygiene pass: any verbatim n-gram overlap with an eval set
+    * disqualifies the training doc, regardless of overall similarity —
+    * which is why it is NOT the jaccard dedup operator (that one
+    * thresholds pairwise similarity within one corpus).
+    *
+    * Plan shape for 100 TB: benchmark suites are tiny (MBs) next to
+    * the corpus, so the benchmark's distinct-shingle set is BROADCAST
+    * and the corpus side stays a map-side hash semi-probe — no shuffle
+    * of corpus shingles; only matched (doc, shingle) rows reach the
+    * final small aggregate.
+    */
+  def textDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 5
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(sequence(0, size(tk) - $k),
+           |  i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+           |                 tk[i+4])))""".stripMargin).as("ng"))
+    val bench = grams.filter(col("doc_id") % 7 === 0)
+      .select(explode(col("ng")).as("ngram")).distinct()
+    grams.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), explode(col("ng")).as("ngram"))
+      .join(broadcast(bench), Seq("ngram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val textDecontaminateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(tk) - 4),
+      |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+      |                   tk[i+4]))) AS ng
+      |  FROM t),
+      |be AS (SELECT DISTINCT unnest(ng) AS ngram FROM g
+      |       WHERE doc_id % 7 = 0),
+      |e AS (SELECT doc_id, unnest(ng) AS ngram FROM g
+      |      WHERE doc_id % 7 <> 0)
+      |SELECT e.doc_id AS doc_id, count(*) AS n_shared
+      |FROM e JOIN be USING (ngram)
+      |GROUP BY e.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("text_tokens", textTokens _, textTokensSql),
     ("text_quality", textQuality _, textQualitySql),
