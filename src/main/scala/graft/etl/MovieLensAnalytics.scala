@@ -61,6 +61,38 @@ object MovieLensAnalytics {
       .select("genre", "filmId", "film", "num_notas")
   }
 
+  /** Genre winners from the top-`limit` films: explode the top films to
+    * genres and keep the most-rated film per genre. Reference's
+    * `per_genre` (`Explorativa2.ipynb:190-196`, cell 7) — topPerGenre's
+    * sibling, restricted to the top-100 like the notebook. filmId is a
+    * deterministic tiebreak the reference omits (its equal-count winner
+    * is partition-order dependent).
+    */
+  def perGenreWinners(ratingsFull: DataFrame, limit: Int = 100): DataFrame = {
+    val top = ratingsFull
+      .groupBy("filmId", "film", "genders")
+      .agg(count(lit(1)).as("num_notas"))
+      .orderBy(desc("num_notas"), asc("filmId"))
+      .limit(limit)
+    val w = Window.partitionBy("genre")
+      .orderBy(desc("num_notas"), asc("filmId"))
+    top
+      .withColumn("genre", explode(col("genders")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  /** A3 — re-aggregation of an aggregation: how many genres each winning
+    * film wins, `groupBy(filmId, film, num_notas).agg(count(*) as cant)`
+    * over [[perGenreWinners]]'s output, ordered by wins then popularity.
+    * Reference: `Explorativa2.ipynb:242-245` (cell 9).
+    */
+  def genresWon(ratingsFull: DataFrame, limit: Int = 100): DataFrame =
+    perGenreWinners(ratingsFull, limit)
+      .groupBy("filmId", "film", "num_notas")
+      .agg(count(lit(1)).as("cant"))
+      .orderBy(desc("cant"), desc("num_notas"), asc("filmId"))
+
   /** Genre frequencies — explode + filter-not-null + count.
     * Reference: `Explorativa1_pyspark.ipynb:139-143` (cell 4, A1).
     */

@@ -55,15 +55,23 @@ object BipartiteGraph {
     * semantics as GraphFrames' maxIter mode used by the reference
     * (`Explorativa3.ipynb:370-375`: resetProbability 0.15, maxIter 10).
     * Returns item ranks (un-offset), descending.
+    *
+    * P6 use-site: the reference keeps only movie vertices with a
+    * SQL-STRING predicate — `.filter("tipo='movie'")`,
+    * `Explorativa3.ipynb:374` (cell 12) — rather than a Column
+    * expression. Same here: the ranked vertices carry their `tipo` tag
+    * and the item side is selected by the parsed string predicate.
     */
   def itemPageRank(spark: SparkSession, g: Graph[String, Int],
       iters: Int = 10, reset: Double = 0.15): DataFrame = {
     import spark.implicits._
     g.staticPageRank(iters, reset)
       .vertices
-      .filter { case (vid, _) => vid >= ItemOffset }
-      .map { case (vid, rank) => (vid - ItemOffset, rank) }
-      .toDF("id", "pagerank")
+      .map { case (vid, rank) =>
+        (vid, if (vid >= ItemOffset) "item" else "user", rank) }
+      .toDF("vid", "tipo", "pagerank")
+      .filter("tipo = 'item'")
+      .select((col("vid") - ItemOffset).as("id"), col("pagerank"))
       .orderBy(desc("pagerank"), asc("id"))
   }
 

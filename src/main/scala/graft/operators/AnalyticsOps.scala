@@ -216,8 +216,11 @@ object AnalyticsOps {
       |ORDER BY p_brand""".stripMargin
 
   /** Array function suite over document token arrays: size, distinct,
-    * sort, slice. All codegen'd array expressions over the split —
-    * no explode, so no row explosion at scale.
+    * sort, slice, join. All codegen'd array expressions over the split —
+    * no explode, so no row explosion at scale. `first3` is emitted as a
+    * space-joined STRING (not an array column) so every downstream
+    * comparator — including pandas-based harnesses that cannot sort
+    * ndarray cells — handles the result.
     */
   def q39ArrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -226,13 +229,14 @@ object AnalyticsOps {
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
-        slice(array_sort(array_distinct(col("toks"))), 1, 3).as("first3"))
+        array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), " ")
+          .as("first3"))
       .orderBy("doc_id")
 
   val q39Sql: String =
     """SELECT doc_id, len(toks) AS n_tokens,
       |  len(list_distinct(toks)) AS n_distinct,
-      |  list_sort(list_distinct(toks))[1:3] AS first3
+      |  array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS first3
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 

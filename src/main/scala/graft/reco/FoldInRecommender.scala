@@ -34,9 +34,15 @@ object FoldInRecommender {
     val rank: Int = factors.cols
     private val rowOf: Map[Int, Int] = itemIds.zipWithIndex.toMap
 
-    /** Top-N recommendations for a cold-start user's seed ratings. */
-    def recommend(seedRatings: Seq[(Int, Double)], topN: Int = 5,
-        reg: Double = 0.1): Seq[Rec] = {
+    /** The ridge solve alone: fold a seed-rating set into a rank-dim
+      * user vector. Exposed separately from [[recommend]] so the §5
+      * property — folding in a user's OWN training ratings with the
+      * trainer's effective regularization (ALS-WR scales λ by the
+      * rating count) recovers that user's trained factor — can be
+      * asserted against `ALSModel.userFactors` directly (RecoSpec).
+      */
+    def foldInVector(seedRatings: Seq[(Int, Double)],
+        reg: Double = 0.1): DenseVector[Double] = {
       val known = seedRatings.filter { case (id, _) => rowOf.contains(id) }
       require(known.nonEmpty, "Ninguna de las pelis está en el modelo")
       // Y_R (k × rank) and r (k), id-aligned
@@ -48,7 +54,14 @@ object FoldInRecommender {
       }
       val lhs = (yr.t * yr) + (DenseMatrix.eye[Double](rank) *:* reg)
       val rhs = yr.t * r
-      val u = lhs \ rhs
+      lhs \ rhs
+    }
+
+    /** Top-N recommendations for a cold-start user's seed ratings. */
+    def recommend(seedRatings: Seq[(Int, Double)], topN: Int = 5,
+        reg: Double = 0.1): Seq[Rec] = {
+      val known = seedRatings.filter { case (id, _) => rowOf.contains(id) }
+      val u = foldInVector(seedRatings, reg)
       val scores = factors * u
       val ratedRows = known.map { case (id, _) => rowOf(id) }.toSet
       val ranked = (0 until itemIds.length).iterator

@@ -180,6 +180,59 @@ class MovieLensSpec extends SparkSuite {
     assert(per("Children's") == ("Toy Story", 2L))
   }
 
+  // ---- full-dataset parity against the reference's persisted artifacts.
+  // The artifact of record for every downstream notebook is
+  // datasets/Transformados/{users_mod,movies_mod}.parquet; these tests
+  // prove our ETL reproduces them row-for-row over ALL rows (6,040 users /
+  // 3,883 movies), not just the notebook's show(5) goldens. The reference
+  // parquet upcasts int columns to long (pandas writer — SURVEY §1.3), so
+  // our output is cast to the persisted schema before the diff.
+  private val refData = "/root/reference/datasets"
+
+  private def assertZeroDiff(ours: org.apache.spark.sql.DataFrame,
+      ref: org.apache.spark.sql.DataFrame): Unit = {
+    val aligned = ours.select(ref.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    assert(aligned.count() == ref.count())
+    val missing = ref.exceptAll(aligned).count()
+    val extra = aligned.exceptAll(ref).count()
+    assert(missing == 0 && extra == 0,
+      s"diff vs reference parquet: $missing missing, $extra extra")
+  }
+
+  test("enrichUsers reproduces users_mod.parquet over all 6,040 rows") {
+    assume(Files.exists(java.nio.file.Paths.get(s"$refData/Transformados/users_mod.parquet")))
+    val ref = spark.read.parquet(s"$refData/Transformados/users_mod.parquet")
+    val ours = MovieLens.enrichUsers(spark,
+      MovieLens.readDat(spark, s"$refData/Originales/users.dat",
+        MovieLens.usersSchema))
+    assertZeroDiff(ours, ref)
+  }
+
+  test("cleanMovies reproduces movies_mod.parquet over all 3,883 rows") {
+    assume(Files.exists(java.nio.file.Paths.get(s"$refData/Transformados/movies_mod.parquet")))
+    val ref = spark.read.parquet(s"$refData/Transformados/movies_mod.parquet")
+    val ours = MovieLens.cleanMovies(
+      MovieLens.readDat(spark, s"$refData/Originales/movies.dat",
+        MovieLens.moviesSchema))
+    assertZeroDiff(ours, ref)
+  }
+
+  test("genresWon re-aggregates the per-genre winners (A3, cell 9)") {
+    val full = MovieLens.buildRatingsFull(spark, moviesPath, usersPath,
+      ratingsPath)
+    val rows = MovieLensAnalytics.genresWon(full).collect()
+      .map(r => (r.getAs[Int]("filmId"), r.getAs[String]("film"),
+        r.getAs[Long]("num_notas"), r.getAs[Long]("cant")))
+    // Toy Story wins Animation+Children's+Comedy; Heat wins its 3 solo
+    // genres; Jumanji keeps Adventure+Fantasy (loses Children's on the
+    // filmId tiebreak). Order: cant desc, num_notas desc, filmId asc.
+    assert(rows.toSeq == Seq(
+      (1, "Toy Story", 2L, 3L),
+      (3, "Heat", 1L, 3L),
+      (2, "Jumanji", 2L, 2L)))
+  }
+
   test("genreCounts explodes and counts") {
     val counts = MovieLensAnalytics.genreCounts(movies).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

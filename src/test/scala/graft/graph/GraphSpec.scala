@@ -50,6 +50,52 @@ class GraphSpec extends SparkSuite {
     assert(m.count { case ((_, t), n) => t == "user" && n == 2 } == 1)
   }
 
+  test("staticPageRank matches an independent power iteration to 1e-6") {
+    // Differential oracle for the one rows-only graph entry
+    // (graph_event_pagerank): rebuild the SAME seeded edge sample the
+    // catalog query uses, then power-iterate GraphX's published
+    // fixed-iteration recurrence independently on the driver —
+    // init rank 1.0, rank' = reset + (1-reset)·Σ srcRank/outDeg,
+    // multi-edges kept, dangling mass dropped, then the SPARK-18847
+    // final normalization (ranks rescaled to sum to numVertices) —
+    // and require the GraphX ranks to agree to 1e-6.
+    import org.apache.spark.sql.functions._
+    val off = BipartiteGraph.ItemOffset
+    val ev = graft.core.Tables.events(spark, sf0001)
+      .sample(withReplacement = false, 0.5, 42)
+      .withColumn("type_id",
+        when(col("event_type") === "click", 1)
+          .when(col("event_type") === "view", 2)
+          .when(col("event_type") === "purchase", 3)
+          .when(col("event_type") === "signup", 4)
+          .when(col("event_type") === "error", 5)
+          .otherwise(0))
+    val edges = ev.select(col("user_id").cast("long"), col("type_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) + off))
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    var rank = verts.map(_ -> 1.0).toMap
+    for (_ <- 1 to 10) {
+      val contribs = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / outDeg(s) }.sum).toMap
+      rank = verts.map(v => v -> (0.15 + 0.85 * contribs.getOrElse(v, 0.0)))
+        .toMap
+    }
+    val rankSum = rank.values.sum
+    val expected = rank.collect {
+      case (v, r) if v >= off => (v - off) -> r * verts.length / rankSum }
+    val got = GraphOps.graphEventPageRank(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, r) =>
+      assert(math.abs(got(id) - r) <= 1e-6,
+        s"item $id: graphx=${got(id)} power-iter=$r") }
+    // and the ranking the reference prints is stable: ordered desc
+    val ordered = GraphOps.graphEventPageRank(spark, sf0001).collect()
+      .map(_.getDouble(1))
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+  }
+
   test("graph degrees on testdata agree with relational counts") {
     val viaGraph = GraphOps.graphEventDegrees(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

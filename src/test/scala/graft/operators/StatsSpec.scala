@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 class StatsSpec extends SparkSuite {
 
   test("approx_count_distinct is within its 2% rsd bound of exact") {
-    val rows = StatsOps.statApproxDistinct(spark, sf001).collect()
+    val rows = StatsOps.statApproxDistinctRaw(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getAs[Long]("exact_cust").toDouble
@@ -15,6 +15,13 @@ class StatsSpec extends SparkSuite {
       assert(relErr <= 0.08,
         s"nation ${r.get(0)}: rel err $relErr (exact=$exact approx=$approx)")
     }
+  }
+
+  test("catalog stat_approx_distinct exports an all-true in-band flag") {
+    val rows = StatsOps.statApproxDistinct(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("approx_in_band"),
+      s"nation ${r.get(0)} estimate out of band"))
   }
 
   test("percentile_approx p50/p95 sit at the right rank of the exact sort") {
@@ -38,7 +45,7 @@ class StatsSpec extends SparkSuite {
   }
 
   test("HLL sketch union at region level matches exact distinct within 3%") {
-    val approx = StatsOps.statHllUnion(spark, sf001).collect()
+    val approx = StatsOps.statHllUnionRaw(spark, sf001).collect()
       .map(r => (r.getInt(0), r.getAs[Long]("approx_region_cust"))).toMap
     val c = graft.core.Tables.customer(spark, sf001)
     val n = graft.core.Tables.nation(spark, sf001)

@@ -91,6 +91,57 @@ class IntervalJoinSpec extends SparkSuite {
     assert(j.select("iid").collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1))
   }
 
+  test("merge-hinted dim plans the range-partitioned exec, no BNLJ") {
+    installed()
+    val dim = spark.range(0, 5000).select(col("id").as("bin"),
+      (col("id") * 10.0).as("lo"), ((col("id") + 1) * 10.0).as("hi"))
+    val fact = Seq(5.0, 15.0, 49999.5).toDF("v")
+    val j = fact.join(dim.hint("merge"),
+      col("v") >= col("lo") && col("v") < col("hi"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeIntervalJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(j.collect().map(_.getAs[Long]("bin")).sorted.toSeq ==
+      Seq(0L, 1L, 4999L))
+  }
+
+  test("range-partitioned path matches brute force incl. spanning intervals") {
+    installed()
+    // overlapping dim with a few WIDE intervals that straddle many range
+    // buckets — exercises the replicate-to-every-overlapped-bucket path
+    val dim = spark.range(0, 50).select(col("id").as("iid"),
+      (col("id") * 2.0).as("lo"), (col("id") * 2.0 + 6.0).as("hi"))
+      .unionAll(Seq((1000L, 0.0, 100.0), (1001L, 30.0, 90.0))
+        .toDF("iid", "lo", "hi"))
+      .localCheckpoint()
+    val fact = spark.range(0, 200)
+      .select((col("id") * 0.5).as("v")).localCheckpoint()
+    val custom = fact.join(dim.hint("merge"),
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .select("v", "iid").collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .toSet
+    val brute = fact.crossJoin(dim)
+      .filter(col("v") >= col("lo") && col("v") < col("hi"))
+      .select("v", "iid").collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .toSet
+    assert(custom == brute,
+      s"missing ${brute -- custom}; extra ${custom -- brute}")
+    assert(custom.nonEmpty)
+  }
+
+  test("range-partitioned left-outer and strictness match the broadcast path") {
+    installed()
+    val dim = Seq((0, 0.0, 10.0), (1, 10.0, 20.0)).toDF("iid", "lo", "hi")
+    val fact = Seq(10.0, 25.0).toDF("v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      fact.join(d, col("v") > col("lo") && col("v") <= col("hi"), "left")
+        .select("v", "iid").collect()
+        .map(r => (r.getDouble(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .toSet
+    assert(run(dim.hint("merge")) == run(broadcast(dim)))
+    assert(run(dim.hint("merge")) == Set((10.0, 0), (25.0, -1)))
+  }
+
   test("binned aggregate matches the arithmetic formulation on testdata") {
     installed()
     val got = IntervalJoinQueries.q31IntervalJoin(spark, sf0001)

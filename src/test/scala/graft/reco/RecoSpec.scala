@@ -116,6 +116,37 @@ class RecoSpec extends SparkSuite {
     assert(recs.size == 2)
   }
 
+  test("fold-in on a user's own training ratings recovers their factor (§5)") {
+    // ALS-WR: the trainer's per-user ridge solve uses λ·n_u (regParam
+    // scaled by the user's rating count), and each iteration ends with
+    // the user-side solve — so folding in user u's full training set
+    // against the FINAL item factors with reg = regParam·n_u must
+    // reproduce userFactors(u) up to solver tolerance. nonnegative=false
+    // keeps the trained solve a plain ridge (NNLS would only match where
+    // the unconstrained optimum is already nonnegative).
+    import breeze.linalg.{norm, DenseVector}
+    val cfg = AlsTrainer.Config(rank = 2, maxIter = 10, nonnegative = false)
+    val prepared = AlsTrainer.prepare(ratings)
+    val model = AlsTrainer.train(prepared, cfg)
+    val movies = (0 until 15).map(i => (i, s"Film $i")).toDF("filmId", "film")
+    val m = FoldInRecommender.fromModel(model, movies)
+    val userFactors = model.userFactors.collect()
+      .map(r => r.getInt(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+      .toMap
+    val training = prepared.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getFloat(2).toDouble))
+    Seq(0, 3, 7, 12, 19).foreach { u =>
+      val seeds = training.filter(_._1 == u).map(t => (t._2, t._3)).toSeq
+      assert(seeds.nonEmpty)
+      val folded = m.foldInVector(seeds, reg = cfg.regParam * seeds.size)
+      val trained = DenseVector(userFactors(u))
+      val relErr = norm(folded - trained) / norm(trained)
+      assert(relErr < 1e-3,
+        s"user $u: fold-in $folded vs trained $trained (relErr $relErr)")
+    }
+  }
+
   test("TrainingMonitor records ALS training stages (M7)") {
     val (model, stages) = TrainingMonitor.monitored(spark) {
       AlsTrainer.train(AlsTrainer.prepare(ratings),
