@@ -28,7 +28,9 @@ object SparkEntry {
       SkewOps.catalog ++ PartitionedOps.catalog ++
       graft.plans.IntervalJoinQueries.catalog ++
       TextOps.catalog ++ DedupOps.catalog ++
-      SimilarityOps.catalog ++ MultimodalOps.catalog ++
+      SimilarityOps.catalog ++ graft.sim.KMeansOps.catalog ++
+      MultimodalOps.catalog ++
+      graft.pipeline.PipelineOps.catalog ++
       EventWindows.catalog ++ GraphOps.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,311 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Training-data pipeline operators the reference does not have but a
+  * 100 TB corpus build needs: sequence packing (both the GPT-style
+  * concatenate-and-chunk and the bin-packing form), SCD2 history
+  * builds, CDC upsert compaction, and PII redaction.
+  *
+  * Every operator is expressed so the heavy per-document stage is a
+  * pure codegen projection and the only shuffles are on explicit keys;
+  * cumulative state is either two-level (scan = partitioned prefix sum
+  * + tiny offset join, never a single-partition window) or bounded
+  * per-group iterator state (O(1) memory per key).
+  */
+object PipelineOps {
+
+  /** Tokens per packed training sequence. Small so the sf0.01 corpus
+    * spans many chunks; the algebra is identical at 2048 or 8192.
+    */
+  val ChunkTokens = 256L
+
+  private def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+
+  /** GPT-style sequence packing: documents are concatenated in doc_id
+    * order and cut into fixed [[ChunkTokens]]-token windows; each doc
+    * reports its start offset and the chunk span it lands in.
+    *
+    * The global prefix sum is computed WITHOUT a global window (which
+    * would funnel 100 TB through one task — PlanAuditSpec forbids the
+    * shape): docs are bucketed by doc_id range, the within-bucket
+    * running sum is a partitioned window, and the per-bucket offsets
+    * come from a triangular join over the tiny bucket-totals aggregate
+    * (thousands of rows at any corpus size). This is the classic
+    * two-level parallel scan, kept fully declarative.
+    */
+  def packChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokenCounts(spark, sfDir)
+      .withColumn("bucket", expr("doc_id div 100"))
+    val localW = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = toks.withColumn("local_prev",
+      coalesce(sum("n_tokens").over(localW), lit(0L)))
+    val totals = toks.groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+    val offsets = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.bucket_tokens")), lit(0L)).as("offset"))
+    withLocal.join(broadcast(offsets), "bucket")
+      .withColumn("start_tok", col("offset") + col("local_prev"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $ChunkTokens").as("first_chunk"),
+        expr(s"(start_tok + n_tokens - 1) div $ChunkTokens").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1L)
+      .orderBy("doc_id")
+  }
+
+  val packChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS start_tok
+       |  FROM t)
+       |SELECT doc_id, n_tokens, start_tok,
+       |  start_tok // $ChunkTokens AS first_chunk,
+       |  (start_tok + n_tokens - 1) // $ChunkTokens AS last_chunk,
+       |  (start_tok + n_tokens - 1) // $ChunkTokens
+       |    - start_tok // $ChunkTokens + 1 AS n_chunks
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Next-fit bin packing per language stream: each doc goes into the
+    * current bin if it fits, else opens a new one. The scan state is a
+    * single (bin, fill) pair per group — `flatMapSortedGroups` hands
+    * each language's docs as a doc_id-sorted iterator, so memory is
+    * O(1) per stream regardless of corpus size. At 100 TB the stream
+    * key becomes (lang, shard) and shard-local bins get globalized by
+    * offsetting with per-shard bin counts — the same two-level trick
+    * as [[packChunks]].
+    */
+  def packNextFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val B = ChunkTokens
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"doc_id") { (lang, docs) =>
+        var bin = 0L
+        var fill = 0L
+        docs.map { case (_, docId, n) =>
+          if (fill > 0L && fill + n > B) { bin += 1L; fill = n }
+          else fill += n
+          (lang, docId, n, bin, fill)
+        }
+      }
+      .toDF("lang", "doc_id", "n_tokens", "bin", "fill_after")
+      .orderBy("lang", "doc_id")
+  }
+
+  val packNextFitSql: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT lang, doc_id,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |s AS (
+       |  SELECT lang, doc_id, n_tokens, rn,
+       |    0::BIGINT AS bin, n_tokens AS fill_after
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+       |    (CASE WHEN s.fill_after + t.n_tokens > $ChunkTokens
+       |      THEN s.bin + 1 ELSE s.bin END)::BIGINT,
+       |    (CASE WHEN s.fill_after + t.n_tokens > $ChunkTokens
+       |      THEN t.n_tokens ELSE s.fill_after + t.n_tokens END)::BIGINT
+       |  FROM s JOIN t ON t.lang = s.lang AND t.rn = s.rn + 1)
+       |SELECT lang, doc_id, n_tokens, bin, fill_after
+       |FROM s ORDER BY lang, doc_id""".stripMargin
+
+  /** SCD2 history build from an event stream: collapse each user's
+    * consecutive same-event_type runs into validity intervals
+    * [valid_from, valid_to) with an is_current flag — the standard
+    * slowly-changing-dimension type-2 shape. One shuffle on user_id;
+    * both windows reuse the same partitioning, so Catalyst plans a
+    * single Exchange.
+    */
+  def scd2UserState(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val runs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("chg",
+        when(col("prev_type").isNull ||
+          col("event_type") =!= col("prev_type"), 1L).otherwise(0L))
+      .withColumn("version",
+        sum("chg").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("user_id", "version")
+      .agg(
+        min("event_type").as("event_type"),
+        min("ts_us").as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val vw = Window.partitionBy("user_id").orderBy("version")
+    runs
+      .withColumn("next_from", lead("valid_from_us", 1).over(vw))
+      .withColumn("is_current", col("next_from").isNull)
+      .withColumn("valid_to_us",
+        coalesce(col("next_from"), lit(253402300799000000L)))
+      .select("user_id", "version", "event_type", "valid_from_us",
+        "valid_to_us", "n_events", "is_current")
+      .orderBy("user_id", "version")
+  }
+
+  val scd2UserStateSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      AS prev_type
+      |  FROM events),
+      |v AS (
+      |  SELECT *,
+      |    (sum(CASE WHEN prev_type IS NULL OR event_type <> prev_type
+      |      THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+      |      AS version
+      |  FROM t),
+      |runs AS (
+      |  SELECT user_id, version,
+      |    min(event_type) AS event_type,
+      |    min(ts_us) AS valid_from_us,
+      |    count(*) AS n_events
+      |  FROM v GROUP BY user_id, version)
+      |SELECT user_id, version, event_type, valid_from_us,
+      |  coalesce(lead(valid_from_us) OVER (
+      |    PARTITION BY user_id ORDER BY version), 253402300799000000)
+      |    AS valid_to_us,
+      |  n_events,
+      |  lead(valid_from_us) OVER (
+      |    PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+      |FROM runs
+      |ORDER BY user_id, version""".stripMargin
+
+  /** CDC upsert compaction: merge a change batch (updates to existing
+    * keys + brand-new keys) into a base table with a full-outer join on
+    * the key, change-batch side winning. Emits the per-op census. This
+    * is the parquet-native MERGE INTO: at 100 TB both sides bucket by
+    * the key so the join is exchange-free, and the census is a 3-row
+    * aggregate, not a data copy.
+    */
+  def cdcMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val changes = base.filter(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 100.0).as("c_totalprice"))
+      .unionByName(
+        base.filter(col("o_orderkey") % 23 === 0)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            lit(1.0).as("c_totalprice")))
+    base.join(changes, Seq("o_orderkey"), "full_outer")
+      .withColumn("op",
+        when(col("o_totalprice").isNull, "insert")
+          .when(col("c_totalprice").isNull, "carry")
+          .otherwise("update"))
+      .withColumn("merged_price",
+        coalesce(col("c_totalprice"), col("o_totalprice")))
+      .groupBy("op")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("merged_price"), 2).as("sum_price"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("op")
+  }
+
+  val cdcMergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey, o_totalprice + 100.0 AS c_totalprice
+      |  FROM base WHERE o_orderkey % 17 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, 1.0
+      |  FROM base WHERE o_orderkey % 23 = 0),
+      |m AS (
+      |  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |    CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+      |         WHEN c.o_orderkey IS NULL THEN 'carry'
+      |         ELSE 'update' END AS op,
+      |    coalesce(c.c_totalprice, b.o_totalprice) AS merged_price
+      |  FROM base b FULL OUTER JOIN changes c USING (o_orderkey))
+      |SELECT op, count(*) AS n_rows,
+      |  round(sum(merged_price), 2) AS sum_price,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM m GROUP BY op ORDER BY op""".stripMargin
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII redaction census: scrub emails and phone numbers, count the
+    * hits, fingerprint the scrubbed text. The synthetic corpus carries
+    * no PII, so a deterministic injection step plants one email + one
+    * phone in every third document FIRST (identically on both engines)
+    * — the redaction regexes then have real work to do and the md5
+    * proves the rewritten text matches byte-for-byte. Pure codegen'd
+    * regexp projection: no shuffle at all until the final ORDER BY.
+    * Patterns stay in the RE2 ∩ java.util.regex common subset (no
+    * backrefs/lookaround) so both engines compile them identically.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("text2",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" reach me at user"),
+            col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      .select(
+        col("doc_id"),
+        regexp_count(col("text2"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("text2"), lit(PhoneRe)).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text2"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  val piiRedactSql: String = {
+    // DuckDB plain string literals keep backslashes verbatim, so the
+    // Java-side patterns interpolate unchanged.
+    val email = EmailRe
+    val phone = PhoneRe
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN
+       |      text || ' reach me at user' || doc_id::VARCHAR ||
+       |      '@example.com or +1-555-' ||
+       |      lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0')
+       |    ELSE text END AS text2
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text2, '$email')) AS n_emails,
+       |  len(regexp_extract_all(text2, '$phone')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text2, '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g')) AS redacted_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
+    Seq(
+      ("pipe_pack_chunks", packChunks _, packChunksSql),
+      ("pipe_pack_nextfit", packNextFit _, packNextFitSql),
+      ("pipe_scd2_user_state", scd2UserState _, scd2UserStateSql),
+      ("pipe_cdc_merge", cdcMergeUpsert _, cdcMergeUpsertSql),
+      ("pipe_pii_redact", piiRedact _, piiRedactSql))
+}

@@ -339,5 +339,6 @@ object TextOps {
     ("text_fingerprint", textFingerprint _, textFingerprintSql),
     ("text_rolling_fp", textRollingFp _, textRollingFpSql),
     ("text_stratified_sample", textStratifiedSample _, textStratifiedSampleSql),
-    ("text_quality_filter", textQualityFilter _, textQualityFilterSql))
+    ("text_quality_filter", textQualityFilter _, textQualityFilterSql),
+    ("text_decontaminate", textDecontaminate _, textDecontaminateSql))
 }

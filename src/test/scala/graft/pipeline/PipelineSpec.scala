@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Structural + differential checks for the pipeline operators (the
+  * DuckDB oracle replays each algorithm, so these assert independent
+  * invariants a shared algorithmic bug could not satisfy).
+  */
+class PipelineSpec extends SparkSuite {
+
+  private val B = PipelineOps.ChunkTokens
+
+  private lazy val docTokens: Array[(Long, Long)] =
+    Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+
+  test("packChunks start offsets equal an independent driver cumsum") {
+    val out = PipelineOps.packChunks(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length == docTokens.length)
+    var cum = 0L
+    docTokens.zip(out).foreach { case ((id, n), (oid, on, start, fc, lc, nc)) =>
+      assert(oid == id && on == n)
+      assert(start == cum, s"doc $id start $start != cumsum $cum")
+      assert(fc == start / B && lc == (start + n - 1) / B && nc == lc - fc + 1)
+      cum += n
+    }
+  }
+
+  test("packNextFit matches a driver next-fit and respects capacity") {
+    val langs = Tables.documents(spark, sf0001)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    val tok = docTokens.toMap
+    val expected = langs.toSeq.flatMap { case (lang, rows) =>
+      var bin = 0L; var fill = 0L
+      rows.map(_._2).sorted.map { id =>
+        val n = tok(id)
+        if (fill > 0 && fill + n > B) { bin += 1; fill = n } else fill += n
+        (lang, id) -> ((bin, fill))
+      }.toSeq
+    }.toMap
+    val out = PipelineOps.packNextFit(spark, sf0001).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val (bin, fill) = expected(key)
+      assert(r.getLong(3) == bin && r.getLong(4) == fill, s"mismatch at $key")
+      // capacity holds unless the bin is a single oversized doc
+      assert(r.getLong(4) <= B || r.getLong(4) == r.getLong(2))
+    }
+  }
+
+  test("scd2 intervals tile each user's history without gaps or overlap") {
+    val rows = PipelineOps.scd2UserState(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(6)))
+    val byUser = rows.groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length.toLong),
+        s"user $u versions not 1..n")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, s"user $u: valid_to != next valid_from")
+          assert(a._3 != b._3, s"user $u: adjacent runs share event_type")
+        case _ =>
+      }
+      assert(sorted.count(_._6) == 1 && sorted.last._6,
+        s"user $u: exactly the last interval must be current")
+      assert(sorted.last._5 == 253402300799000000L)
+    }
+    // run-length compression must preserve the event census
+    val total = rows.length
+    val events = Tables.events(spark, sf0001).count()
+    assert(total <= events)
+    val nEvents = PipelineOps.scd2UserState(spark, sf0001)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(nEvents == events)
+  }
+
+  test("cdc merge census matches independently computed op counts") {
+    val orders = Tables.orders(spark, sf0001)
+    val nBase = orders.count()
+    val nUpd = orders.filter(col("o_orderkey") % 17 === 0).count()
+    val nIns = orders.filter(col("o_orderkey") % 23 === 0).count()
+    val out = PipelineOps.cdcMergeUpsert(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("update") == nUpd)
+    assert(out("insert") == nIns)
+    assert(out("carry") == nBase - nUpd)
+    assert(out.values.sum == nBase + nIns)
+  }
+
+  test("pii redaction counts the planted PII and scrubs it") {
+    val out = PipelineOps.piiRedact(spark, sf0001).collect()
+    out.foreach { r =>
+      val planted = r.getLong(0) % 3 == 0
+      assert(r.getInt(1) == (if (planted) 1 else 0), s"emails doc ${r.getLong(0)}")
+      assert(r.getInt(2) == (if (planted) 1 else 0), s"phones doc ${r.getLong(0)}")
+    }
+    // the fingerprint column must reflect the scrub: planted docs and
+    // their unplanted text hash differently, and scrubbing is
+    // idempotent on clean docs
+    val clean = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_.getLong(0) % 3 != 0).foreach { r =>
+      assert(r.getString(3) == clean(r.getLong(0)))
+    }
+  }
+}
