@@ -27,6 +27,7 @@ object SparkEntry {
       StatsOps.catalog ++ BucketedOps.catalog ++
       SkewOps.catalog ++ PartitionedOps.catalog ++
       graft.plans.IntervalJoinQueries.catalog ++
+      graft.sources.DatSourceQueries.catalog ++
       TextOps.catalog ++ DedupOps.catalog ++
       SimilarityOps.catalog ++ graft.sim.KMeansOps.catalog ++
       MultimodalOps.catalog ++
