@@ -93,14 +93,14 @@ object Bench {
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Headline metrics in a compact line of their own, printed BEFORE the
-    // per-query map: artifact collection truncates long output, and the
-    // one number BASELINE.md publishes (streaming trigger means) must
-    // never be the part that gets cut.
+    // Headline metrics in a compact line of their own, printed LAST:
+    // artifact collection keeps the TAIL of stdout, so the one number
+    // BASELINE.md publishes (streaming trigger means) must be the final
+    // line or it is truncated away with the long per-query map.
     val stAppend = streaming.getOrElse("st_append_trigger_mean", -1.0)
     val stUpdate = streaming.getOrElse("st_update_earliest_trigger_mean", -1.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","st_append_trigger_mean":$stAppend,"st_update_earliest_trigger_mean":$stUpdate,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","st_append_trigger_mean":$stAppend,"st_update_earliest_trigger_mean":$stUpdate,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

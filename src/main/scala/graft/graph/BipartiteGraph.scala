@@ -142,15 +142,24 @@ object GraphOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
-  /** PageRank over the user↔event_type graph (rows-only: iterative
-    * algorithm, not SQL-expressible). Edges are down-sampled first,
-    * mirroring the reference's C8 strategy (`sample(0.05)` before
-    * PageRank, `Explorativa3.ipynb:361`) — seeded, so deterministic
-    * within Spark (SURVEY §2.2 P13).
+  /** PageRank over the user↔event_type graph, run through GraphX's
+    * `staticPageRank(10, 0.15)` like the reference (`Explorativa3
+    * .ipynb:361` — which also thins edges first; here the half-corpus
+    * cut is `user_id % 2 = 0` so the oracle can reproduce it exactly,
+    * and the seeded `sample` variant stays covered by GraphSpec P13).
+    *
+    * Oracle-izable because the graph is strictly bipartite user→type:
+    * users have no in-edges, so their rank is exactly `reset` from
+    * iteration 1 on, and every item rank is CLOSED-FORM after
+    * iteration 2 — reset + (1-reset)·Σ_edges(reset/outDeg(u)) —
+    * followed by the SPARK-18847 rescale (sum of ranks = |V|). The
+    * oracle SQL evaluates that closed form; ranks are quantized to
+    * 1e-6 on both sides so last-ulp float-order differences between
+    * engines can't flip the hash.
     */
   def graphEventPageRank(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-      .sample(withReplacement = false, 0.5, 42)
+      .filter(col("user_id") % 2 === 0)
       .withColumn("type_id",
         when(col("event_type") === "click", 1)
           .when(col("event_type") === "view", 2)
@@ -160,10 +169,36 @@ object GraphOps {
           .otherwise(0))
     val g = BipartiteGraph.build(ev, "user_id", "type_id", "type_id")
     BipartiteGraph.itemPageRank(spark, g)
+      .select(col("id"),
+        expr("cast(floor(pagerank * 1000000 + 0.5d) as bigint)")
+          .as("pagerank_q"))
+      .orderBy(desc("pagerank_q"), asc("id"))
   }
+
+  val graphEventPageRankSql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+      |      WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+      |      WHEN 'error' THEN 5 ELSE 0 END AS type_id
+      |  FROM events WHERE user_id % 2 = 0),
+      |deg AS (SELECT user_id, count(*) AS d FROM e GROUP BY user_id),
+      |item AS (
+      |  SELECT type_id AS id,
+      |    0.15::DOUBLE + 0.85::DOUBLE * sum(0.15::DOUBLE / d) AS r
+      |  FROM e JOIN deg USING (user_id) GROUP BY type_id),
+      |norm AS (
+      |  SELECT
+      |    (SELECT count(*) FROM deg) + (SELECT count(*) FROM item) AS nv,
+      |    0.15::DOUBLE * (SELECT count(*) FROM deg)
+      |      + (SELECT sum(r) FROM item) AS rs)
+      |SELECT id::BIGINT AS id,
+      |  floor(r * nv / rs * 1000000 + 0.5)::BIGINT AS pagerank_q
+      |FROM item, norm
+      |ORDER BY pagerank_q DESC, id""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("graph_event_degrees", graphEventDegrees _, graphEventDegreesSql),
-      ("graph_event_pagerank", graphEventPageRank _, ""))
+      ("graph_event_pagerank", graphEventPageRank _, graphEventPageRankSql))
 }

@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -33,20 +32,32 @@ object KMeansOps {
   /** Assign every vector to the nearest of K=4 seed centroids
     * (vec_id 0..3) by exact integer squared distance; ties break to
     * the lowest centroid id.
+    *
+    * The K centroid rows are collected to the driver (K×dim longs — a
+    * few KB) and inlined as literals, so assignment is ONE codegen'd
+    * projection over the corpus: per row, an array of (dist_q, cid)
+    * structs whose `array_min` IS the argmin (struct ordering = dist
+    * first, centroid id tiebreak). No crossJoin, no K×corpus Exchange,
+    * no window — the only shuffle left is the final presentation sort.
     */
   def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val centroids = emb.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("cid"), quantized(emb, "embedding").as("cvec"))
-    val points = emb.select(col("vec_id"), quantized(emb, "embedding").as("qvec"))
-    val w = Window.partitionBy("vec_id").orderBy("dist_q", "cid")
-    points.crossJoin(broadcast(centroids))
-      .withColumn("dist_q",
-        expr("aggregate(zip_with(qvec, cvec, (x, y) -> (x - y) * (x - y)), " +
-          "0L, (acc, v) -> acc + v)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cluster"), col("dist_q"))
+    val cents: Array[(Long, Array[Long])] = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), quantized(emb, "embedding").as("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val candidates = cents.map { case (cid, cvec) =>
+      val cv = array(cvec.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(col("qvec"), cv, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("dist_q"),
+        lit(cid).as("cid"))
+    }
+    emb.select(col("vec_id"), quantized(emb, "embedding").as("qvec"))
+      .withColumn("best", array_min(array(candidates.toIndexedSeq: _*)))
+      .select(col("vec_id"), col("best.cid").as("cluster"),
+        col("best.dist_q").as("dist_q"))
       .orderBy("vec_id")
   }
 
@@ -79,18 +90,20 @@ object KMeansOps {
     */
   def lloydStep(spark: SparkSession, points: DataFrame,
       centroids: Seq[(Int, Array[Double])]): DataFrame = {
-    val cdf = spark.createDataFrame(
-      centroids.map { case (id, v) => (id, v.toSeq) })
-      .toDF("cid", "cvec")
-    val w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    // centroids are already a driver-side K×dim matrix: inline them as
+    // literals and pick the argmin in one projection (same shape as
+    // kmeansAssign) — no crossJoin, no per-iteration window Exchange
+    val candidates = centroids.sortBy(_._1).map { case (cid, cvec) =>
+      val cv = array(cvec.toIndexedSeq.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(col("v"), cv, (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, d) => acc + d).as("dist"),
+        lit(cid).as("cid"))
+    }
     val assigned = points
       .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
-      .crossJoin(broadcast(cdf))
-      .withColumn("dist",
-        expr("aggregate(zip_with(v, cvec, (x, y) -> (x - y) * (x - y)), " +
-          "0D, (acc, d) -> acc + d)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .withColumn("best", array_min(array(candidates: _*)))
+      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
     val sizes = assigned.groupBy(col("cid").as("cluster"))
       .agg(count(lit(1)).as("size"))
     val dimSums = assigned

@@ -288,11 +288,14 @@ object TextOps {
     * which is why it is NOT the jaccard dedup operator (that one
     * thresholds pairwise similarity within one corpus).
     *
-    * Plan shape for 100 TB: benchmark suites are tiny (MBs) next to
-    * the corpus, so the benchmark's distinct-shingle set is BROADCAST
-    * and the corpus side stays a map-side hash semi-probe — no shuffle
-    * of corpus shingles; only matched (doc, shingle) rows reach the
-    * final small aggregate.
+    * Plan shape for 100 TB: shingle the corpus ONCE (localCheckpoint —
+    * both branches read the materialized arrays instead of re-scanning
+    * and re-shingling), then join benchmark and training shingles by
+    * ngram. The stand-in benchmark here is 1/7 of the corpus's distinct
+    * 5-grams — corpus-proportional — so it must NOT be broadcast: a
+    * shuffle join on ngram is the plan that survives 100×. A real eval
+    * suite is MBs, and AQE will broadcast it on its own from runtime
+    * stats; hard-coding the hint is what breaks at scale.
     */
   def textDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 5
@@ -303,11 +306,12 @@ object TextOps {
         s"""array_distinct(transform(sequence(0, size(tk) - $k),
            |  i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
            |                 tk[i+4])))""".stripMargin).as("ng"))
+      .localCheckpoint()
     val bench = grams.filter(col("doc_id") % 7 === 0)
       .select(explode(col("ng")).as("ngram")).distinct()
     grams.filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"), explode(col("ng")).as("ngram"))
-      .join(broadcast(bench), Seq("ngram"))
+      .join(bench, Seq("ngram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")

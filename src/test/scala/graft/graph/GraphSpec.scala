@@ -51,18 +51,18 @@ class GraphSpec extends SparkSuite {
   }
 
   test("staticPageRank matches an independent power iteration to 1e-6") {
-    // Differential oracle for the one rows-only graph entry
-    // (graph_event_pagerank): rebuild the SAME seeded edge sample the
-    // catalog query uses, then power-iterate GraphX's published
-    // fixed-iteration recurrence independently on the driver —
-    // init rank 1.0, rank' = reset + (1-reset)·Σ srcRank/outDeg,
-    // multi-edges kept, dangling mass dropped, then the SPARK-18847
-    // final normalization (ranks rescaled to sum to numVertices) —
-    // and require the GraphX ranks to agree to 1e-6.
+    // Differential oracle for graph_event_pagerank: rebuild the SAME
+    // deterministic half-corpus the catalog query uses, then
+    // power-iterate GraphX's published fixed-iteration recurrence
+    // independently on the driver — init rank 1.0,
+    // rank' = reset + (1-reset)·Σ srcRank/outDeg, multi-edges kept,
+    // dangling mass dropped, then the SPARK-18847 final normalization
+    // (ranks rescaled to sum to numVertices) — and require the GraphX
+    // ranks to agree to 1e-6 (plus the query's 1e-6 quantization).
     import org.apache.spark.sql.functions._
     val off = BipartiteGraph.ItemOffset
     val ev = graft.core.Tables.events(spark, sf0001)
-      .sample(withReplacement = false, 0.5, 42)
+      .filter(col("user_id") % 2 === 0)
       .withColumn("type_id",
         when(col("event_type") === "click", 1)
           .when(col("event_type") === "view", 2)
@@ -85,15 +85,32 @@ class GraphSpec extends SparkSuite {
     val expected = rank.collect {
       case (v, r) if v >= off => (v - off) -> r * verts.length / rankSum }
     val got = GraphOps.graphEventPageRank(spark, sf0001).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1) / 1e6).toMap
     assert(got.keySet == expected.keySet)
     expected.foreach { case (id, r) =>
-      assert(math.abs(got(id) - r) <= 1e-6,
+      assert(math.abs(got(id) - r) <= 2e-6,
         s"item $id: graphx=${got(id)} power-iter=$r") }
     // and the ranking the reference prints is stable: ordered desc
     val ordered = GraphOps.graphEventPageRank(spark, sf0001).collect()
-      .map(_.getDouble(1))
+      .map(_.getLong(1))
     assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("seeded sample is deterministic and near its fraction (P13)") {
+    // the reference thins edges with `sample()` before PageRank
+    // (Explorativa3.ipynb:361); the catalog query uses a modulo cut so
+    // DuckDB can reproduce it, and the sample() semantics the reference
+    // relies on are pinned here instead: same seed → identical subset,
+    // different seed → different subset, fraction honored to ±5pp.
+    val ev = graft.core.Tables.events(spark, sf0001)
+    val n = ev.count()
+    val a = ev.sample(withReplacement = false, 0.5, 42)
+    val b = ev.sample(withReplacement = false, 0.5, 42)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(math.abs(a.count().toDouble / n - 0.5) < 0.05)
+    val c = ev.sample(withReplacement = false, 0.5, 7).count()
+    assert(a.exceptAll(ev.sample(withReplacement = false, 0.5, 7)).count() > 0
+      || a.count() != c)
   }
 
   test("graph degrees on testdata agree with relational counts") {

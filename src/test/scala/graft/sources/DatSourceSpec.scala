@@ -48,8 +48,9 @@ class DatSourceSpec extends SparkSuite {
         s"row mismatch for $path")
     }
     // the latin-1 payload specifically: accented titles decode right
+    // (id 73 = "Misérables, Les (1995)" in movies.dat)
     val title = viaV2(moviesDat, movieSchema)
-      .filter(col("id") === 3111).select("film").collect()(0).getString(0)
+      .filter(col("id") === 73).select("film").collect()(0).getString(0)
     assert(title.contains("Misérables"), s"latin-1 decode broke: $title")
   }
 
