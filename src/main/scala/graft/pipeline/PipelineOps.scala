@@ -84,10 +84,9 @@ object PipelineOps {
     * current bin if it fits, else opens a new one. The scan state is a
     * single (bin, fill) pair per group — `flatMapSortedGroups` hands
     * each language's docs as a doc_id-sorted iterator, so memory is
-    * O(1) per stream regardless of corpus size. At 100 TB the stream
-    * key becomes (lang, shard) and shard-local bins get globalized by
-    * offsetting with per-shard bin counts — the same two-level trick
-    * as [[packChunks]].
+    * O(1) per stream regardless of corpus size. The per-language
+    * stream is still a serial scan, though; the 100 TB form that
+    * parallelizes within a language is [[packNextFitSharded]].
     */
   def packNextFit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -129,6 +128,82 @@ object PipelineOps {
        |  FROM s JOIN t ON t.lang = s.lang AND t.rn = s.rn + 1)
        |SELECT lang, doc_id, n_tokens, bin, fill_after
        |FROM s ORDER BY lang, doc_id""".stripMargin
+
+  /** The 100 TB form of [[packNextFit]]: the stream key is
+    * (lang, shard) with `shard = doc_id div shardDocs` — data-defined,
+    * so the result is a pure function of the input, identical on 1 or
+    * 1000 executors. Each shard packs next-fit locally (O(1) iterator
+    * state, bins never span shards), then shard-local bin ids are
+    * globalized by offsetting with the cumulative bin counts of prior
+    * shards — the same two-level scan as [[packChunks]]: the offset
+    * join runs over the tiny per-(lang, shard) bin-count aggregate,
+    * never the docs.
+    */
+  def packNextFitSharded(spark: SparkSession, sfDir: String,
+      shardDocs: Long = 100L): DataFrame = {
+    import spark.implicits._
+    val B = ChunkTokens
+    val local = Tables.documents(spark, sfDir)
+      .select(col("lang"), expr(s"doc_id div $shardDocs").as("shard"),
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapSortedGroups($"doc_id") { (_, docs) =>
+        var bin = 0L
+        var fill = 0L
+        docs.map { case (lang, shard, docId, n) =>
+          if (fill > 0L && fill + n > B) { bin += 1L; fill = n }
+          else fill += n
+          (lang, shard, docId, n, bin, fill)
+        }
+      }
+      .toDF("lang", "shard", "doc_id", "n_tokens", "local_bin",
+        "fill_after")
+    val counts = local.groupBy("lang", "shard")
+      .agg((max("local_bin") + 1L).as("nbins"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")),
+        col("b.lang") === col("a.lang") && col("b.shard") < col("a.shard"),
+        "left")
+      .groupBy(col("a.lang").as("lang"), col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.nbins")), lit(0L)).as("bin_offset"))
+    local.join(broadcast(offsets), Seq("lang", "shard"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("shard"),
+        (col("bin_offset") + col("local_bin")).as("bin"), col("fill_after"))
+      .orderBy("lang", "doc_id")
+  }
+
+  val packNextFitShardedSql: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT lang, doc_id // 100 AS shard, doc_id,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |    row_number() OVER (PARTITION BY lang, doc_id // 100
+       |      ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |s AS (
+       |  SELECT lang, shard, doc_id, n_tokens, rn,
+       |    0::BIGINT AS local_bin, n_tokens AS fill_after
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.lang, t.shard, t.doc_id, t.n_tokens, t.rn,
+       |    (CASE WHEN s.fill_after + t.n_tokens > $ChunkTokens
+       |      THEN s.local_bin + 1 ELSE s.local_bin END)::BIGINT,
+       |    (CASE WHEN s.fill_after + t.n_tokens > $ChunkTokens
+       |      THEN t.n_tokens ELSE s.fill_after + t.n_tokens END)::BIGINT
+       |  FROM s JOIN t ON t.lang = s.lang AND t.shard = s.shard
+       |    AND t.rn = s.rn + 1),
+       |c AS (SELECT lang, shard, max(local_bin) + 1 AS nbins
+       |      FROM s GROUP BY lang, shard),
+       |o AS (SELECT a.lang, a.shard,
+       |        coalesce(sum(b.nbins), 0)::BIGINT AS bin_offset
+       |      FROM c a LEFT JOIN c b
+       |        ON b.lang = a.lang AND b.shard < a.shard
+       |      GROUP BY a.lang, a.shard)
+       |SELECT s.lang, s.doc_id, s.n_tokens, s.shard,
+       |  (o.bin_offset + s.local_bin)::BIGINT AS bin, s.fill_after
+       |FROM s JOIN o ON o.lang = s.lang AND o.shard = s.shard
+       |ORDER BY s.lang, s.doc_id""".stripMargin
 
   /** SCD2 history build from an event stream: collapse each user's
     * consecutive same-event_type runs into validity intervals
@@ -305,6 +380,9 @@ object PipelineOps {
     Seq(
       ("pipe_pack_chunks", packChunks _, packChunksSql),
       ("pipe_pack_nextfit", packNextFit _, packNextFitSql),
+      ("pipe_pack_nextfit_sharded",
+        ((s: SparkSession, d: String) => packNextFitSharded(s, d)),
+        packNextFitShardedSql),
       ("pipe_scd2_user_state", scd2UserState _, scd2UserStateSql),
       ("pipe_cdc_merge", cdcMergeUpsert _, cdcMergeUpsertSql),
       ("pipe_pii_redact", piiRedact _, piiRedactSql))

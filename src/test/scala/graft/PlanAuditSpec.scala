@@ -32,6 +32,16 @@ class PlanAuditSpec extends SparkSuite {
       s"unbounded global window in: ${offenders.mkString(", ")}")
   }
 
+  test("kmeans assignment plans a single Exchange (the final sort)") {
+    // the argmin is a driver-inlined-literal projection: the ONLY
+    // shuffle allowed is the rangepartitioning for the presentation
+    // ORDER BY — a second Exchange means the K×corpus crossJoin+window
+    // shape crept back in
+    val plan = plans("emb_kmeans_assign")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
+  }
+
   test("every parquet scan prunes columns (no full-width lineitem read)") {
     // lineitem is 16 columns; no catalog query needs more than 8 of
     // them, so a ReadSchema carrying 14+ fields means pruning broke

@@ -55,6 +55,45 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("sharded next-fit is parallelism-invariant and globalizes bins") {
+    // the 100 TB claim: shard = doc_id div S is data-defined, so the
+    // result must be a pure function of the input — identical under
+    // different cluster parallelism (here: shuffle-partition counts)
+    def run(): Array[(String, Long, Long, Long, Long, Long)] =
+      PipelineOps.packNextFitSharded(spark, sf0001, shardDocs = 50L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val at3 = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3"); run()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    val at17 = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "17"); run()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(at3.nonEmpty && at3.toSeq == at17.toSeq)
+
+    // globalized bin ids per language are dense 0..max and
+    // non-decreasing in doc order (offsets stitched correctly)
+    at3.groupBy(_._1).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val binSeq = ordered.map(_._5)
+      assert(binSeq.zip(binSeq.tail).forall { case (a, b) => a <= b },
+        s"$lang: bins not monotone in doc order")
+      val distinct = binSeq.distinct
+      assert(distinct.min == 0L && distinct.max == distinct.length - 1L,
+        s"$lang: bin ids not dense")
+    }
+
+    // with one shard spanning every doc, sharded == the serial next-fit
+    val whole = PipelineOps
+      .packNextFitSharded(spark, sf0001, shardDocs = Long.MaxValue)
+      .select("lang", "doc_id", "n_tokens", "bin", "fill_after")
+    val serial = PipelineOps.packNextFit(spark, sf0001)
+      .select("lang", "doc_id", "n_tokens", "bin", "fill_after")
+    assert(whole.exceptAll(serial).isEmpty && serial.exceptAll(whole).isEmpty)
+  }
+
   test("scd2 intervals tile each user's history without gaps or overlap") {
     val rows = PipelineOps.scd2UserState(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),

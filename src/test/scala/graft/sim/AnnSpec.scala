@@ -15,8 +15,12 @@ class AnnSpec extends SparkSuite {
       .toSet
     assert(brute.nonEmpty)
     val recall = (brute & lsh).size.toDouble / brute.size
-    // random-hyperplane multi-probe at 8 bits: recall well above chance
-    assert(recall >= 0.3, s"LSH recall $recall too low")
+    info(s"LSH recall = $recall (${(brute & lsh).size}/${brute.size})")
+    // PINNED golden: hyperplanes, corpus, and tie-breaks are all seeded
+    // and deterministic, so observed recall is exactly 43/100. A drop
+    // means the index regressed (a ≥-chance floor would hide that);
+    // re-pin deliberately if the fixture or algorithm changes.
+    assert(recall == 0.43, s"LSH recall $recall != pinned 0.43")
   }
 
   test("IVF top-k achieves reasonable recall against brute force") {
@@ -29,9 +33,10 @@ class AnnSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     val recall = (brute & ivf).size.toDouble / brute.size
-    // 4/16 cells probed -> touches ~25% of the corpus; weakly clustered
-    // embeddings still put many true neighbors in nearby cells
-    assert(recall >= 0.3, s"IVF recall $recall too low")
+    info(s"IVF recall = $recall (${(brute & ivf).size}/${brute.size})")
+    // PINNED golden (see LSH note): 4/16 cells probed gives exactly
+    // 62/100 on the seeded fixture; a drop is an index regression.
+    assert(recall == 0.62, s"IVF recall $recall != pinned 0.62")
     assert(ivf.forall { case (q, n) => q != n })
   }
 
