@@ -66,7 +66,7 @@ object StatsOps {
     * percentile needs a full sort per group. accuracy=10000 bounds rank
     * error at 0.01% of rows.
     */
-  def statApproxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+  def statApproxQuantilesRaw(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .groupBy("o_orderpriority")
       .agg(
@@ -76,6 +76,50 @@ object StatsOps {
           .as("p95"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
+
+  /** Catalog variant (same in-band pattern as [[statApproxDistinct]]):
+    * the GK estimate itself is engine-specific, so the hash-compared
+    * columns are the EXACT interpolated quantiles (Spark `percentile`
+    * and DuckDB `quantile_cont` share the rank = p*(n-1) linear
+    * interpolation) plus booleans asserting each approx value lands
+    * between the exact quantiles at p ± 5/accuracy — implied TRUE by
+    * the GK guarantee (rank error ≤ 1/accuracy), asserted as constant
+    * TRUE by the oracle. [[statApproxQuantilesRaw]] keeps the raw
+    * estimates for StatsSpec's quantitative rank-window assertion.
+    */
+  def statApproxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val eps = 5.0 / 10000.0
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_exact"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95_exact"),
+        count(lit(1)).as("n"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("p50_a"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(10000))
+          .as("p95_a"),
+        expr(s"percentile(o_totalprice, ${0.5 - eps})").as("p50_lo"),
+        expr(s"percentile(o_totalprice, ${0.5 + eps})").as("p50_hi"),
+        expr(s"percentile(o_totalprice, ${0.95 - eps})").as("p95_lo"),
+        expr(s"percentile(o_totalprice, ${0.95 + eps})").as("p95_hi"))
+      .select(col("o_orderpriority"), col("p50_exact"), col("p95_exact"),
+        col("n"),
+        (col("p50_a") >= col("p50_lo") && col("p50_a") <= col("p50_hi"))
+          .as("p50_in_band"),
+        (col("p95_a") >= col("p95_lo") && col("p95_a") <= col("p95_hi"))
+          .as("p95_in_band"))
+      .orderBy("o_orderpriority")
+  }
+
+  val statApproxQuantilesSql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+      |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact,
+      |  count(*) AS n, TRUE AS p50_in_band, TRUE AS p95_in_band
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** Mergeable-sketch rollup: build one DataSketches HLL sketch per
     * nation, then union the binary sketches up to region level WITHOUT
@@ -230,7 +274,7 @@ object StatsOps {
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("stat_approx_distinct", statApproxDistinct _, statApproxDistinctSql),
-    ("stat_approx_quantiles", statApproxQuantiles _, ""),
+    ("stat_approx_quantiles", statApproxQuantiles _, statApproxQuantilesSql),
     ("stat_hll_union", statHllUnion _, statHllUnionSql),
     ("stat_topk_agg", statTopkAgg _, statTopkSql),
     ("stat_freq_items", statFreqItems _, statFreqItemsSql),

@@ -13,9 +13,11 @@ import graft.core.Tables
   *    is broadcast, the corpus streams once; correctness baseline.
   *  - embeddingNearDup: pairwise cosine within label blocks — blocking
   *    turns the O(n²) cartesian into per-block quadratic work.
-  *  - annLshTopK: random-hyperplane LSH — signatures via one projection,
-  *    candidates via bucket-equality join; the 100 TB path (no oracle,
-  *    recall is asserted against brute force in AnnSpec).
+  *  - annLshTopK / annIvfTopK: random-hyperplane LSH and IVF — the
+  *    100 TB paths. Both are deterministic (seeded LCG hyperplanes;
+  *    grid-quantized Lloyd centroids), so both have full DuckDB
+  *    oracles that replay the index build; AnnSpec additionally pins
+  *    recall against brute force.
   *
   * All cosines are computed in double precision over the float inputs
   * (cast first), so Spark and the DuckDB oracle agree to ~1e-15.
@@ -127,8 +129,12 @@ object SimilarityOps {
     *
     * A candidate is any vector sharing a bucket -- or a 1-bit flip of
     * it (multi-probe) -- with the query in ANY table; candidates are
-    * then scored exactly. Approximate -- AnnSpec asserts recall against
-    * annBruteTopK. No DuckDB oracle: rows-only check.
+    * then scored exactly. Approximate vs brute force (AnnSpec pins the
+    * recall), but fully DETERMINISTIC given the data: the hyperplanes
+    * come from a pure integer LCG, so [[annLshTopKSql]] replays the
+    * whole index -- wrap-around 64-bit arithmetic in HUGEINT, sign
+    * bits, multi-probe XOR, candidate join, exact rescore -- in DuckDB
+    * and the result hash-compares exactly.
     */
   def annLshTopK(spark: SparkSession, sfDir: String, nBits: Int = 8,
       nTables: Int = 4, k: Int = 5): DataFrame = {
@@ -181,16 +187,76 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
-  /** IVF-style ANN top-k: an MLlib k-means coarse quantizer partitions
+  /** DuckDB replay of [[annLshTopK]] (defaults: 8 bits, 4 tables,
+    * k=5). The LCG is wrap-around 64-bit: HUGEINT keeps the product
+    * exact, `% 2^64` re-wraps (operands are positive, so no sign
+    * fixup), `// 2048` is the `>>> 11`, and `/ 2^53 * 2 - 1` lands on
+    * the identical double because every step is exact or a single
+    * IEEE rounding shared by both engines.
+    */
+  val annLshTopKSql: String =
+    """WITH coefs AS (
+      |  SELECT t.t, b.b, d.d,
+      |    ((((t.t*104729 + b.b*1000003 + d.d*7919 + 12345)::HUGEINT
+      |        * 6364136223846793005 + 1442695040888963407)
+      |       % 18446744073709551616) // 2048)::DOUBLE
+      |      / 9007199254740992.0 * 2.0 - 1.0 AS coef
+      |  FROM (SELECT unnest(range(4)) AS t) t,
+      |       (SELECT unnest(range(8)) AS b) b,
+      |       (SELECT unnest(range(64)) AS d) d),
+      |planes AS (
+      |  SELECT t, b, list(coef ORDER BY d) AS plane FROM coefs GROUP BY t, b),
+      |e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+      |      AS norm
+      |  FROM embeddings),
+      |buckets AS (
+      |  SELECT vec_id, t,
+      |    sum(CASE WHEN list_dot_product(vec, plane) >= 0
+      |        THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bucket
+      |  FROM e, planes GROUP BY vec_id, t),
+      |probes AS (
+      |  SELECT vec_id AS qid, t AS qt,
+      |    unnest(list_prepend(bucket,
+      |      list_transform(range(8), bb -> xor(bucket, 1::BIGINT << bb))))
+      |      AS probe
+      |  FROM buckets WHERE vec_id < 20),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, c.vec_id AS nid
+      |  FROM buckets c JOIN probes p
+      |    ON c.bucket = p.probe AND c.t = p.qt AND p.qid != c.vec_id),
+      |scored AS (
+      |  SELECT cand.qid, cand.nid,
+      |    round(list_dot_product(q.vec, n.vec) / (q.norm * n.norm), 4) AS cos
+      |  FROM cand
+      |  JOIN e q ON q.vec_id = cand.qid
+      |  JOIN e n ON n.vec_id = cand.nid)
+      |SELECT qid, nid, rank, cos FROM (
+      |  SELECT qid, nid, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)
+      |      AS rank
+      |  FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  /** IVF-style ANN top-k: a k-means coarse quantizer partitions
     * the corpus into `nCells` cells; each query probes only its
     * `nProbe` nearest cells and scores those candidates exactly. The
     * canonical big-corpus trade-off (recall vs fraction of corpus
-    * touched); AnnSpec asserts recall against brute force. Rows-only
-    * check (iterative training is not SQL-expressible).
+    * touched); AnnSpec pins recall against brute force.
     *
     * Scale shape: training samples the corpus; assignment is one
     * broadcast-join projection; the search join keys on cell id, so
     * per-query work is |corpus| * nProbe / nCells.
+    *
+    * Centroids are QUANTIZED to a 1e-6 grid after every Lloyd
+    * iteration (floor(x*1e6+0.5)/1e6 — same HALF_UP trick as
+    * [[embInt8Quant]]). That makes the whole index replayable by
+    * [[annIvfTopKSql]]: per-dim sums accumulate in vec_id order in
+    * both engines (DuckDB list_sum over an ORDER BY vec_id list is
+    * sequential), so pre-quantization means agree to ~1e-13 and the
+    * grid snap makes them bit-identical, iteration by iteration.
     */
   def annIvfTopK(spark: SparkSession, sfDir: String, nCells: Int = 16,
       nProbe: Int = 4, k: Int = 5): DataFrame = {
@@ -227,7 +293,11 @@ object SimilarityOps {
         while (i < dim) { s(i) += v(i); i += 1 }
       }
       cents = Array.tabulate(nCells)(c =>
-        if (cnts(c) == 0) cents(c) else sums(c).map(_ / cnts(c)))
+        if (cnts(c) == 0) cents(c)
+        else sums(c).map { x =>
+          val m = x / cnts(c)
+          math.floor(m * 1e6 + 0.5) / 1e6
+        })
     }
     // corpus assignment: one map stage over broadcast centroids — no
     // shuffle, no per-row ML pipeline machinery
@@ -265,6 +335,86 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("qid", "nid", "rank", "cos")
       .orderBy("qid", "rank")
+  }
+
+  /** DuckDB replay of [[annIvfTopK]] (defaults: 16 cells, 4 probes,
+    * k=5, 5 Lloyd iterations, 4096-row sample). The iterative
+    * training is unrolled: each iteration is an argmin assignment
+    * (row_number over squared distance, cell tiebreak — same strict-<
+    * first-wins rule as the driver loop) followed by per-dim means
+    * summed in vec_id order and snapped to the 1e-6 grid. Validated
+    * hash-identical against the Spark result at sf0.01 and sf0.1.
+    */
+  val annIvfTopKSql: String = {
+    val nCells = 16; val nProbe = 4; val k = 5; val iters = 5
+    def d2(v: String, c: String): String =
+      s"list_sum(list_transform(range(64), i -> " +
+        s"($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1])))"
+    val unroll = (0 until iters).map { kk =>
+      s"""assign$kk AS (
+         |  SELECT vec_id, vec, cell FROM (
+         |    SELECT s.vec_id, s.vec, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${d2("s.vec", "c.cent")} ASC, c.cell ASC) AS rn
+         |    FROM sampn s, cents$kk c)
+         |  WHERE rn = 1),
+         |means$kk AS (
+         |  SELECT a.cell, d.d,
+         |    floor(list_sum(list(a.vec[d.d+1] ORDER BY a.vec_id)) / count(*)
+         |      * 1000000.0 + 0.5) / 1000000.0 AS m
+         |  FROM assign$kk a, dims d GROUP BY a.cell, d.d),
+         |cents${kk + 1} AS (
+         |  SELECT p.cell, coalesce(nc.cent, p.cent) AS cent
+         |  FROM cents$kk p LEFT JOIN
+         |    (SELECT cell, list(m ORDER BY d) AS cent FROM means$kk
+         |     GROUP BY cell) nc
+         |    ON nc.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dims AS (SELECT unnest(range(64)) AS d),
+       |e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+       |      AS norm
+       |  FROM embeddings),
+       |sampn AS (
+       |  SELECT vec_id, vec, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+       |  FROM (SELECT vec_id, vec FROM e ORDER BY vec_id LIMIT 4096)),
+       |params AS (
+       |  SELECT count(*) AS n, greatest(1, count(*) // $nCells) AS stride
+       |  FROM sampn),
+       |cents0 AS (
+       |  SELECT c.cell, s.vec AS cent
+       |  FROM (SELECT unnest(range($nCells)) AS cell) c, params p
+       |  JOIN sampn s ON s.rn = (c.cell * p.stride) % p.n),
+       |$unroll,
+       |assigned AS (
+       |  SELECT vec_id, vec, norm, cell FROM (
+       |    SELECT e.vec_id, e.vec, e.norm, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("e.vec", "c.cent")} ASC, c.cell ASC) AS rn
+       |    FROM e, cents$iters c)
+       |  WHERE rn = 1),
+       |probed AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.vec_id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${d2("q.vec", "c.cent")} ASC, c.cell ASC)
+       |        AS cell_rank
+       |    FROM e q, cents$iters c WHERE q.vec_id < 20)
+       |  WHERE cell_rank <= $nProbe),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id AS nid,
+       |    round(list_dot_product(q.vec, a.vec) / (q.norm * a.norm), 4) AS cos
+       |  FROM assigned a
+       |  JOIN probed p ON a.cell = p.cell AND a.vec_id != p.qid
+       |  JOIN e q ON q.vec_id = p.qid)
+       |SELECT qid, nid, rank, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)
+       |      AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
   }
 
   /** Symmetric int8 quantization per vector — the standard compression
@@ -313,6 +463,8 @@ object SimilarityOps {
     ("ann_brute_topk", annBruteTopK _, annBruteTopKSql),
     ("emb_int8_quant", embInt8Quant _, embInt8QuantSql),
     ("embedding_neardup", embeddingNearDup _, embeddingNearDupSql),
-    ("ann_lsh_topk", (s: SparkSession, d: String) => annLshTopK(s, d), ""),
-    ("ann_ivf_topk", (s: SparkSession, d: String) => annIvfTopK(s, d), ""))
+    ("ann_lsh_topk", (s: SparkSession, d: String) => annLshTopK(s, d),
+      annLshTopKSql),
+    ("ann_ivf_topk", (s: SparkSession, d: String) => annIvfTopK(s, d),
+      annIvfTopKSql))
 }

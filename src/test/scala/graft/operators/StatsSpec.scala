@@ -24,8 +24,19 @@ class StatsSpec extends SparkSuite {
       s"nation ${r.get(0)} estimate out of band"))
   }
 
+  test("catalog stat_approx_quantiles exports all-true in-band flags") {
+    val rows = StatsOps.statApproxQuantiles(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_in_band"),
+        s"${r.get(0)} p50 estimate out of band")
+      assert(r.getAs[Boolean]("p95_in_band"),
+        s"${r.get(0)} p95 estimate out of band")
+    }
+  }
+
   test("percentile_approx p50/p95 sit at the right rank of the exact sort") {
-    val approx = StatsOps.statApproxQuantiles(spark, sf001).collect()
+    val approx = StatsOps.statApproxQuantilesRaw(spark, sf001).collect()
       .map(r => (r.getString(0),
         r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Long]("n")))
     approx.foreach { case (prio, p50, p95, n) =>
