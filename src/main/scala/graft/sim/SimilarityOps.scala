@@ -426,6 +426,92 @@ object SimilarityOps {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with k-means, then compare
+    * pairs ONLY within a cluster and drop all but one of each
+    * near-duplicate group. Cluster blocking is what makes semantic
+    * dedup tractable — pairwise work is quadratic per cluster, so K is
+    * chosen to grow with N (K ≈ N / target_cluster_size) and the
+    * global O(N²) never materializes. At 100 TB the plan shape is
+    * unchanged: assignment is a broadcast-literal projection (no
+    * shuffle), the self-join shuffles both sides on the cluster id
+    * once, and oversized clusters would be re-split by a second-level
+    * quantizer exactly like the (lang, shard) split in
+    * [[graft.pipeline.PipelineOps.packNextFitSharded]].
+    *
+    * Determinism: assignment reuses the integer-grid argmin proven in
+    * [[graft.sim.KMeansOps.kmeansAssign]] (quantized BIGINT distances,
+    * lowest-cid tiebreak), and the keep rule is greedy lowest-id-wins —
+    * a vector is dropped iff some SMALLER vec_id in its cluster matches
+    * at `cos >= tau` (the paper keeps the example farthest from the
+    * centroid; lowest-id is the deterministic, oracle-checkable
+    * equivalent). Cosines are rounded to 4 digits before the threshold
+    * compare, the same both engines.
+    */
+  def embSemDedup(spark: SparkSession, sfDir: String, k: Int = 16,
+      tau: Double = 0.3): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .withColumn("qvec", expr(
+        "transform(vec, x -> cast(floor(x * 10000d + 0.5d) as bigint))"))
+    val cents: Array[(Long, Array[Long])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val candidates = cents.map { case (cid, cvec) =>
+      val cv = array(cvec.toIndexedSeq.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(col("qvec"), cv, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("dist_q"),
+        lit(cid).as("cid"))
+    }
+    val assigned = e
+      .withColumn("cluster",
+        array_min(array(candidates.toIndexedSeq: _*)).getField("cid"))
+      .select("vec_id", "cluster", "vec", "norm")
+      .localCheckpoint() // both sides of the self-join read it once
+    val dom = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosine("a.vec", "b.vec"), 4))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"))
+    assigned.select("vec_id", "cluster")
+      .join(dom, Seq("vec_id"), "left")
+      .withColumn("kept", col("dup_of").isNull)
+      .orderBy("vec_id")
+  }
+
+  val embSemDedupSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+      |      AS norm,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> floor(x * 10000.0 + 0.5)::BIGINT) AS qvec
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, qvec AS cvec FROM e WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cluster, vec, norm FROM (
+      |    SELECT e.vec_id, c.cid, e.vec, e.norm,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_sum(list_transform(range(1, len(e.qvec) + 1),
+      |          i -> (e.qvec[i] - c.cvec[i]) * (e.qvec[i] - c.cvec[i]))),
+      |          c.cid) AS rk
+      |    FROM e CROSS JOIN c)
+      |  WHERE rk = 1),
+      |dom AS (
+      |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 4)
+      |    >= 0.3
+      |  GROUP BY b.vec_id)
+      |SELECT a.vec_id, a.cluster, dom.dup_of, dom.dup_of IS NULL AS kept
+      |FROM assigned a LEFT JOIN dom ON dom.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
   /** Symmetric int8 quantization per vector — the standard compression
     * step before shipping embeddings to an ANN index or training job
     * (4x smaller than float32, 8x than the double staging form). Scale
@@ -475,5 +561,7 @@ object SimilarityOps {
     ("ann_lsh_topk", (s: SparkSession, d: String) => annLshTopK(s, d),
       annLshTopKSql),
     ("ann_ivf_topk", (s: SparkSession, d: String) => annIvfTopK(s, d),
-      annIvfTopKSql))
+      annIvfTopKSql),
+    ("emb_semdedup", (s: SparkSession, d: String) => embSemDedup(s, d),
+      embSemDedupSql))
 }

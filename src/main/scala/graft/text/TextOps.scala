@@ -336,6 +336,75 @@ object TextOps {
       |GROUP BY e.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-span detection — the Spark approximation of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every token 8-gram
+    * window is hashed, and a window is a duplicate span iff its hash
+    * also occurs in a DIFFERENT document. Output is the per-document
+    * duplication profile (window count, duplicated-window count and
+    * basis-point fraction, first duplicated offset) — the signal a
+    * curation pipeline thresholds to cut boilerplate-heavy documents
+    * or clip the duplicated spans.
+    *
+    * Scale shape: windows ship as (doc_id, pos, md5) — 16-byte hashes,
+    * never gram strings — through exactly TWO shuffles: one hash
+    * partition by window hash, where cross-doc occurrence is decided
+    * by `min(doc_id) != max(doc_id)` over the hash partition (constant
+    * state per window, no collect_set, spillable WindowExec buffer
+    * even for boilerplate 8-grams shared by millions of docs), and one
+    * re-aggregation by doc_id. Within-doc repeats are NOT flagged —
+    * cross-document verbatim overlap is the dedup/contamination
+    * signal; same choice as [[textDecontaminate]].
+    */
+  def textDupSpans(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(tk) - $k),
+           |  i -> md5(concat_ws(' ', slice(tk, i + 1, $k))))""".stripMargin)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val wh = Window.partitionBy("h")
+    wins
+      .withColumn("dup",
+        max("doc_id").over(wh) > min("doc_id").over(wh))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"),
+        min(when(col("dup"), col("pos").cast("long"))).as("first_dup_pos"))
+      .withColumn("dup_e4",
+        expr("(n_dup_windows * 10000L + n_windows div 2) div n_windows"))
+      .orderBy("doc_id")
+  }
+
+  val textDupSpansSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |w AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(tk) - 7),
+      |      i -> {'pos': i - 1,
+      |            'h': md5(array_to_string(tk[i:i+7], ' '))})) AS s
+      |  FROM t),
+      |w2 AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM w),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    max(doc_id) OVER (PARTITION BY h)
+      |      > min(doc_id) OVER (PARTITION BY h) AS dup
+      |  FROM w2)
+      |SELECT doc_id,
+      |  count(*)::BIGINT AS n_windows,
+      |  sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+      |  min(CASE WHEN dup THEN pos END)::BIGINT AS first_dup_pos,
+      |  (sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT * 10000
+      |    + count(*) // 2) // count(*) AS dup_e4
+      |FROM m
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("text_tokens", textTokens _, textTokensSql),
     ("text_quality", textQuality _, textQualitySql),
@@ -344,5 +413,7 @@ object TextOps {
     ("text_rolling_fp", textRollingFp _, textRollingFpSql),
     ("text_stratified_sample", textStratifiedSample _, textStratifiedSampleSql),
     ("text_quality_filter", textQualityFilter _, textQualityFilterSql),
-    ("text_decontaminate", textDecontaminate _, textDecontaminateSql))
+    ("text_decontaminate", textDecontaminate _, textDecontaminateSql),
+    ("text_dup_spans", (s: SparkSession, d: String) => textDupSpans(s, d),
+      textDupSpansSql))
 }
