@@ -376,6 +376,86 @@ object PipelineOps {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source target keep-rates for [[domainMix]], in units of
+    * 1/65536 so every rate is EXACTLY a 4-hex-digit threshold:
+    * source srcI keeps a doc iff the first 4 hex chars of
+    * md5("mix42:" || doc_id) sort below hex((I % 15 + 1) * 4096).
+    * All md5 output and all thresholds are lowercase fixed-width hex,
+    * so plain binary string comparison IS the numeric comparison —
+    * no hex-to-int conversion, which DuckDB and Spark spell
+    * differently.
+    */
+  private val mixRate16: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> (i % 15 + 1) * 4096)
+
+  /** Deterministic domain mixing — the sampling pass that turns a raw
+    * crawl into a target training mix (e.g. downweight boilerplate
+    * sources, upweight books). Each source keeps a hash-Bernoulli
+    * subset of its docs at its target rate; the decision is a pure
+    * function of doc_id, so the mix is reproducible run-over-run,
+    * engine-over-engine, and under any partitioning — the property
+    * `rand()`-based sampling can never give. Emits the per-source
+    * census (kept/total/realized rate vs target) a pipeline operator
+    * monitors for mix drift.
+    *
+    * Scale shape: one codegen'd projection (md5 + substring + map
+    * lookup), one tiny groupBy(source) with map-side combine. No
+    * window, no join, no data-sized shuffle — O(sources) output.
+    */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val thrMap = map(mixRate16.flatMap { case (s, r) =>
+      Seq(lit(s), lit(f"$r%04x"))
+    }: _*)
+    val rateMap = map(mixRate16.flatMap { case (s, r) =>
+      Seq(lit(s), lit(r.toLong))
+    }: _*)
+    Tables.documents(spark, sfDir)
+      .withColumn("kept",
+        substring(md5(concat(lit("mix42:"), col("doc_id").cast("string"))),
+          1, 4) < element_at(thrMap, col("source")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("kept"), col("doc_id"))).as("first_kept_doc"))
+      .withColumn("rate16", element_at(rateMap, col("source")))
+      .withColumn("target_e4",
+        expr("(rate16 * 10000L + 32768L) div 65536L"))
+      .drop("rate16")
+      .withColumn("kept_e4",
+        expr("(n_kept * 10000L + n_total div 2) div n_total"))
+      .orderBy("source")
+  }
+
+  val domainMixSql: String = {
+    val thrCase = mixRate16.map { case (s, r) =>
+      s"WHEN '$s' THEN '${f"$r%04x"}'"
+    }.mkString("\n      ")
+    val rateCase = mixRate16.map { case (s, r) =>
+      s"WHEN '$s' THEN $r"
+    }.mkString("\n      ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    substr(md5('mix42:' || doc_id::VARCHAR), 1, 4) <
+       |      (CASE source
+       |      $thrCase
+       |      END) AS kept,
+       |    (CASE source
+       |      $rateCase
+       |      END)::BIGINT AS rate16
+       |  FROM documents)
+       |SELECT source,
+       |  count(*)::BIGINT AS n_total,
+       |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  min(CASE WHEN kept THEN doc_id END)::BIGINT AS first_kept_doc,
+       |  (min(rate16) * 10000 + 65536 // 2) // 65536 AS target_e4,
+       |  (sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT * 10000
+       |    + count(*) // 2) // count(*) AS kept_e4
+       |FROM t
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("pipe_pack_chunks", packChunks _, packChunksSql),
@@ -385,5 +465,6 @@ object PipelineOps {
         packNextFitShardedSql),
       ("pipe_scd2_user_state", scd2UserState _, scd2UserStateSql),
       ("pipe_cdc_merge", cdcMergeUpsert _, cdcMergeUpsertSql),
-      ("pipe_pii_redact", piiRedact _, piiRedactSql))
+      ("pipe_pii_redact", piiRedact _, piiRedactSql),
+      ("pipe_domain_mix", domainMix _, domainMixSql))
 }

@@ -405,6 +405,74 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Repetition signals (Gopher/FineWeb-style, token-adapted): per
+    * document, the fraction of n-grams claimed by the single most
+    * frequent n-gram (`topN_e4`) and the fraction sitting in any
+    * repeated n-gram (`dupN_e4`), for n = 2 and 3. These are the
+    * cheap boilerplate/degenerate-text detectors run before model
+    * scoring: templated spam shows extreme top-gram mass, stutter
+    * loops show high duplicate mass. (The corpus has no newlines, so
+    * the line-based Gopher variants reduce to these token forms.)
+    *
+    * Scale shape: explode to (doc_id, gram) then TWO hash
+    * aggregations — (doc_id, gram) counts with map-side partial
+    * combine (boilerplate grams collapse locally), then per-doc
+    * rollup with constant state. No windows, no per-doc quadratic
+    * HOF work; all fractions are half-up integer basis points, the
+    * proven bit-identical formulation.
+    */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+    def gramStats(n: Int): DataFrame = base
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(tk) - $n),
+           |  i -> concat_ws(' ', slice(tk, i + 1, $n)))""".stripMargin))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("ntot"),
+        max("c").as("top"),
+        sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("dup"))
+      .select(col("doc_id"),
+        col("ntot").as(s"n${n}grams"),
+        expr("(top * 10000L + ntot div 2) div ntot").as(s"top${n}_e4"),
+        expr("(dup * 10000L + ntot div 2) div ntot").as(s"dup${n}_e4"))
+    gramStats(2).join(gramStats(3), Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String = {
+    def stats(n: Int): String =
+      s"""SELECT doc_id, sum(c)::BIGINT AS ntot, max(c)::BIGINT AS top,
+         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup
+         |  FROM (
+         |    SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+         |      SELECT doc_id,
+         |        unnest(list_transform(generate_series(1, len(tk) - ${n - 1}),
+         |          i -> array_to_string(tk[i:i+${n - 1}], ' '))) AS g
+         |      FROM t)
+         |    GROUP BY doc_id, g)
+         |  GROUP BY doc_id""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |s2 AS (
+       |  ${stats(2)}),
+       |s3 AS (
+       |  ${stats(3)})
+       |SELECT s2.doc_id AS doc_id,
+       |  s2.ntot AS n2grams,
+       |  (s2.top * 10000 + s2.ntot // 2) // s2.ntot AS top2_e4,
+       |  (s2.dup * 10000 + s2.ntot // 2) // s2.ntot AS dup2_e4,
+       |  s3.ntot AS n3grams,
+       |  (s3.top * 10000 + s3.ntot // 2) // s3.ntot AS top3_e4,
+       |  (s3.dup * 10000 + s3.ntot // 2) // s3.ntot AS dup3_e4
+       |FROM s2 JOIN s3 ON s3.doc_id = s2.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("text_tokens", textTokens _, textTokensSql),
     ("text_quality", textQuality _, textQualitySql),
@@ -415,5 +483,6 @@ object TextOps {
     ("text_quality_filter", textQualityFilter _, textQualityFilterSql),
     ("text_decontaminate", textDecontaminate _, textDecontaminateSql),
     ("text_dup_spans", (s: SparkSession, d: String) => textDupSpans(s, d),
-      textDupSpansSql))
+      textDupSpansSql),
+    ("text_repetition", textRepetition _, textRepetitionSql))
 }

@@ -136,6 +136,36 @@ class PipelineSpec extends SparkSuite {
     assert(out.values.sum == nBase + nIns)
   }
 
+  test("domain mix census matches a driver md5-Bernoulli recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).map { case (src, rows) =>
+      val i = src.stripPrefix("src").toInt
+      val thr = f"${(i % 15 + 1) * 4096}%04x"
+      val kept = rows.map(_._1).sorted
+        .filter(id => md5hex(s"mix42:$id").substring(0, 4) < thr)
+      src -> ((rows.length.toLong, kept.length.toLong, kept.headOption))
+    }
+    val out = PipelineOps.domainMix(spark, sf0001).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val src = r.getString(0)
+      val (nTotal, nKept, first) = expected(src)
+      assert(r.getLong(1) == nTotal, s"$src n_total")
+      assert(r.getLong(2) == nKept, s"$src n_kept")
+      assert(Option(if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)))
+        .map(_.toLong) == first, s"$src first_kept_doc")
+      assert(r.getLong(5) == (nKept * 10000L + nTotal / 2) / nTotal,
+        s"$src kept_e4")
+    }
+    // rates actually differ across sources (the mix is a real mix)
+    assert(out.map(_.getLong(4)).distinct.length > 1, "targets degenerate")
+  }
+
   test("pii redaction counts the planted PII and scrubs it") {
     val out = PipelineOps.piiRedact(spark, sf0001).collect()
     out.foreach { r =>
