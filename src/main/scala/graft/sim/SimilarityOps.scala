@@ -512,6 +512,163 @@ object SimilarityOps {
       |FROM assigned a LEFT JOIN dom ON dom.vec_id = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
+  /** Product-quantization ANN top-k (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the 64-dim vector is
+    * split into M=8 subvectors of 8 dims; each subspace has a 16-entry
+    * codebook, so a vector compresses to 8 nibbles (4 bytes — 64×
+    * smaller than float32). Search is asymmetric distance computation
+    * (ADC): per query, an 8×16 lookup table of exact subspace
+    * distances; a document's approximate distance is 8 table lookups
+    * instead of a 64-dim dot product. Top-`cand` ADC candidates are
+    * then rescored with the exact cosine — the standard PQ + rescore
+    * cascade.
+    *
+    * This is THE memory-bound 100 TB path: the PQ codes for a billion
+    * vectors fit in 4 GB where the floats need 256 GB, so the
+    * candidate scan runs from memory. Plan shape: the codebook is a
+    * driver-inlined literal (M·16·8 ints, constant-folded), encoding
+    * and ADC are single projections (no shuffle; the LUT rides along
+    * the broadcast query row), and the only Exchanges are the two
+    * per-query top-k windows over 20 query partitions.
+    *
+    * Determinism: codebooks are the subvectors of the first 16 corpus
+    * vectors on the shared ×10⁴ integer grid (seed codebooks — real
+    * systems run per-subspace Lloyd, the training machinery in
+    * [[KMeansOps.lloyd]]; seeds keep the oracle exact), so every
+    * distance is an exact BIGINT sum: argmin, LUT, and ADC are
+    * bit-identical across engines, and [[annPqTopKSql]] replays the
+    * whole index. AnnSpec pins recall vs brute force.
+    */
+  def annPqTopK(spark: SparkSession, sfDir: String, m: Int = 8,
+      ksub: Int = 16, cand: Int = 50, k: Int = 5): DataFrame = {
+    val dsub = 64 / m
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .withColumn("qvec", expr(
+        "transform(vec, x -> cast(floor(x * 10000d + 0.5d) as bigint))"))
+      .localCheckpoint() // read 3×: codebook collect, encode, rescore
+    // codebook[m][j] = subvector m of seed vector j, integer grid
+    val seeds: Array[Array[Long]] = e.filter(col("vec_id") < ksub)
+      .select(col("vec_id"), col("qvec")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).toArray)
+    val cbLit = (0 until m).map { mm =>
+      (0 until ksub).map { j =>
+        seeds(j).slice(mm * dsub, (mm + 1) * dsub)
+          .mkString("array(", "L,", "L)")
+      }.mkString("array(", ",", ")")
+    }.mkString("array(", ",", ")")
+    // exact integer subspace distance: slice ⊗ codeword, summed
+    def subDist: String =
+      s"""aggregate(zip_with(slice(qvec, m * $dsub + 1, $dsub),
+         |        element_at(element_at($cbLit, m + 1), j + 1),
+         |        (x, y) -> (x - y) * (x - y)),
+         |      0L, (acc, v) -> acc + v)""".stripMargin
+    // per-subspace argmin over the 16 codewords -> 8 nibble codes
+    val codesExpr =
+      s"""transform(sequence(0, ${m - 1}), m ->
+         |  array_min(transform(sequence(0, ${ksub - 1}), j ->
+         |    struct($subDist as dist_q, j as code))).code)""".stripMargin
+    val coded = e.select(col("vec_id"), expr(codesExpr).as("codes"))
+    // per-query LUT: exact subspace distance to every codeword
+    val lutExpr =
+      s"""transform(sequence(0, ${m - 1}), m ->
+         |  transform(sequence(0, ${ksub - 1}), j ->
+         |    $subDist))""".stripMargin
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), expr(lutExpr).as("lut"))
+    // ADC: 8 lookups per (query, doc)
+    val adc = coded.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("adist", expr(
+        s"""aggregate(sequence(0, ${m - 1}), 0L, (acc, m) ->
+           |  acc + element_at(element_at(lut, m + 1),
+           |                   element_at(codes, m + 1) + 1))""".stripMargin))
+      .select(col("qid"), col("vec_id").as("nid"), col("adist"))
+    val wc = Window.partitionBy("qid").orderBy(asc("adist"), asc("nid"))
+    val candidates = adc.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cand)
+      .select("qid", "nid")
+    // exact rescore of the candidate set only
+    val qv = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec2"),
+        col("norm").as("qnorm"))
+    val nv = e.select(col("vec_id").as("nid"), col("vec").as("nvec"),
+      col("norm").as("nnorm"))
+    val scored = candidates.join(broadcast(qv), Seq("qid"))
+      .join(nv, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine("qvec2", "nvec"), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB replay of [[annPqTopK]] (8 subspaces × 16 codewords,
+    * 50 ADC candidates, k=5). The codebook, codes, and LUT are all
+    * relational here (the literal-inlining is a Spark plan choice, not
+    * part of the algorithm): cb(m, j, cvec) from the first 16 vectors,
+    * codes via argmin row_number, ADC via a (corpus-codes ⋈ lut) sum.
+    * Every distance is an exact BIGINT on the shared ×10⁴ grid, so the
+    * hash compare is exact.
+    */
+  val annPqTopKSql: String = {
+    val m = 8; val ksub = 16; val dsub = 8; val cand = 50; val k = 5
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+       |      AS norm,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> floor(x * 10000.0 + 0.5)::BIGINT) AS qvec
+       |  FROM embeddings),
+       |ms AS (SELECT unnest(range($m)) AS m),
+       |cb AS (
+       |  SELECT ms.m, e.vec_id AS j,
+       |    e.qvec[ms.m * $dsub + 1 : ms.m * $dsub + $dsub] AS cvec
+       |  FROM e, ms WHERE e.vec_id < $ksub),
+       |dists AS (
+       |  SELECT e.vec_id, cb.m, cb.j,
+       |    list_sum(list_transform(range(1, $dsub + 1), i ->
+       |      (e.qvec[cb.m * $dsub + i] - cb.cvec[i])
+       |      * (e.qvec[cb.m * $dsub + i] - cb.cvec[i])))::BIGINT AS dist_q
+       |  FROM e, cb),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist_q ASC, j ASC) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT vec_id AS qid, m, j, dist_q FROM dists
+       |  WHERE vec_id < 20),
+       |adc AS (
+       |  SELECT l.qid, c.vec_id AS nid, sum(l.dist_q)::BIGINT AS adist
+       |  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code
+       |  WHERE l.qid != c.vec_id
+       |  GROUP BY l.qid, c.vec_id),
+       |cands AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY adist ASC, nid ASC) AS crank
+       |    FROM adc)
+       |  WHERE crank <= $cand),
+       |scored AS (
+       |  SELECT cands.qid, cands.nid,
+       |    round(list_dot_product(q.vec, n.vec) / (q.norm * n.norm), 4) AS cos
+       |  FROM cands
+       |  JOIN e q ON q.vec_id = cands.qid
+       |  JOIN e n ON n.vec_id = cands.nid)
+       |SELECT qid, nid, rank, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)
+       |      AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** Symmetric int8 quantization per vector — the standard compression
     * step before shipping embeddings to an ANN index or training job
     * (4x smaller than float32, 8x than the double staging form). Scale
@@ -563,5 +720,7 @@ object SimilarityOps {
     ("ann_ivf_topk", (s: SparkSession, d: String) => annIvfTopK(s, d),
       annIvfTopKSql),
     ("emb_semdedup", (s: SparkSession, d: String) => embSemDedup(s, d),
-      embSemDedupSql))
+      embSemDedupSql),
+    ("ann_pq_topk", (s: SparkSession, d: String) => annPqTopK(s, d),
+      annPqTopKSql))
 }

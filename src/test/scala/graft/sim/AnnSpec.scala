@@ -40,6 +40,24 @@ class AnnSpec extends SparkSuite {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("PQ top-k achieves reasonable recall against brute force") {
+    val brute = SimilarityOps.annBruteTopK(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val pq = SimilarityOps.annPqTopK(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(s"PQ recall = $recall (${(brute & pq).size}/${brute.size})")
+    // PINNED golden (see LSH note): 50 ADC candidates rescored exactly
+    // give exactly 77/100 on the seeded fixture; a drop means the
+    // codebook/ADC regressed.
+    assert(recall == 0.77, s"PQ recall $recall != pinned 0.77")
+    assert(pq.forall { case (q, n) => q != n })
+  }
+
   test("LSH results are a subset of valid neighbors (no self matches)") {
     val lsh = SimilarityOps.annLshTopK(spark, sf0001).collect()
     assert(lsh.forall(r => r.getLong(0) != r.getLong(1)))
