@@ -456,6 +456,55 @@ object PipelineOps {
        |ORDER BY source""".stripMargin
   }
 
+  /** Deterministic global shuffle + resharding — the "shuffle the
+    * corpus before training" step, as a pure function of doc_id:
+    * every doc's position in the permutation is the rank of
+    * md5("shuf42:" || doc_id), and its output shard is
+    * `position % nShards` (round-robin, so shards are balanced to
+    * ±1 doc). Reproducible across runs, engines, and cluster sizes —
+    * which rand()-shuffles are not — so a training run can be
+    * restarted or re-sharded bit-identically.
+    *
+    * The global rank is NOT a global window (PlanAuditSpec forbids
+    * the single-partition funnel): docs are bucketed by the first two
+    * hash hex chars (256 buckets; at 100 TB widen to 4 chars = 65k
+    * buckets, same algebra), ranked within buckets, and bucket
+    * offsets come from a triangular join over the tiny per-bucket
+    * counts — the identical two-level scan as [[packChunks]].
+    */
+  def globalShuffle(spark: SparkSession, sfDir: String,
+      nShards: Int = 8): DataFrame = {
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val localW = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    val withLocal = hashed.withColumn("local_rank",
+      row_number().over(localW).cast("long"))
+    val counts = hashed.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.bucket") < col("a.bucket"),
+        "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("offset"))
+    withLocal.join(broadcast(offsets), "bucket")
+      .withColumn("global_pos", col("offset") + col("local_rank") - 1L)
+      .select(col("doc_id"), col("global_pos"),
+        expr(s"global_pos % $nShards").as("shard"))
+      .orderBy("doc_id")
+  }
+
+  val globalShuffleSql: String =
+    """SELECT doc_id,
+      |  row_number() OVER (
+      |    ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) - 1
+      |    AS global_pos,
+      |  (row_number() OVER (
+      |    ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) - 1) % 8
+      |    AS shard
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("pipe_pack_chunks", packChunks _, packChunksSql),
@@ -466,5 +515,8 @@ object PipelineOps {
       ("pipe_scd2_user_state", scd2UserState _, scd2UserStateSql),
       ("pipe_cdc_merge", cdcMergeUpsert _, cdcMergeUpsertSql),
       ("pipe_pii_redact", piiRedact _, piiRedactSql),
-      ("pipe_domain_mix", domainMix _, domainMixSql))
+      ("pipe_domain_mix", domainMix _, domainMixSql),
+      ("pipe_global_shuffle",
+        ((s: SparkSession, d: String) => globalShuffle(s, d)),
+        globalShuffleSql))
 }

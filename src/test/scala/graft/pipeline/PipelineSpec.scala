@@ -166,6 +166,35 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getLong(4)).distinct.length > 1, "targets degenerate")
   }
 
+  test("global shuffle is the md5-rank permutation, shards balanced") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expectedPos = ids.sortBy(id => (md5hex(s"shuf42:$id"), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    val out = PipelineOps.globalShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == ids.length)
+    out.foreach { case (id, pos, shard) =>
+      assert(pos == expectedPos(id), s"doc $id pos $pos")
+      assert(shard == pos % 8, s"doc $id shard")
+    }
+    // permutation is a bijection and shards are balanced to +-1
+    assert(out.map(_._2).sorted.toSeq == (0L until ids.length.toLong))
+    val sizes = out.groupBy(_._3).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    // parallelism invariance: same result at a different shuffle width
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val alt = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      PipelineOps.globalShuffle(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(alt.toSeq == out.toSeq)
+  }
+
   test("pii redaction counts the planted PII and scrubs it") {
     val out = PipelineOps.piiRedact(spark, sf0001).collect()
     out.foreach { r =>
