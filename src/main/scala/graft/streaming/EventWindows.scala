@@ -151,8 +151,78 @@ object EventWindows {
        |ORDER BY user_id, start_us""".stripMargin
   }
 
+  /** Ordered funnel analysis: per user, the first `view`, the first
+    * `click` strictly AFTER that view, and the first `purchase`
+    * strictly after that click — the classic conversion funnel where
+    * steps must happen in order (a purchase before the first view
+    * does not count). Emits per-user step timestamps and the stage
+    * reached (0-3).
+    *
+    * Scale shape: three filtered min-aggregations chained by
+    * user_id-equi joins. Every aggregation and every join keys on
+    * user_id, so Catalyst reuses one hash partitioning across the
+    * chain — the funnel costs one Exchange of the events table, not
+    * three. State per user is O(1) (three timestamps); no windows,
+    * no per-user event sorting.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    val users = ev.select("user_id").distinct()
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t_view_us"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts_us") > col("t_view_us"))
+      .groupBy("user_id").agg(min("ts_us").as("t_click_us"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts_us") > col("t_click_us"))
+      .groupBy("user_id").agg(min("ts_us").as("t_purchase_us"))
+    users
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("t_purchase_us").isNotNull, 3)
+          .when(col("t_click_us").isNotNull, 2)
+          .when(col("t_view_us").isNotNull, 1)
+          .otherwise(0))
+      .orderBy("user_id")
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |users AS (SELECT DISTINCT user_id FROM ev),
+      |s1 AS (
+      |  SELECT user_id, min(ts_us) AS t_view_us FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT ev.user_id, min(ts_us) AS t_click_us
+      |  FROM ev JOIN s1 ON s1.user_id = ev.user_id
+      |  WHERE ev.event_type = 'click' AND ev.ts_us > s1.t_view_us
+      |  GROUP BY ev.user_id),
+      |s3 AS (
+      |  SELECT ev.user_id, min(ts_us) AS t_purchase_us
+      |  FROM ev JOIN s2 ON s2.user_id = ev.user_id
+      |  WHERE ev.event_type = 'purchase' AND ev.ts_us > s2.t_click_us
+      |  GROUP BY ev.user_id)
+      |SELECT u.user_id, s1.t_view_us, s2.t_click_us, s3.t_purchase_us,
+      |  CASE WHEN s3.user_id IS NOT NULL THEN 3
+      |       WHEN s2.user_id IS NOT NULL THEN 2
+      |       WHEN s1.user_id IS NOT NULL THEN 1
+      |       ELSE 0 END AS stage
+      |FROM users u
+      |LEFT JOIN s1 ON s1.user_id = u.user_id
+      |LEFT JOIN s2 ON s2.user_id = u.user_id
+      |LEFT JOIN s3 ON s3.user_id = u.user_id
+      |ORDER BY u.user_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ev_hourly_window", hourlyWindow _, hourlyWindowSql),
+    ("ev_funnel", funnel _, funnelSql),
     ("ev_sessionize",
       (s: SparkSession, d: String) => sessionize(s, d), sessionizeSql()),
     ("ev_session_window",

@@ -159,4 +159,36 @@ class StreamingSpec extends SparkSuite {
       assert(batch(k) == v, s"window $k: stream $v != batch ${batch(k)}")
     }
   }
+
+  test("funnel stages match a driver event-replay recompute") {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = evs.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val t1 = sorted.collectFirst { case (_, ts, "view") => ts }
+      val t2 = t1.flatMap(a =>
+        sorted.collectFirst { case (_, ts, "click") if ts > a => ts })
+      val t3 = t2.flatMap(b =>
+        sorted.collectFirst { case (_, ts, "purchase") if ts > b => ts })
+      u -> ((t1, t2, t3))
+    }
+    val out = EventWindows.funnel(spark, sf0001).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val u = r.getLong(0)
+      def opt(i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      val (t1, t2, t3) = expected(u)
+      assert(opt(1) == t1, s"user $u t_view")
+      assert(opt(2) == t2, s"user $u t_click")
+      assert(opt(3) == t3, s"user $u t_purchase")
+      val stage = Seq(t1, t2, t3).count(_.isDefined)
+      assert(r.getInt(4) == stage, s"user $u stage")
+    }
+    // sf0.001 is dense enough that every user converts — stages are
+    // validated by the exact per-user asserts above; here just bound
+    assert(out.forall(r => r.getInt(4) >= 0 && r.getInt(4) <= 3))
+  }
 }
