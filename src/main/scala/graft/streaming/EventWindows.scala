@@ -220,9 +220,62 @@ object EventWindows {
       |LEFT JOIN s3 ON s3.user_id = u.user_id
       |ORDER BY u.user_id""".stripMargin
 
+  /** Cohort retention matrix: users are cohorted by the week of their
+    * first event (week = epoch_us div one-week-of-µs — pure integer
+    * arithmetic, NOT date_trunc, so both engines agree with no
+    * calendar/locale semantics in play), and each (cohort, offset)
+    * cell counts the distinct users active `offset` weeks later,
+    * with retention in basis points of the cohort size.
+    *
+    * Scale shape: per-user first-event aggregation (one shuffle on
+    * user_id), a user_id-equi join back to the activity set (reuses
+    * the partitioning), distinct on (cohort, offset, user) and a
+    * count — output is O(cohorts × offsets), never O(users).
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $weekUs").as("week"))
+      .distinct()
+    val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(countDistinct("user_id").as("cohort_n"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(sizes, "cohort_week")
+      .withColumn("ret_e4",
+        expr("(n_active * 10000L + cohort_n div 2) div cohort_n"))
+      .select("cohort_week", "week_offset", "n_active", "cohort_n", "ret_e4")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val retentionSql: String = {
+    val weekUs = 7L * 86400L * 1000000L
+    s"""WITH ev AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $weekUs AS week
+       |  FROM events),
+       |cohorts AS (
+       |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+       |sizes AS (
+       |  SELECT cohort_week, count(DISTINCT user_id)::BIGINT AS cohort_n
+       |  FROM cohorts GROUP BY cohort_week),
+       |cells AS (
+       |  SELECT c.cohort_week, ev.week - c.cohort_week AS week_offset,
+       |    count(DISTINCT ev.user_id)::BIGINT AS n_active
+       |  FROM ev JOIN cohorts c ON c.user_id = ev.user_id
+       |  GROUP BY c.cohort_week, ev.week - c.cohort_week)
+       |SELECT cells.cohort_week, cells.week_offset, cells.n_active, s.cohort_n,
+       |  (cells.n_active * 10000 + s.cohort_n // 2) // s.cohort_n AS ret_e4
+       |FROM cells JOIN sizes s ON s.cohort_week = cells.cohort_week
+       |ORDER BY cells.cohort_week, cells.week_offset""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ev_hourly_window", hourlyWindow _, hourlyWindowSql),
     ("ev_funnel", funnel _, funnelSql),
+    ("ev_retention", retention _, retentionSql),
     ("ev_sessionize",
       (s: SparkSession, d: String) => sessionize(s, d), sessionizeSql()),
     ("ev_session_window",

@@ -191,4 +191,34 @@ class StreamingSpec extends SparkSuite {
     // validated by the exact per-user asserts above; here just bound
     assert(out.forall(r => r.getInt(4) >= 0 && r.getInt(4) <= 3))
   }
+
+  test("retention matrix matches a driver cohort recompute") {
+    val weekUs = 7L * 86400L * 1000000L
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / weekUs))
+      .distinct
+    val cohortOf = evs.groupBy(_._1).map { case (u, ws) =>
+      u -> ws.map(_._2).min
+    }
+    val cohortSize = cohortOf.values.groupBy(identity).map {
+      case (c, us) => c -> us.size.toLong
+    }
+    val cells = evs.groupBy { case (u, w) => (cohortOf(u), w - cohortOf(u)) }
+      .map { case (k, rows) => k -> rows.map(_._1).distinct.size.toLong }
+    val out = EventWindows.retention(spark, sf0001).collect()
+    assert(out.length == cells.size)
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == cells(key), s"cell $key n_active")
+      val cn = cohortSize(key._1)
+      assert(r.getLong(3) == cn, s"cell $key cohort_n")
+      assert(r.getLong(4) == (cells(key) * 10000L + cn / 2) / cn,
+        s"cell $key ret_e4")
+    }
+    // offsets start at 0 for every cohort and week-0 retention is 100%
+    out.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) && r.getLong(4) == 10000L)
+    }
+  }
 }
