@@ -472,11 +472,16 @@ object PipelineOps {
     * offsets come from a triangular join over the tiny per-bucket
     * counts — the identical two-level scan as [[packChunks]].
     */
-  def globalShuffle(spark: SparkSession, sfDir: String,
-      nShards: Int = 8): DataFrame = {
-    val hashed = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("h"))
+  /** The two-level md5-rank scan behind [[globalShuffle]] and
+    * [[e2eCuration]]: appends `global_pos` (the doc's rank in the
+    * md5("shuf42:" || doc_id) permutation) and `shard`
+    * (round-robin, `global_pos % nShards`) to any DataFrame carrying
+    * doc_id, preserving the other columns.
+    */
+  private def md5ShufflePositions(df: DataFrame, nShards: Int): DataFrame = {
+    val hashed = df
+      .withColumn("h",
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))))
       .withColumn("bucket", substring(col("h"), 1, 2))
     val localW = Window.partitionBy("bucket").orderBy("h", "doc_id")
     val withLocal = hashed.withColumn("local_rank",
@@ -489,10 +494,16 @@ object PipelineOps {
       .agg(coalesce(sum(col("b.n")), lit(0L)).as("offset"))
     withLocal.join(broadcast(offsets), "bucket")
       .withColumn("global_pos", col("offset") + col("local_rank") - 1L)
-      .select(col("doc_id"), col("global_pos"),
-        expr(s"global_pos % $nShards").as("shard"))
-      .orderBy("doc_id")
+      .withColumn("shard", expr(s"global_pos % $nShards"))
+      .drop("h", "bucket", "local_rank", "offset")
   }
+
+  def globalShuffle(spark: SparkSession, sfDir: String,
+      nShards: Int = 8): DataFrame =
+    md5ShufflePositions(
+      Tables.documents(spark, sfDir).select("doc_id"), nShards)
+      .select("doc_id", "global_pos", "shard")
+      .orderBy("doc_id")
 
   val globalShuffleSql: String =
     """SELECT doc_id,
@@ -504,6 +515,82 @@ object PipelineOps {
       |    AS shard
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** End-to-end curation pipeline — the library's stages composed the
+    * way a real pre-training corpus build chains them:
+    *
+    *  1. quality filter ([[graft.text.TextOps.withQualityReason]],
+    *     keep only `reason = 'keep'`);
+    *  2. near-dup removal by canonical token-set fingerprint (lowest
+    *     doc_id per fingerprint survives — the shuffled-duplicate
+    *     class exact text hashing misses);
+    *  3. domain mixing (the [[domainMix]] hash-Bernoulli keep rule);
+    *  4. deterministic global shuffle + sharding
+    *     ([[md5ShufflePositions]]) over the survivors.
+    *
+    * Emits the final manifest (doc_id, lang, source, global_pos,
+    * shard). Every stage is the already-verified operator's exact
+    * logic, so the composite proves the stages COMPOSE: one pipeline,
+    * four operators, still one oracle-checkable deterministic result.
+    * Stage costs: two hash shuffles (fingerprint groupBy, mix is a
+    * pure filter), plus the two-level scan — nothing quadratic,
+    * nothing driver-side.
+    */
+  def e2eCuration(spark: SparkSession, sfDir: String,
+      nShards: Int = 8): DataFrame = {
+    val thrMap = map(mixRate16.flatMap { case (s, r) =>
+      Seq(lit(s), lit(f"$r%04x"))
+    }: _*)
+    val kept = graft.text.TextOps
+      .withQualityReason(Tables.documents(spark, sfDir))
+      .filter(col("reason") === "keep")
+      .withColumn("fp", md5(array_join(array_sort(array_distinct(
+        split(lower(col("text")), " "))), " ")))
+      .select("doc_id", "lang", "source", "fp")
+    val firstPerFp = kept.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val deduped = kept.join(firstPerFp, Seq("fp", "doc_id"))
+    val mixed = deduped.filter(
+      substring(md5(concat(lit("mix42:"), col("doc_id").cast("string"))),
+        1, 4) < element_at(thrMap, col("source")))
+    md5ShufflePositions(
+      mixed.select("doc_id", "lang", "source"), nShards)
+      .select("doc_id", "lang", "source", "global_pos", "shard")
+      .orderBy("doc_id")
+  }
+
+  val e2eCurationSql: String = {
+    val thrCase = mixRate16.map { case (s, r) =>
+      s"WHEN '$s' THEN '${f"$r%04x"}'"
+    }.mkString("\n      ")
+    s"""WITH q AS (
+       |${graft.text.TextOps.qualityReasonSql}),
+       |f AS (
+       |  SELECT doc_id, lang, source,
+       |    md5(array_to_string(list_sort(list_distinct(
+       |      string_split(lower(text), ' '))), ' ')) AS fp
+       |  FROM q WHERE reason = 'keep'),
+       |d AS (
+       |  SELECT doc_id, lang, source FROM (
+       |    SELECT doc_id, lang, source,
+       |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |    FROM f)
+       |  WHERE rn = 1),
+       |m AS (
+       |  SELECT doc_id, lang, source FROM d
+       |  WHERE substr(md5('mix42:' || doc_id::VARCHAR), 1, 4) <
+       |    (CASE source
+       |      $thrCase
+       |      END))
+       |SELECT doc_id, lang, source,
+       |  row_number() OVER (
+       |    ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) - 1
+       |    AS global_pos,
+       |  (row_number() OVER (
+       |    ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) - 1) % 8
+       |    AS shard
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
@@ -518,5 +605,8 @@ object PipelineOps {
       ("pipe_domain_mix", domainMix _, domainMixSql),
       ("pipe_global_shuffle",
         ((s: SparkSession, d: String) => globalShuffle(s, d)),
-        globalShuffleSql))
+        globalShuffleSql),
+      ("pipe_e2e_curation",
+        ((s: SparkSession, d: String) => e2eCuration(s, d)),
+        e2eCurationSql))
 }

@@ -234,15 +234,19 @@ object TextOps {
     * is bit-identical across engines. Output is the per-(lang, reason)
     * census — O(strata), not O(corpus).
     */
-  def textQualityFilter(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .withColumn("tk", split(col("text"), " "))
-      .select(
-        col("doc_id"), col("lang"),
-        size(col("tk")).cast("long").as("n"),
-        expr("aggregate(tk, 0L, (acc, x) -> acc + length(x))").as("tl"),
-        expr(s"cast(size(filter(tk, x -> x in ${inList(stopwords)})) as long)")
-          .as("sh"))
+  /** Adds the first-match quality verdict as a `reason` column,
+    * preserving every input column — the shared verdict stage behind
+    * [[textQualityFilter]] and the end-to-end curation pipeline
+    * ([[graft.pipeline.PipelineOps.e2eCuration]]). Pure codegen'd
+    * projection; integer basis points throughout.
+    */
+  def withQualityReason(df: DataFrame): DataFrame =
+    df.withColumn("tk", split(col("text"), " "))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("tl",
+        expr("aggregate(tk, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("sh",
+        expr(s"cast(size(filter(tk, x -> x in ${inList(stopwords)})) as long)"))
       .withColumn("stop_e4", expr("(sh * 10000L + n div 2) div n"))
       .withColumn("quality_e4",
         expr("""((100 * least(n, 100) * n + 6000 * sh +
@@ -254,6 +258,33 @@ object TextOps {
           .when(col("stop_e4") > 4000, "stopword_spam")
           .when(col("quality_e4") < 3000, "low_quality")
           .otherwise("keep"))
+      .drop("tk", "n", "tl", "sh", "stop_e4", "quality_e4")
+
+  /** DuckDB twin of [[withQualityReason]]: doc_id, lang, source, text,
+    * reason — reused as a CTE body by the quality-filter and curation
+    * oracles.
+    */
+  val qualityReasonSql: String =
+    s"""SELECT doc_id, lang, source, text,
+       |  CASE
+       |    WHEN n < 5 THEN 'too_short'
+       |    WHEN (sh * 10000 + n // 2) // n > 4000 THEN 'stopword_spam'
+       |    WHEN ((100 * least(n, 100) * n + 6000 * sh +
+       |      (CASE WHEN tl <= 10 * n THEN 400 * tl ELSE 4000 * n END))
+       |      * 10000 + (20000 * n) // 2) // (20000 * n) < 3000
+       |      THEN 'low_quality'
+       |    ELSE 'keep' END AS reason
+       |FROM (
+       |  SELECT doc_id, lang, source, text,
+       |    len(tk)::BIGINT AS n,
+       |    list_sum(list_transform(tk, x -> len(x)))::BIGINT AS tl,
+       |    len(list_filter(tk, x -> x IN ${inList(stopwords)}))::BIGINT AS sh
+       |  FROM (SELECT doc_id, lang, source, text,
+       |          string_split(text, ' ') AS tk
+       |        FROM documents))""".stripMargin
+
+  def textQualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    withQualityReason(Tables.documents(spark, sfDir))
       .groupBy("lang", "reason")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("sample_doc"))
       .orderBy("lang", "reason")

@@ -195,6 +195,55 @@ class PipelineSpec extends SparkSuite {
     assert(alt.toSeq == out.toSeq)
   }
 
+  test("e2e curation equals a full driver replay of all four stages") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "on",
+      "for", "with")
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    // stage 1: quality keep (integer basis-point formulas)
+    val keep = docs.filter { case (_, _, _, text) =>
+      val tk = text.split(" ", -1)
+      val n = tk.length.toLong
+      val tl = tk.map(_.length.toLong).sum
+      val sh = tk.count(stop).toLong
+      val stopE4 = (sh * 10000L + n / 2) / n
+      val qualE4 = ((100L * math.min(n, 100L) * n + 6000L * sh +
+        (if (tl <= 10L * n) 400L * tl else 4000L * n)) * 10000L +
+        (20000L * n) / 2) / (20000L * n)
+      !(n < 5) && !(stopE4 > 4000) && !(qualE4 < 3000)
+    }
+    // stage 2: lowest doc_id per canonical token-set fingerprint
+    val deduped = keep.groupBy { case (_, _, _, text) =>
+      md5hex(text.toLowerCase.split(" ", -1).distinct.sorted.mkString(" "))
+    }.values.map(_.minBy(_._1)).toSeq
+    // stage 3: hash-Bernoulli mix per source
+    val mixed = deduped.filter { case (id, _, src, _) =>
+      val i = src.stripPrefix("src").toInt
+      md5hex(s"mix42:$id").substring(0, 4) < f"${(i % 15 + 1) * 4096}%04x"
+    }
+    // stage 4: md5-rank permutation + round-robin shard
+    val expected = mixed.sortBy { case (id, _, _, _) =>
+      (md5hex(s"shuf42:$id"), id)
+    }.zipWithIndex.map { case ((id, lang, src, _), pos) =>
+      id -> ((lang, src, pos.toLong, pos.toLong % 8))
+    }.toMap
+    val out = PipelineOps.e2eCuration(spark, sf0001).collect()
+    assert(out.length == expected.size, s"${out.length} != ${expected.size}")
+    out.foreach { r =>
+      val (lang, src, pos, shard) = expected(r.getLong(0))
+      assert(r.getString(1) == lang && r.getString(2) == src)
+      assert(r.getLong(3) == pos, s"doc ${r.getLong(0)} pos")
+      assert(r.getLong(4) == shard, s"doc ${r.getLong(0)} shard")
+    }
+    // the pipeline actually filters (each stage has bite at sf0.001)
+    assert(expected.size < docs.length, "curation dropped nothing")
+  }
+
   test("pii redaction counts the planted PII and scrubs it") {
     val out = PipelineOps.piiRedact(spark, sf0001).collect()
     out.foreach { r =>
