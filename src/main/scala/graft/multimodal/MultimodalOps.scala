@@ -145,10 +145,87 @@ object MultimodalOps {
       |  FROM frames)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resize planning: aspect-preserving fit of each decoded image into
+    * a 224×224 budget (the standard vision-model input prep). New dims
+    * are pure integer arithmetic over the decoded (width, height) —
+    * `new = max(1, dim * 224 div max(w, h))` — and the "resized"
+    * payload is faked as a sha over (payload, dims), so the whole plan
+    * is deterministic and oracle-checkable while the real bilinear
+    * kernel stays inside the [[featurize]] mapPartitions stub swap
+    * point. No shuffle: scan → mapPartitions decode → projection.
+    */
+  def resizePlan(spark: SparkSession, docs: DataFrame,
+      budget: Int = 224): DataFrame =
+    featurize(spark, docs)
+      .select(col("doc_id"), col("text"),
+        col("features.width").as("width"),
+        col("features.height").as("height"))
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .withColumn("new_w",
+        greatest(lit(1), expr(s"(width * $budget) div long_side")))
+      .withColumn("new_h",
+        greatest(lit(1), expr(s"(height * $budget) div long_side")))
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        col("new_w"), col("new_h"),
+        sha2(concat(col("text"), lit("x"), col("new_w").cast("string"),
+          lit("x"), col("new_h").cast("string")).cast("binary"), 256)
+          .as("resized_sha"))
+
+  /** Oracle for [[resizePlan]]: width/height replay [[fakeDecode]]'s
+    * Java int arithmetic (hashCode wraparound, truncating division) —
+    * the same `hashed` CTE machinery as [[mmFrameSampleSql]].
+    */
+  val mmResizePlanSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb FROM documents),
+      |bytes AS (
+      |  SELECT doc_id, text,
+      |    list_transform(generate_series(1, nb),
+      |      i -> ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT) AS ub
+      |  FROM b),
+      |hashed AS (
+      |  SELECT doc_id, text,
+      |    list_reduce(
+      |      list_prepend(1::BIGINT,
+      |        list_transform(ub,
+      |          x -> CASE WHEN x > 127 THEN x - 256 ELSE x END)),
+      |      (a, c) -> CASE
+      |        WHEN ((a * 31 + c) % 4294967296 + 4294967296) % 4294967296
+      |             >= 2147483648
+      |        THEN ((a * 31 + c) % 4294967296 + 4294967296) % 4294967296
+      |             - 4294967296
+      |        ELSE ((a * 31 + c) % 4294967296 + 4294967296) % 4294967296
+      |        END) AS h
+      |  FROM bytes),
+      |dims AS (
+      |  SELECT doc_id, text,
+      |    16 + abs(h % 1024) AS width,
+      |    16 + abs(trunc(h / 1024.0)::BIGINT % 1024) AS height
+      |  FROM hashed),
+      |sized AS (
+      |  SELECT doc_id, text, width, height,
+      |    greatest(width, height) AS long_side
+      |  FROM dims)
+      |SELECT doc_id, width, height,
+      |  greatest(1, (width * 224) // long_side) AS new_w,
+      |  greatest(1, (height * 224) // long_side) AS new_h,
+      |  sha256(text || 'x' ||
+      |    greatest(1, (width * 224) // long_side)::VARCHAR || 'x' ||
+      |    greatest(1, (height * 224) // long_side)::VARCHAR) AS resized_sha
+      |FROM sized
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("mm_binary_meta", mmBinaryMeta _, mmBinaryMetaSql),
     ("mm_frame_sample",
       (s: SparkSession, d: String) =>
         sampleFrames(s, Tables.documents(s, d)).orderBy("doc_id", "frame_idx"),
-      mmFrameSampleSql))
+      mmFrameSampleSql),
+    ("mm_resize_plan",
+      (s: SparkSession, d: String) =>
+        resizePlan(s, Tables.documents(s, d)).orderBy("doc_id"),
+      mmResizePlanSql))
 }

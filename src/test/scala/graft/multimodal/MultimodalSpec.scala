@@ -29,6 +29,24 @@ class MultimodalSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("resizePlan matches a driver fakeDecode + integer-fit recompute") {
+    val docs = Tables.documents(spark, sf0001)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = MultimodalOps.resizePlan(spark, docs).collect()
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      val (w, h, _, _) =
+        MultimodalOps.fakeDecode(texts(r.getLong(0)).getBytes("UTF-8"))
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"doc ${r.getLong(0)} dims")
+      val long = math.max(w, h)
+      assert(r.getLong(3) == math.max(1, w * 224 / long))
+      assert(r.getLong(4) == math.max(1, h * 224 / long))
+      // the fit preserves the budget: long side exactly 224 (dims >= 16)
+      assert(math.max(r.getLong(3), r.getLong(4)) == 224L)
+    }
+  }
+
   test("sampleFrames explodes by stride with distinct frame hashes") {
     val docs = Tables.documents(spark, sf0001).limit(20)
     val frames = MultimodalOps.sampleFrames(spark, docs, stride = 8)
