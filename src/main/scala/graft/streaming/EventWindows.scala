@@ -158,32 +158,35 @@ object EventWindows {
     * does not count). Emits per-user step timestamps and the stage
     * reached (0-3).
     *
-    * Scale shape: three filtered min-aggregations chained by
-    * user_id-equi joins. Every aggregation and every join keys on
-    * user_id, so Catalyst reuses one hash partitioning across the
-    * chain — the funnel costs one Exchange of the events table, not
-    * three. State per user is O(1) (three timestamps); no windows,
-    * no per-user event sorting.
+    * Scale shape: ONE scan and ONE hash Exchange of the events table.
+    * The three step times are chained unordered window aggregates
+    * over the same user_id partitioning — `t_click = min(ts where
+    * click and ts > t_view) over (partition by user_id)` can
+    * reference the previous step's window result, so all three steps
+    * plus the per-user rollup reuse a single shuffle. (The naive
+    * filtered-aggregate + join formulation plans 7 scans and 6
+    * Exchanges and recomputes earlier steps inside later branches —
+    * the executed-plan audit is why this shape exists.) Per-user
+    * window state is the user's event list, same spill profile as
+    * [[sessionize]].
     */
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    val w = Window.partitionBy("user_id")
+    Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"))
-    val users = ev.select("user_id").distinct()
-    val s1 = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts_us").as("t_view_us"))
-    val s2 = ev.filter(col("event_type") === "click")
-      .join(s1, "user_id")
-      .filter(col("ts_us") > col("t_view_us"))
-      .groupBy("user_id").agg(min("ts_us").as("t_click_us"))
-    val s3 = ev.filter(col("event_type") === "purchase")
-      .join(s2, "user_id")
-      .filter(col("ts_us") > col("t_click_us"))
-      .groupBy("user_id").agg(min("ts_us").as("t_purchase_us"))
-    users
-      .join(s1, Seq("user_id"), "left")
-      .join(s2, Seq("user_id"), "left")
-      .join(s3, Seq("user_id"), "left")
+      .withColumn("t_view_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t_click_us",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") > col("t_view_us"), col("ts_us"))).over(w))
+      .withColumn("t_purchase_us",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("t_click_us"), col("ts_us"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t_view_us").as("t_view_us"),
+        min("t_click_us").as("t_click_us"),
+        min("t_purchase_us").as("t_purchase_us"))
       .withColumn("stage",
         when(col("t_purchase_us").isNotNull, 3)
           .when(col("t_click_us").isNotNull, 2)
