@@ -541,17 +541,24 @@ object PipelineOps {
     val thrMap = map(mixRate16.flatMap { case (s, r) =>
       Seq(lit(s), lit(f"$r%04x"))
     }: _*)
+    // the quality+fingerprint stage is the expensive text work — do it
+    // ONCE (localCheckpoint) instead of letting each downstream branch
+    // (fp-dedup build side, probe side, and the two-level scan's count
+    // branch) re-read and re-tokenize the corpus: without this the
+    // executed plan carries 6 document scans, with it exactly one
     val kept = graft.text.TextOps
       .withQualityReason(Tables.documents(spark, sfDir))
       .filter(col("reason") === "keep")
       .withColumn("fp", md5(array_join(array_sort(array_distinct(
         split(lower(col("text")), " "))), " ")))
       .select("doc_id", "lang", "source", "fp")
+      .localCheckpoint()
     val firstPerFp = kept.groupBy("fp").agg(min("doc_id").as("doc_id"))
     val deduped = kept.join(firstPerFp, Seq("fp", "doc_id"))
     val mixed = deduped.filter(
       substring(md5(concat(lit("mix42:"), col("doc_id").cast("string"))),
         1, 4) < element_at(thrMap, col("source")))
+      .localCheckpoint() // feeds both branches of the two-level scan
     md5ShufflePositions(
       mixed.select("doc_id", "lang", "source"), nShards)
       .select("doc_id", "lang", "source", "global_pos", "shard")

@@ -241,6 +241,7 @@ object EventWindows {
       .select(col("user_id"),
         expr(s"unix_micros(ts) div $weekUs").as("week"))
       .distinct()
+      .localCheckpoint() // cohort and cell branches read it once
     val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
     val sizes = cohorts.groupBy("cohort_week")
       .agg(countDistinct("user_id").as("cohort_n"))
