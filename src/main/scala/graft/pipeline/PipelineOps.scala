@@ -160,6 +160,7 @@ object PipelineOps {
       }
       .toDF("lang", "shard", "doc_id", "n_tokens", "local_bin",
         "fill_after")
+      .localCheckpoint() // bin-count and final-join branches read once
     val counts = local.groupBy("lang", "shard")
       .agg((max("local_bin") + 1L).as("nbins"))
     val offsets = counts.as("a")
