@@ -42,6 +42,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
   }
 
+  test("single-pass operators plan exactly one base-table scan") {
+    // round-6 executed-plan audit, frozen as a regression guard: each
+    // of these claims a one-pass shape in its docstring (funnel's
+    // chained windows; the localCheckpoint'ed shared stages in
+    // curation/retention/sharded-packing make later branches read the
+    // materialized RDD, so their FileScan count is 0 or 1). A higher
+    // count means a branch went back to re-reading and re-processing
+    // the corpus — the 7-scan funnel / 6-scan curation shapes this
+    // audit originally caught.
+    val onePass = Seq("ev_funnel", "pipe_e2e_curation", "ev_retention",
+      "pipe_pack_nextfit_sharded", "pipe_domain_mix", "text_dup_spans")
+    val offenders = onePass.flatMap { name =>
+      val scans = "FileScan".r.findAllIn(plans(name)).size
+      if (scans > 1) Some(s"$name ($scans scans)") else None
+    }
+    assert(offenders.isEmpty,
+      s"multi-scan plans: ${offenders.mkString(", ")}")
+  }
+
   test("every parquet scan prunes columns (no full-width lineitem read)") {
     // lineitem is 16 columns; no catalog query needs more than 8 of
     // them, so a ReadSchema carrying 14+ fields means pruning broke
