@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -15,6 +15,15 @@ import graft.core.Tables
   * cumulative state is either two-level (scan = partitioned prefix sum
   * + tiny offset join, never a single-partition window) or bounded
   * per-group iterator state (O(1) memory per key).
+  *
+  * Multi-branch plans materialize their shared sub-stage with
+  * `localCheckpoint()` so every branch reads the corpus ONCE. The
+  * trade-off is explicit: localCheckpoint stores blocks on executors
+  * only (an executor loss fails the job), so at real cluster scale the
+  * same shape uses reliable `checkpoint()` or a persisted table —
+  * identical plan, durable storage. The blocks also live until
+  * unpersisted; Bench and Verify drop all persistent RDDs after each
+  * query materializes so a 105-query session never accumulates them.
   */
 object PipelineOps {
 
@@ -22,6 +31,17 @@ object PipelineOps {
     * spans many chunks; the algebra is identical at 2048 or 8192.
     */
   val ChunkTokens = 256L
+
+  /** Output shard count shared by [[globalShuffle]] / [[e2eCuration]]
+    * and their SQL oracles — interpolated into both so the operator
+    * default and the oracle can never silently diverge.
+    */
+  val DefaultShards = 8
+
+  /** Docs per packing shard, shared by [[packNextFitSharded]] and its
+    * SQL oracle for the same reason as [[DefaultShards]].
+    */
+  val DefaultShardDocs = 100L
 
   private def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -140,7 +160,7 @@ object PipelineOps {
     * never the docs.
     */
   def packNextFitSharded(spark: SparkSession, sfDir: String,
-      shardDocs: Long = 100L): DataFrame = {
+      shardDocs: Long = DefaultShardDocs): DataFrame = {
     import spark.implicits._
     val B = ChunkTokens
     val local = Tables.documents(spark, sfDir)
@@ -177,9 +197,9 @@ object PipelineOps {
 
   val packNextFitShardedSql: String =
     s"""WITH RECURSIVE t AS (
-       |  SELECT lang, doc_id // 100 AS shard, doc_id,
+       |  SELECT lang, doc_id // $DefaultShardDocs AS shard, doc_id,
        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
-       |    row_number() OVER (PARTITION BY lang, doc_id // 100
+       |    row_number() OVER (PARTITION BY lang, doc_id // $DefaultShardDocs
        |      ORDER BY doc_id) AS rn
        |  FROM documents),
        |s AS (
@@ -389,6 +409,22 @@ object PipelineOps {
   private val mixRate16: Seq[(String, Int)] =
     (0 until 20).map(i => s"src$i" -> (i % 15 + 1) * 4096)
 
+  /** The doc's md5-Bernoulli keep threshold for its source. Fails
+    * LOUDLY (raise_error) on a source outside [[mixRate16]]: the
+    * unguarded map lookup returns NULL, the `<` comparison turns the
+    * doc into a silent drop on BOTH engines, and the oracle can never
+    * catch it — a mis-configured mix table must abort the job, not
+    * quietly delete a source from the corpus.
+    */
+  private def mixThreshold: Column = {
+    val thrMap = map(mixRate16.flatMap { case (s, r) =>
+      Seq(lit(s), lit(f"$r%04x"))
+    }: _*)
+    coalesce(element_at(thrMap, col("source")),
+      raise_error(concat(lit("domain mix: unknown source '"),
+        col("source"), lit("'"))).cast("string"))
+  }
+
   /** Deterministic domain mixing — the sampling pass that turns a raw
     * crawl into a target training mix (e.g. downweight boilerplate
     * sources, upweight books). Each source keeps a hash-Bernoulli
@@ -404,16 +440,13 @@ object PipelineOps {
     * window, no join, no data-sized shuffle — O(sources) output.
     */
   def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
-    val thrMap = map(mixRate16.flatMap { case (s, r) =>
-      Seq(lit(s), lit(f"$r%04x"))
-    }: _*)
     val rateMap = map(mixRate16.flatMap { case (s, r) =>
       Seq(lit(s), lit(r.toLong))
     }: _*)
     Tables.documents(spark, sfDir)
       .withColumn("kept",
         substring(md5(concat(lit("mix42:"), col("doc_id").cast("string"))),
-          1, 4) < element_at(thrMap, col("source")))
+          1, 4) < mixThreshold)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_total"),
@@ -500,22 +533,22 @@ object PipelineOps {
   }
 
   def globalShuffle(spark: SparkSession, sfDir: String,
-      nShards: Int = 8): DataFrame =
+      nShards: Int = DefaultShards): DataFrame =
     md5ShufflePositions(
       Tables.documents(spark, sfDir).select("doc_id"), nShards)
       .select("doc_id", "global_pos", "shard")
       .orderBy("doc_id")
 
   val globalShuffleSql: String =
-    """SELECT doc_id,
-      |  row_number() OVER (
-      |    ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) - 1
-      |    AS global_pos,
-      |  (row_number() OVER (
-      |    ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) - 1) % 8
-      |    AS shard
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  row_number() OVER (
+       |    ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) - 1
+       |    AS global_pos,
+       |  (row_number() OVER (
+       |    ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) - 1)
+       |    % $DefaultShards AS shard
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
 
   /** End-to-end curation pipeline — the library's stages composed the
     * way a real pre-training corpus build chains them:
@@ -538,10 +571,7 @@ object PipelineOps {
     * nothing driver-side.
     */
   def e2eCuration(spark: SparkSession, sfDir: String,
-      nShards: Int = 8): DataFrame = {
-    val thrMap = map(mixRate16.flatMap { case (s, r) =>
-      Seq(lit(s), lit(f"$r%04x"))
-    }: _*)
+      nShards: Int = DefaultShards): DataFrame = {
     // the quality+fingerprint stage is the expensive text work — do it
     // ONCE (localCheckpoint) instead of letting each downstream branch
     // (fp-dedup build side, probe side, and the two-level scan's count
@@ -558,7 +588,7 @@ object PipelineOps {
     val deduped = kept.join(firstPerFp, Seq("fp", "doc_id"))
     val mixed = deduped.filter(
       substring(md5(concat(lit("mix42:"), col("doc_id").cast("string"))),
-        1, 4) < element_at(thrMap, col("source")))
+        1, 4) < mixThreshold)
       .localCheckpoint() // feeds both branches of the two-level scan
     md5ShufflePositions(
       mixed.select("doc_id", "lang", "source"), nShards)
@@ -594,8 +624,8 @@ object PipelineOps {
        |    ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) - 1
        |    AS global_pos,
        |  (row_number() OVER (
-       |    ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) - 1) % 8
-       |    AS shard
+       |    ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) - 1)
+       |    % $DefaultShards AS shard
        |FROM m
        |ORDER BY doc_id""".stripMargin
   }
