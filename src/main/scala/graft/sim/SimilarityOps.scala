@@ -434,10 +434,27 @@ object SimilarityOps {
     * chosen to grow with N (K ≈ N / target_cluster_size) and the
     * global O(N²) never materializes. At 100 TB the plan shape is
     * unchanged: assignment is a broadcast-literal projection (no
-    * shuffle), the self-join shuffles both sides on the cluster id
-    * once, and oversized clusters would be re-split by a second-level
-    * quantizer exactly like the (lang, shard) split in
-    * [[graft.pipeline.PipelineOps.packNextFitSharded]].
+    * shuffle) and the self-join shuffles both sides on the cluster id
+    * once.
+    *
+    * Oversized-cluster re-split (the hot-cluster straggler fix): a
+    * cluster the quantizer failed to split is the one remaining
+    * quadratic hot spot — with a plain cluster-keyed self-join ALL of
+    * its pairwise work lands on the single task that owns the key.
+    * So within each cluster, members get a block id `sb = rank div
+    * blockSize` (rank = row_number over vec_id — a linear pass), and
+    * the self-join keys on (cluster, block-pair) tiles instead: the
+    * lower side replicates to tiles (sb, q) for q ≥ sb, the upper
+    * side to (p, sb) for p ≤ sb. Because rank is monotone in vec_id,
+    * every a.vec_id < b.vec_id pair lands in EXACTLY one tile, so the
+    * pair set — and therefore the result — is bit-identical for any
+    * blockSize (SemDedupSpec pins this invariance), while the biggest
+    * shuffle task shrinks from O(S²) to O(blockSize²): same two-level
+    * globalization move as the (lang, shard) split in
+    * [[graft.pipeline.PipelineOps.packNextFitSharded]]. Replication
+    * cost is S/blockSize copies per row — choose blockSize ~ √(work a
+    * task should own); tiles of a well-split cluster collapse to the
+    * single (0, 0) tile, so small clusters pay nothing.
     *
     * Determinism: assignment reuses the integer-grid argmin proven in
     * [[graft.sim.KMeansOps.kmeansAssign]] (quantized BIGINT distances,
@@ -449,7 +466,7 @@ object SimilarityOps {
     * compare, the same both engines.
     */
   def embSemDedup(spark: SparkSession, sfDir: String, k: Int = 16,
-      tau: Double = 0.3): DataFrame = {
+      tau: Double = 0.3, blockSize: Int = 16): DataFrame = {
     val e = withVec(Tables.embeddings(spark, sfDir))
       .withColumn("qvec", expr(
         "transform(vec, x -> cast(floor(x * 10000d + 0.5d) as bigint))"))
@@ -465,19 +482,35 @@ object SimilarityOps {
           lit(0L), (acc, v) => acc + v).as("dist_q"),
         lit(cid).as("cid"))
     }
-    val assigned = e
+    // second-level split: block id within the cluster (monotone in
+    // vec_id) and the cluster's max block, so each side can explode to
+    // exactly the tiles it participates in
+    val byCluster = Window.partitionBy("cluster")
+    val blocked = e
       .withColumn("cluster",
         array_min(array(candidates.toIndexedSeq: _*)).getField("cid"))
       .select("vec_id", "cluster", "vec", "norm")
-      .localCheckpoint() // both sides of the self-join read it once
-    val dom = assigned.as("a").join(assigned.as("b"),
+      .withColumn("sb",
+        ((row_number().over(byCluster.orderBy("vec_id")) - 1)
+          / blockSize).cast("int"))
+      .withColumn("maxsb", max("sb").over(byCluster))
+      .localCheckpoint() // both sides of the tile join read it once
+    // a-side owns tiles (sb, q) for q >= sb; b-side tiles (p, sb) for
+    // p <= sb — a.vec_id < b.vec_id implies sb_a <= sb_b, so each pair
+    // meets in exactly one (cluster, p, q) tile of bounded size
+    val aSide = blocked
+      .withColumn("tq", explode(expr("sequence(sb, maxsb)")))
+    val bSide = blocked
+      .withColumn("tp", explode(expr("sequence(0, sb)")))
+    val dom = aSide.as("a").join(bSide.as("b"),
         col("a.cluster") === col("b.cluster") &&
+          col("a.sb") === col("b.tp") && col("a.tq") === col("b.sb") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(cosine("a.vec", "b.vec"), 4))
       .filter(col("cos") >= tau)
       .groupBy(col("b.vec_id").as("vec_id"))
       .agg(min(col("a.vec_id")).as("dup_of"))
-    assigned.select("vec_id", "cluster")
+    blocked.select("vec_id", "cluster")
       .join(dom, Seq("vec_id"), "left")
       .withColumn("kept", col("dup_of").isNull)
       .orderBy("vec_id")

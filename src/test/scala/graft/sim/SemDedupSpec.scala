@@ -66,6 +66,25 @@ class SemDedupSpec extends SparkSuite {
     assert(byId.size == got.size)
   }
 
+  test("result is invariant to the oversized-cluster split bound") {
+    // the block-pair tiling must only change WHERE pairs are computed,
+    // never WHICH pairs: any blockSize — including 1 (every member its
+    // own block, maximal tiling) and one larger than any cluster (the
+    // un-split single-tile shape) — yields the identical result
+    def run(blockSize: Int): Seq[(Long, Long, Option[Long], Boolean)] =
+      SimilarityOps.embSemDedup(spark, sf0001, blockSize = blockSize)
+        .collect().map { r =>
+          (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))
+        }.toSeq
+    val baseline = run(1 << 20) // no cluster splits: the pre-tiling shape
+    for (bs <- Seq(1, 4, 16)) {
+      assert(run(bs) == baseline, s"blockSize=$bs diverged from un-split")
+    }
+    // sf0.001 has ~31 members per cluster, so blockSize 1/4/16 all
+    // exercise real multi-tile joins, not the degenerate (0,0) tile
+  }
+
   test("the lowest vec_id of every cluster is always kept") {
     val rows = SimilarityOps.embSemDedup(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
