@@ -42,23 +42,63 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
   }
 
-  test("single-pass operators plan exactly one base-table scan") {
+  test("single-pass operators plan the pinned number of base-table scans") {
     // round-6 executed-plan audit, frozen as a regression guard: each
-    // of these claims a one-pass shape in its docstring (funnel's
-    // chained windows; the localCheckpoint'ed shared stages in
-    // curation/retention/sharded-packing make later branches read the
-    // materialized RDD, so their FileScan count is 0 or 1). A higher
-    // count means a branch went back to re-reading and re-processing
-    // the corpus — the 7-scan funnel / 6-scan curation shapes this
-    // audit originally caught.
-    val onePass = Seq("ev_funnel", "pipe_e2e_curation", "ev_retention",
-      "pipe_pack_nextfit_sharded", "pipe_domain_mix", "text_dup_spans")
-    val offenders = onePass.flatMap { name =>
-      val scans = "FileScan".r.findAllIn(plans(name)).size
-      if (scans > 1) Some(s"$name ($scans scans)") else None
+    // of these claims a one-pass shape in its docstring. The pin is
+    // EXACT, not <=1: operators whose shared stage is localCheckpoint'ed
+    // show 0 FileScans in the final plan (their single base scan ran
+    // when the checkpoint materialized — building this plans map
+    // executes those jobs eagerly), un-checkpointed one-pass plans show
+    // exactly 1. A higher count means a branch went back to re-reading
+    // the corpus (the 7-scan funnel / 6-scan curation shapes this audit
+    // originally caught); a 0 where 1 is pinned means an operator
+    // silently stopped reading its base table.
+    val pinnedScans = Map(
+      "ev_funnel" -> 1, // chained windows over one scan, no checkpoint
+      "pipe_domain_mix" -> 1, // pure projection + tiny agg, no checkpoint
+      "pipe_e2e_curation" -> 0, // quality+fp and mix stages checkpointed
+      "ev_retention" -> 0, // (user, week) distinct checkpointed
+      "pipe_pack_nextfit_sharded" -> 0, // local packing checkpointed
+      "text_dup_spans" -> 1) // rolling-hash projection over one scan
+    val offenders = pinnedScans.toSeq.sortBy(_._1).flatMap {
+      case (name, want) =>
+        val scans = "FileScan".r.findAllIn(plans(name)).size
+        if (scans != want) Some(s"$name ($scans scans, pinned $want)")
+        else None
     }
     assert(offenders.isEmpty,
-      s"multi-scan plans: ${offenders.mkString(", ")}")
+      s"scan-count drift: ${offenders.mkString(", ")}")
+  }
+
+  test("ANN rank windows carry a map-side WindowGroupLimit") {
+    // The ANN top-k queries rank via Window.partitionBy("qid") with
+    // only 20 distinct qids, so the window Exchange has 20 partitions.
+    // That is safe ONLY because Catalyst's InferWindowGroupLimit
+    // rewrites the `rank <= k` filter into a partial WindowGroupLimit
+    // BEFORE the Exchange (each map task forwards at most k rows per
+    // qid) — without it, 20 tasks would each absorb a corpus-sized
+    // slice. Nothing in the query text guarantees the rewrite fires
+    // (dropping the rank filter, renaming the column, or exceeding
+    // spark.sql.window.group.limit.threshold all silently kill it), so
+    // pin the executed counts exactly: a Final node per rank window
+    // (bounds the reduce side to k rows per qid) and a Partial wherever
+    // an Exchange feeds one (bounds what gets shuffled). pq's second
+    // window inherits the first's qid partitioning — no Exchange, so
+    // Final-only there is the ideal plan, not a gap; ivf has an extra
+    // bounded window (the nProbe cell_rank cut).
+    val pinned = Map( // name -> (partial, final)
+      "ann_brute_topk" -> (1, 1), "ann_lsh_topk" -> (1, 1),
+      "ann_ivf_topk" -> (2, 2), "ann_pq_topk" -> (1, 2))
+    val offenders = pinned.toSeq.sortBy(_._1).flatMap {
+      case (name, (wantP, wantF)) =>
+        val p = "WindowGroupLimit.*Partial".r.findAllIn(plans(name)).size
+        val f = "WindowGroupLimit.*Final".r.findAllIn(plans(name)).size
+        if ((p, f) != ((wantP, wantF)))
+          Some(s"$name (partial=$p final=$f, pinned $wantP/$wantF)")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded rank windows: ${offenders.mkString(", ")}")
   }
 
   test("every parquet scan prunes columns (no full-width lineitem read)") {
