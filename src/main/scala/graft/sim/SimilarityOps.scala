@@ -127,26 +127,51 @@ object SimilarityOps {
     * codegen: 2048-term expressions; the join formulation is faster
     * and is the shape a real cluster wants.)
     *
-    * A candidate is any vector sharing a bucket -- or a 1-bit flip of
-    * it (multi-probe) -- with the query in ANY table; candidates are
-    * then scored exactly.
+    * A candidate is any vector sharing a bucket -- or a bucket within
+    * hamming distance `probeDepth` of it (multi-probe) -- with the
+    * query in ANY table; candidates are then scored exactly.
     *
-    * Design point: 8 bits x 4 tables x 1-bit probes touches ~14% of
-    * the corpus per query for 0.43 recall on the seeded fixture.
-    * Higher-recall settings were measured and rejected -- 6 bits x 8
-    * tables hits 0.74 recall but probes ~85% of the corpus (that is
-    * brute force wearing an index); 2-bit probes at 8x8 hit 0.73 at
-    * ~50%. On embeddings with real cluster structure the same config
-    * recalls far higher; the candidate-fraction bound is what must
-    * hold at 100 TB, so it is what the defaults optimize. Approximate vs brute force (AnnSpec pins the
+    * Design point (defaults re-tuned in round 7 from a 24-config
+    * sweep): the seeded fixture is uniform random — the WORST case
+    * for LSH, where recall tracks the candidate fraction probed
+    * almost linearly because there is no cluster structure to
+    * exploit. The old 8 bits x 4 tables x 1-bit probes sat at 0.43
+    * recall / ~19% candidates — honest about cost, but a retrieval
+    * operator missing 57% of true neighbors is the wrong end of the
+    * curve when sibling IVF/PQ ship 0.62/0.77. The sweep's Pareto
+    * point at recall >= 0.7 is 8 bits x 8 tables x 2-bit probes:
+    * 0.73 recall / ~47% mean candidates (runners-up: 10x8x3-probe
+    * 0.71 @ 46%, 8x12x2 0.76 @ 51%, 9x8x3 0.79 @ 56%). The extra
+    * tables cost no extra corpus passes — one broadcast-join pass
+    * computes every (vector, table) signature. On embeddings with
+    * real cluster structure the same config recalls far higher at a
+    * far lower fraction; the bucket algebra is unchanged at any
+    * corpus size. Approximate vs brute force (AnnSpec pins the
     * recall), but fully DETERMINISTIC given the data: the hyperplanes
     * come from a pure integer LCG, so [[annLshTopKSql]] replays the
     * whole index -- wrap-around 64-bit arithmetic in HUGEINT, sign
-    * bits, multi-probe XOR, candidate join, exact rescore -- in DuckDB
-    * and the result hash-compares exactly.
+    * bits, multi-probe XOR, candidate join, exact rescore -- in
+    * DuckDB and the result hash-compares exactly.
     */
-  def annLshTopK(spark: SparkSession, sfDir: String, nBits: Int = 8,
-      nTables: Int = 4, k: Int = 5): DataFrame = {
+  val LshBits = 8
+  val LshTables = 8
+  val LshProbeDepth = 2
+
+  /** XOR masks enumerating all buckets within hamming distance
+    * `depth` of the query's bucket — the multi-probe set, shared by
+    * the Spark plan and the SQL oracle so they can never diverge.
+    */
+  private def probeMasks(nBits: Int, depth: Int): Seq[Long] = {
+    def combos(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (start until nBits).flatMap(b =>
+        combos(b + 1, left - 1).map(m => m | (1L << b)))
+    (0 to depth).flatMap(d => combos(0, d)).distinct.sorted
+  }
+
+  def annLshTopK(spark: SparkSession, sfDir: String, nBits: Int = LshBits,
+      nTables: Int = LshTables, k: Int = 5,
+      probeDepth: Int = LshProbeDepth): DataFrame = {
     import spark.implicits._
     val dim = 64
     // Deterministic pseudo-random hyperplanes: h(t, b, d) in [-1, 1).
@@ -169,8 +194,8 @@ object SimilarityOps {
       .groupBy(col("vec_id"), col("t"))
       .agg(sum("bit").as("bucket"))
       .localCheckpoint() // reused as probe and build sides
-    val probeArr = (Seq("bucket") ++
-      (0 until nBits).map(b => s"bucket ^ ${1L << b}"))
+    val probeArr = probeMasks(nBits, probeDepth)
+      .map(m => if (m == 0L) "bucket" else s"bucket ^ ${m}L")
       .mkString("array(", ", ", ")")
     val qProbes = buckets.filter(col("vec_id") < 20)
       .withColumn("probe", explode(expr(probeArr)))
@@ -196,22 +221,27 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
-  /** DuckDB replay of [[annLshTopK]] (defaults: 8 bits, 4 tables,
-    * k=5). The LCG is wrap-around 64-bit: HUGEINT keeps the product
-    * exact, `% 2^64` re-wraps (operands are positive, so no sign
-    * fixup), `// 2048` is the `>>> 11`, and `/ 2^53 * 2 - 1` lands on
-    * the identical double because every step is exact or a single
-    * IEEE rounding shared by both engines.
+  /** DuckDB replay of [[annLshTopK]] at the default config —
+    * [[LshBits]]/[[LshTables]]/[[LshProbeDepth]] and the probe-mask
+    * set are interpolated from the same constants the Spark plan
+    * uses, so the two can never diverge. The LCG is wrap-around
+    * 64-bit: HUGEINT keeps the product exact, `% 2^64` re-wraps
+    * (operands are positive, so no sign fixup), `// 2048` is the
+    * `>>> 11`, and `/ 2^53 * 2 - 1` lands on the identical double
+    * because every step is exact or a single IEEE rounding shared by
+    * both engines.
     */
-  val annLshTopKSql: String =
-    """WITH coefs AS (
+  val annLshTopKSql: String = {
+    val masks = probeMasks(LshBits, LshProbeDepth)
+      .mkString("[", ", ", "]")
+    s"""WITH coefs AS (
       |  SELECT t.t, b.b, d.d,
       |    ((((t.t*104729 + b.b*1000003 + d.d*7919 + 12345)::HUGEINT
       |        * 6364136223846793005 + 1442695040888963407)
       |       % 18446744073709551616) // 2048)::DOUBLE
       |      / 9007199254740992.0 * 2.0 - 1.0 AS coef
-      |  FROM (SELECT unnest(range(4)) AS t) t,
-      |       (SELECT unnest(range(8)) AS b) b,
+      |  FROM (SELECT unnest(range($LshTables)) AS t) t,
+      |       (SELECT unnest(range($LshBits)) AS b) b,
       |       (SELECT unnest(range(64)) AS d) d),
       |planes AS (
       |  SELECT t, b, list(coef ORDER BY d) AS plane FROM coefs GROUP BY t, b),
@@ -227,8 +257,7 @@ object SimilarityOps {
       |  FROM e, planes GROUP BY vec_id, t),
       |probes AS (
       |  SELECT vec_id AS qid, t AS qt,
-      |    unnest(list_prepend(bucket,
-      |      list_transform(range(8), bb -> xor(bucket, 1::BIGINT << bb))))
+      |    unnest(list_transform($masks, mm -> xor(bucket, mm::BIGINT)))
       |      AS probe
       |  FROM buckets WHERE vec_id < 20),
       |cand AS (
@@ -248,6 +277,7 @@ object SimilarityOps {
       |  FROM scored)
       |WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
+  }
 
   /** IVF-style ANN top-k: a k-means coarse quantizer partitions
     * the corpus into `nCells` cells; each query probes only its

@@ -14,13 +14,18 @@ class AnnSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     assert(brute.nonEmpty)
-    val recall = (brute & lsh).size.toDouble / brute.size
-    info(s"LSH recall = $recall (${(brute & lsh).size}/${brute.size})")
+    info(s"LSH recall = ${(brute & lsh).size}/${brute.size}")
     // PINNED golden: hyperplanes, corpus, and tie-breaks are all seeded
-    // and deterministic, so observed recall is exactly 43/100. A drop
-    // means the index regressed (a ≥-chance floor would hide that);
-    // re-pin deliberately if the fixture or algorithm changes.
-    assert(recall == 0.43, s"LSH recall $recall != pinned 0.43")
+    // and deterministic, so observed recall is exactly 73/100 at the
+    // round-7 default config (8 bits x 8 tables x 2-bit probes — the
+    // sweep's Pareto point at recall >= 0.7; was 43/100 at 8x4x1).
+    // Pinned as integers, not a double ratio, so a fixture-size change
+    // fails with a readable count instead of a float-equality mystery.
+    // A drop means the index regressed (a >=-chance floor would hide
+    // that); re-pin deliberately if fixture or algorithm changes.
+    assert(brute.size == 100, s"brute set ${brute.size} != 100")
+    assert((brute & lsh).size == 73,
+      s"LSH recall ${(brute & lsh).size}/100 != pinned 73/100")
   }
 
   test("IVF top-k achieves reasonable recall against brute force") {
@@ -32,11 +37,12 @@ class AnnSpec extends SparkSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
-    val recall = (brute & ivf).size.toDouble / brute.size
-    info(s"IVF recall = $recall (${(brute & ivf).size}/${brute.size})")
+    info(s"IVF recall = ${(brute & ivf).size}/${brute.size}")
     // PINNED golden (see LSH note): 4/16 cells probed gives exactly
     // 62/100 on the seeded fixture; a drop is an index regression.
-    assert(recall == 0.62, s"IVF recall $recall != pinned 0.62")
+    assert(brute.size == 100, s"brute set ${brute.size} != 100")
+    assert((brute & ivf).size == 62,
+      s"IVF recall ${(brute & ivf).size}/100 != pinned 62/100")
     assert(ivf.forall { case (q, n) => q != n })
   }
 
@@ -49,12 +55,13 @@ class AnnSpec extends SparkSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
-    val recall = (brute & pq).size.toDouble / brute.size
-    info(s"PQ recall = $recall (${(brute & pq).size}/${brute.size})")
+    info(s"PQ recall = ${(brute & pq).size}/${brute.size}")
     // PINNED golden (see LSH note): 50 ADC candidates rescored exactly
     // give exactly 77/100 on the seeded fixture; a drop means the
     // codebook/ADC regressed.
-    assert(recall == 0.77, s"PQ recall $recall != pinned 0.77")
+    assert(brute.size == 100, s"brute set ${brute.size} != 100")
+    assert((brute & pq).size == 77,
+      s"PQ recall ${(brute & pq).size}/100 != pinned 77/100")
     assert(pq.forall { case (q, n) => q != n })
   }
 
