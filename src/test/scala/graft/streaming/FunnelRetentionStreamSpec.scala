@@ -1,0 +1,129 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Differential tests for the streaming funnel/retention twins: the
+  * REAL sf0.001 events table is replayed through a memory stream in
+  * event-time-ordered micro-batches, and the streaming final state
+  * must equal the batch operator's result row-for-row — the same
+  * standard the sessionize/hourly twins meet (StreamingSpec,
+  * StatefulSessionsSpec).
+  */
+class FunnelRetentionStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  // events replayed in global ts order, split into micro-batches —
+  // the in-order-per-user contract the incremental fold requires
+  private lazy val orderedMsgs: Seq[Seq[String]] = {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(r => (r._2, r._1, r._3))
+    val msgs = evs.map { case (u, ts, et) =>
+      s"""{"user_id": $u, "ts_us": $ts, "event_type": "$et"}"""
+    }
+    msgs.grouped(math.max(1, msgs.length / 3 + 1)).map(_.toSeq).toSeq
+  }
+
+  private def parsed(src: MemorySource) =
+    src.load(spark)
+      .select(from_json(col("value").cast("string"),
+        StructType.fromDDL(
+          "user_id long, ts_us long, event_type string")).as("j"))
+      .select("j.*")
+
+  test("streaming funnel final state matches the batch funnel") {
+    val src = new MemorySource(spark)
+    val q = FunnelRetentionStream.funnelStream(parsed(src))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    orderedMsgs.foreach { batch =>
+      src.add(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // update mode re-emits a user's row each touched batch; n_seen is
+    // monotone, so max(n_seen) marks the final row per user
+    val fin = spark.sql(
+      """select user_id, t_view_us, t_click_us, t_purchase_us, stage
+        |from (select *, row_number() over (partition by user_id
+        |        order by n_seen desc) as rn from funnel_stream)
+        |where rn = 1""".stripMargin)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getInt(4))))
+      .toMap
+
+    val batch = EventWindows.funnel(spark, sf0001).collect()
+      .map { r =>
+        def opt(i: Int): Option[Long] =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) -> ((opt(1), opt(2), opt(3), r.getInt(4)))
+      }.toMap
+
+    assert(fin.keySet == batch.keySet,
+      s"user sets differ: ${fin.size} streamed vs ${batch.size} batch")
+    batch.foreach { case (u, want) =>
+      assert(fin(u) == want, s"user $u: stream ${fin(u)} != batch $want")
+    }
+    // the fixture must exercise every converted stage, not just stage 0
+    assert(batch.values.exists(_._4 == 3))
+  }
+
+  test("streaming retention cells aggregate to the batch retention matrix") {
+    val src = new MemorySource(spark)
+    val q = FunnelRetentionStream.retentionCells(parsed(src))
+      .writeStream.format("memory").queryName("ret_cells")
+      .outputMode("append").start()
+    orderedMsgs.foreach { batch =>
+      src.add(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // each cell credit is emitted exactly once, so the matrix is a
+    // plain count over the sink plus the offset-0 cohort size —
+    // the aggregation a dashboard store runs over ingested deltas
+    val got = spark.sql(
+      """with cells as (
+        |  select cohort_week, week_offset,
+        |    count(*) as n_active
+        |  from ret_cells group by 1, 2),
+        |sizes as (
+        |  select cohort_week, n_active as cohort_n
+        |  from cells where week_offset = 0)
+        |select c.cohort_week, c.week_offset, c.n_active, s.cohort_n,
+        |  (c.n_active * 10000 + s.cohort_n div 2) div s.cohort_n as ret_e4
+        |from cells c join sizes s on s.cohort_week = c.cohort_week""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+    val want = EventWindows.retention(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+    assert(got.keySet == want.keySet,
+      s"cell sets differ: ${got.size} streamed vs ${want.size} batch")
+    want.foreach { case (k, w) =>
+      assert(got(k) == w, s"cell $k: stream ${got(k)} != batch $w")
+    }
+    // no duplicate credits: every (cohort, offset, user) emitted once
+    val n = spark.sql("select count(*) from ret_cells").collect()(0).getLong(0)
+    val d = spark.sql(
+      "select count(distinct cohort_week, week_offset, user_id) from ret_cells")
+      .collect()(0).getLong(0)
+    assert(n == d, s"duplicate cell credits: $n rows, $d distinct")
+  }
+}
