@@ -90,12 +90,30 @@ object SimilarityOps {
   /** Near-duplicate embedding pairs: cosine >= 0.3 within the same
     * label block. Label blocking is the poor man's IVF — at 100 TB the
     * block key is a coarse quantizer cell id, same plan shape.
+    *
+    * A hot label (a quantizer cell the training failed to split) would
+    * put all of its quadratic pairwise work on the one task owning the
+    * key, so the self-join uses the same second-level block-pair tiling
+    * as [[embSemDedup]]: members get a block id monotone in vec_id and
+    * the join keys on (label, p, q) tiles of ≤ blockSize² work. The
+    * pair set is identical for any bound (AnnSpec pins the invariance);
+    * well-split labels collapse to the single (0, 0) tile.
     */
-  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, sfDir: String,
+      blockSize: Int = 64): DataFrame = {
+    val byLabel = Window.partitionBy("label")
     val e = withVec(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("label"), col("vec"), col("norm"))
-    e.as("a").join(e.as("b"),
+      .withColumn("sb",
+        ((row_number().over(byLabel.orderBy("vec_id")) - 1)
+          / blockSize).cast("int"))
+      .withColumn("maxsb", max("sb").over(byLabel))
+      .localCheckpoint() // both tile sides read the blocked rows once
+    val aSide = e.withColumn("tq", explode(expr("sequence(sb, maxsb)")))
+    val bSide = e.withColumn("tp", explode(expr("sequence(0, sb)")))
+    aSide.as("a").join(bSide.as("b"),
         col("a.label") === col("b.label") &&
+          col("a.sb") === col("b.tp") && col("a.tq") === col("b.sb") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(cosine("a.vec", "b.vec"), 4))
       .filter(col("cos") >= 0.3)
@@ -777,7 +795,9 @@ object SimilarityOps {
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ann_brute_topk", annBruteTopK _, annBruteTopKSql),
     ("emb_int8_quant", embInt8Quant _, embInt8QuantSql),
-    ("embedding_neardup", embeddingNearDup _, embeddingNearDupSql),
+    ("embedding_neardup",
+      (s: SparkSession, d: String) => embeddingNearDup(s, d),
+      embeddingNearDupSql),
     ("ann_lsh_topk", (s: SparkSession, d: String) => annLshTopK(s, d),
       annLshTopKSql),
     ("ann_ivf_topk", (s: SparkSession, d: String) => annIvfTopK(s, d),

@@ -71,6 +71,23 @@ class AnnSpec extends SparkSuite {
     assert(lsh.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 5))
   }
 
+  test("near-dup pairs are invariant to the label-block split bound") {
+    // the block-pair tiling only relocates pairwise work across tasks;
+    // the pair set must be identical at any bound — including 1 (every
+    // member its own block) and one larger than any label group
+    def run(bs: Int): Seq[(Long, Long, String, Double)] =
+      SimilarityOps.embeddingNearDup(spark, sf0001, blockSize = bs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString,
+          r.getDouble(3)))
+        .toSeq
+    val unsplit = run(1 << 20)
+    assert(unsplit.nonEmpty, "fixture produced no near-dup pairs")
+    for (bs <- Seq(1, 7, 64)) {
+      assert(run(bs) == unsplit, s"blockSize=$bs diverged from un-split")
+    }
+  }
+
   test("brute-force ranks are dense and cosines descend per query") {
     val rows = SimilarityOps.annBruteTopK(spark, sf0001)
       .collect()
