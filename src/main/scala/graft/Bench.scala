@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every SparkEntry.queries entry against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * SPARK_GRAFT_SF_DIR (min of three timed passes per query) and prints
+  * JSON lines: the per-query map, a two-point scale-ratio check
+  * against a 10× smaller SF, and LAST the headline totals line.
   *
   * A warmup pass (untimed) absorbs session/codegen/parquet-footer init
   * so per-query numbers measure the queries, not JVM startup.
@@ -49,28 +50,53 @@ object Bench {
     try graft.operators.PartitionedOps.ensurePartitioned(spark, sfDir)
     catch { case _: Throwable => () }
 
-    // Two timed passes at the target SF, reporting the per-query MIN:
+    // Three timed passes at the target SF, reporting the per-query MIN:
     // steady-state throughput. A single pass is hostage to whatever else
     // the host is doing during its 30-second window — one page-cache-cold
     // read or CPU-contention burst lands on a random query and dominates
-    // the total. The min of two runs measures the engine, not the
-    // neighbor's I/O.
-    def timedPass(): Map[String, Double] =
+    // the total; the r4→r5 history showed 2× swings on the heavy queries
+    // from exactly that. The min of three runs measures the engine, not
+    // the neighbor's I/O.
+    def timedPass(dir: String): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         dropCheckpoints()
         name -> dt
       }
-    val pass1 = timedPass()
-    val pass2 = timedPass()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    def minOf(passes: Seq[Map[String, Double]]): Map[String, Double] =
+      passes.head.keys.map(k => k -> passes.map(_(k)).min).toMap
+    val results = minOf(Seq.fill(3)(timedPass(sfDir)))
+
+    // Two-point scale check: rerun the catalog at a 10× smaller SF and
+    // flag any query whose min-time ratio exceeds 15× (10× data plus
+    // margin). Plan-shape audits argue no query is superlinear; this
+    // MEASURES it — a quadratic candidate join or a driver-side loop
+    // shows up as a ratio, not an opinion. All ratios are reported;
+    // flagging additionally requires the big-SF time to be >= 1 s so a
+    // 0.05 s → 0.8 s fixed-overhead jump on a trivial query cannot
+    // false-alarm, while anything genuinely superlinear (which IS slow
+    // at the big SF by definition) cannot hide.
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHECK_DIR",
+      if (sfDir.endsWith("sf0.1")) sfDir.stripSuffix("sf0.1") + "sf0.01"
+      else "")
+    val scaleRatios: Map[String, Double] =
+      if (smallDir.nonEmpty && smallDir != sfDir &&
+          new java.io.File(smallDir).isDirectory) {
+        val small = minOf(Seq.fill(2)(timedPass(smallDir)))
+        results.map { case (k, big) =>
+          k -> math.round(big / math.max(small(k), 1e-3) * 100.0) / 100.0
+        }
+      } else Map.empty
+    val flagged = scaleRatios
+      .filter { case (k, r) => r > 15.0 && results(k) >= 1.0 }
+      .keys.toSeq.sorted
     // streaming per-trigger latency A/B — the reference's headline
     // experiment (BASELINE.md: append 70.40 ms mean vs update+earliest
     // 82.97 ms). Reported in seconds-per-trigger alongside the batch
     // queries so the comparison is direct.
-    // same two-run/min treatment as the batch queries: a single A/B
+    // same min-of-3 treatment as the batch queries: a single A/B
     // run's mean straddles the baseline (53 ms vs 73 ms observed for
     // identical code) purely on host load
     val streaming: Map[String, Double] = try {
@@ -82,11 +108,10 @@ object Bench {
           backlogFactor = 15)
         (res.append.meanMs, res.updateEarliest.meanMs)
       }
-      val (a1, u1) = once()
-      val (a2, u2) = once()
+      val runs = Seq.fill(3)(once())
       Map(
-        "st_append_trigger_mean" -> math.min(a1, a2) / 1000.0,
-        "st_update_earliest_trigger_mean" -> math.min(u1, u2) / 1000.0)
+        "st_append_trigger_mean" -> runs.map(_._1).min / 1000.0,
+        "st_update_earliest_trigger_mean" -> runs.map(_._2).min / 1000.0)
     } catch { case _: Throwable => Map.empty[String, Double] }
 
     val all = results ++ streaming
@@ -100,7 +125,14 @@ object Bench {
     val stAppend = streaming.getOrElse("st_append_trigger_mean", -1.0)
     val stUpdate = streaming.getOrElse("st_update_earliest_trigger_mean", -1.0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","st_append_trigger_mean":$stAppend,"st_update_earliest_trigger_mean":$stUpdate,"sf":"$sfDir"}""")
+    if (scaleRatios.nonEmpty) {
+      val rs = scaleRatios.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"metric":"scale_ratio","small_sf":"$smallDir","big_sf":"$sfDir","flag_threshold":15,"flagged":$fl,"ratios":$rs}""")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","st_append_trigger_mean":$stAppend,"st_update_earliest_trigger_mean":$stUpdate,"sf":"$sfDir","scale_flagged":${flagged.size}}""")
     spark.stop()
   }
 }
