@@ -315,36 +315,43 @@ object SimilarityOps {
     * sequential), so pre-quantization means agree to ~1e-13 and the
     * grid snap makes them bit-identical, iteration by iteration.
     */
-  def annIvfTopK(spark: SparkSession, sfDir: String, nCells: Int = 16,
-      nProbe: Int = 4, k: Int = 5): DataFrame = {
-    import spark.implicits._
-    val e = withVec(Tables.embeddings(spark, sfDir)).localCheckpoint()
-    // Quantizer training is a DRIVER-side Lloyd's loop over a bounded
-    // sample (faiss-style): 4096 x 64 doubles is ~2 MB, and centroid
-    // quality saturates long before the full corpus is seen — at
-    // 100 TB a distributed fit would spend its time on job scheduling,
-    // not math. Sample order is made deterministic by vec_id.
+  /** Strict-< first-wins argmin cell — the tiebreak the SQL replay
+    * mirrors as `row_number() ORDER BY dist, cell`.
+    */
+  private def nearestCell(cs: Array[Array[Double]],
+      v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** DRIVER-side Lloyd's training of the IVF coarse quantizer over a
+    * bounded sample (faiss-style): 4096 x 64 doubles is ~2 MB, and
+    * centroid quality saturates long before the full corpus is seen —
+    * at 100 TB a distributed fit would spend its time on job
+    * scheduling, not math. Sample order is deterministic by vec_id;
+    * centroids snap to the 1e-6 grid each iteration so the SQL replay
+    * ([[ivfTrainSql]]) lands bit-identical. Shared by [[annIvfTopK]]
+    * and [[annIvfPqTopK]].
+    */
+  private def trainIvfCentroids(e: DataFrame, nCells: Int,
+      iters: Int = 5): Array[Array[Double]] = {
     val sample: Array[Array[Double]] = e.orderBy("vec_id").limit(4096)
       .select("vec").collect().map(_.getSeq[Double](0).toArray)
     val dim = sample.head.length
     val stride = math.max(1, sample.length / nCells)
     var cents: Array[Array[Double]] = Array.tabulate(nCells)(i =>
       sample((i * stride) % sample.length).clone())
-    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    for (_ <- 0 until 5) {
+    for (_ <- 0 until iters) {
       val sums = Array.fill(nCells)(new Array[Double](dim))
       val cnts = new Array[Long](nCells)
       sample.foreach { v =>
-        val b = nearest(cents, v)
+        val b = nearestCell(cents, v)
         cnts(b) += 1
         val s = sums(b); var i = 0
         while (i < dim) { s(i) += v(i); i += 1 }
@@ -356,11 +363,19 @@ object SimilarityOps {
           math.floor(m * 1e6 + 0.5) / 1e6
         })
     }
+    cents
+  }
+
+  def annIvfTopK(spark: SparkSession, sfDir: String, nCells: Int = 16,
+      nProbe: Int = 4, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val cents = trainIvfCentroids(e, nCells)
     // corpus assignment: one map stage over broadcast centroids — no
     // shuffle, no per-row ML pipeline machinery
     val bcCents = spark.sparkContext.broadcast(cents)
     val bestCell = udf { (v: Seq[Double]) =>
-      nearest(bcCents.value, v.toArray)
+      nearestCell(bcCents.value, v.toArray)
     }
     val assigned = e
       .select(col("vec_id"), col("vec"), col("norm"),
@@ -402,17 +417,24 @@ object SimilarityOps {
     * summed in vec_id order and snapped to the 1e-6 grid. Validated
     * hash-identical against the Spark result at sf0.01 and sf0.1.
     */
-  val annIvfTopKSql: String = {
-    val nCells = 16; val nProbe = 4; val k = 5; val iters = 5
-    def d2(v: String, c: String): String =
-      s"list_sum(list_transform(range(64), i -> " +
-        s"($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1])))"
+  private def ivfD2(v: String, c: String): String =
+    s"list_sum(list_transform(range(64), i -> " +
+      s"($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1])))"
+
+  /** Shared WITH-clause body replaying the driver-side IVF training
+    * and corpus assignment in SQL: defines `e` (vectors + norms),
+    * the unrolled Lloyd iterations ending at `cents$iters`,
+    * `assigned` (vec_id, vec, norm, cell) and `probed` (qid, cell —
+    * each query's nProbe nearest cells). Used by [[annIvfTopKSql]]
+    * and [[annIvfPqTopKSql]] so the two oracles replay ONE index.
+    */
+  private def ivfTrainSql(nCells: Int, nProbe: Int, iters: Int): String = {
     val unroll = (0 until iters).map { kk =>
       s"""assign$kk AS (
          |  SELECT vec_id, vec, cell FROM (
          |    SELECT s.vec_id, s.vec, c.cell,
          |      row_number() OVER (PARTITION BY s.vec_id
-         |        ORDER BY ${d2("s.vec", "c.cent")} ASC, c.cell ASC) AS rn
+         |        ORDER BY ${ivfD2("s.vec", "c.cent")} ASC, c.cell ASC) AS rn
          |    FROM sampn s, cents$kk c)
          |  WHERE rn = 1),
          |means$kk AS (
@@ -427,7 +449,7 @@ object SimilarityOps {
          |     GROUP BY cell) nc
          |    ON nc.cell = p.cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH dims AS (SELECT unnest(range(64)) AS d),
+    s"""dims AS (SELECT unnest(range(64)) AS d),
        |e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
@@ -448,17 +470,22 @@ object SimilarityOps {
        |  SELECT vec_id, vec, norm, cell FROM (
        |    SELECT e.vec_id, e.vec, e.norm, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${d2("e.vec", "c.cent")} ASC, c.cell ASC) AS rn
+       |        ORDER BY ${ivfD2("e.vec", "c.cent")} ASC, c.cell ASC) AS rn
        |    FROM e, cents$iters c)
        |  WHERE rn = 1),
        |probed AS (
        |  SELECT qid, cell FROM (
        |    SELECT q.vec_id AS qid, c.cell,
        |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${d2("q.vec", "c.cent")} ASC, c.cell ASC)
+       |        ORDER BY ${ivfD2("q.vec", "c.cent")} ASC, c.cell ASC)
        |        AS cell_rank
        |    FROM e q, cents$iters c WHERE q.vec_id < 20)
-       |  WHERE cell_rank <= $nProbe),
+       |  WHERE cell_rank <= $nProbe)""".stripMargin
+  }
+
+  val annIvfTopKSql: String = {
+    val nCells = 16; val nProbe = 4; val k = 5; val iters = 5
+    s"""WITH ${ivfTrainSql(nCells, nProbe, iters)},
        |scored AS (
        |  SELECT p.qid, a.vec_id AS nid,
        |    round(list_dot_product(q.vec, a.vec) / (q.norm * a.norm), 4) AS cos
@@ -750,6 +777,208 @@ object SimilarityOps {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** IVF-PQ ANN top-k — the composition of [[annIvfTopK]]'s coarse
+    * quantizer with [[annPqTopK]]'s product quantization, on
+    * RESIDUALS (Jégou et al. 2011 §IV: quantizing the residual
+    * `x - centroid(x)` instead of x concentrates the PQ codebook on
+    * the much smaller within-cell variance). This is the structure
+    * billion-scale systems actually deploy (faiss `IVFxx,PQyy`): the
+    * inverted lists bound the scan to nProbe cells AND the scanned
+    * entries are 4-byte codes, so a 100 TB corpus serves queries from
+    * the compressed in-memory index; ADC survivors get an exact
+    * rescore.
+    *
+    * Plan shape: training and the codebook are driver-side (bounded
+    * sample / 16 seed residuals); assignment and encoding are
+    * broadcast-literal projections; the ADC join keys on cell id
+    * against the broadcast per-(query, cell) LUTs — per-query work is
+    * |corpus| · nProbe / nCells table lookups, the IVF candidate
+    * bound with the PQ per-candidate cost. Rank windows carry the
+    * same WindowGroupLimit audit as the other ANN paths.
+    *
+    * Determinism: the coarse stage is [[trainIvfCentroids]]'s 1e-6
+    * grid Lloyd (bit-identical in SQL, proven by ann_ivf_topk);
+    * residuals snap to the shared ×10⁴ BIGINT grid — `(x - c)` is the
+    * same IEEE double in both engines, so the snap is exact — and
+    * every PQ distance after that is exact integer arithmetic.
+    * [[annIvfPqTopKSql]] replays the whole composed index.
+    *
+    * Design point: cand=100 (vs 50 for flat PQ) makes the rescore
+    * recover EVERY neighbor the coarse stage admits — recall equals
+    * ann_ivf_topk's 62/100 exactly (58 at cand=50, 62 at 100, flat
+    * beyond), so the compression stage costs nothing the probe
+    * budget hadn't already spent. 100 exact rescores per query is
+    * noise next to the ADC scan.
+    */
+  def annIvfPqTopK(spark: SparkSession, sfDir: String, nCells: Int = 16,
+      nProbe: Int = 4, m: Int = 8, ksub: Int = 16, cand: Int = 100,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val dsub = 64 / m
+    val e = withVec(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val cents = trainIvfCentroids(e, nCells)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bestCell = udf { (v: Seq[Double]) =>
+      nearestCell(bcCents.value, v.toArray)
+    }
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    // residual on the x1e4 integer grid, per corpus vector
+    val resid = e
+      .select(col("vec_id"), col("vec"), bestCell(col("vec")).as("cell"))
+      .join(broadcast(centroids), "cell")
+      .withColumn("rq", expr(
+        "zip_with(vec, centroid, (x, c) -> " +
+          "cast(floor((x - c) * 10000d + 0.5d) as bigint))"))
+      .select("vec_id", "cell", "rq")
+      .localCheckpoint() // read 3x: codebook collect, encode, queries
+    // residual codebook: subvectors of the first ksub residuals,
+    // driver-inlined (m * ksub * dsub longs, constant-folded)
+    val seeds: Array[Array[Long]] = resid.filter(col("vec_id") < ksub)
+      .select(col("vec_id"), col("rq")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).toArray)
+    val cbLit = (0 until m).map { mm =>
+      (0 until ksub).map { j =>
+        seeds(j).slice(mm * dsub, (mm + 1) * dsub)
+          .mkString("array(", "L,", "L)")
+      }.mkString("array(", ",", ")")
+    }.mkString("array(", ",", ")")
+    def subDist(vc: String): String =
+      s"""aggregate(zip_with(slice($vc, m * $dsub + 1, $dsub),
+         |        element_at(element_at($cbLit, m + 1), j + 1),
+         |        (x, y) -> (x - y) * (x - y)),
+         |      0L, (acc, v) -> acc + v)""".stripMargin
+    val codesExpr =
+      s"""transform(sequence(0, ${m - 1}), m ->
+         |  array_min(transform(sequence(0, ${ksub - 1}), j ->
+         |    struct(${subDist("rq")} as dist_q, j as code))).code)""".stripMargin
+    val coded = resid
+      .select(col("vec_id"), col("cell"), expr(codesExpr).as("codes"))
+    // per-(query, probed cell) LUT: the query's residual differs per
+    // cell, so each probed cell gets its own 8x16 exact-distance table
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qvec, centroid, (p, c) -> (p - c) * (p - c)), " +
+          "cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("cell_rank") <= nProbe)
+      .withColumn("rq", expr(
+        "zip_with(qvec, centroid, (x, c) -> " +
+          "cast(floor((x - c) * 10000d + 0.5d) as bigint))"))
+      .select(col("qid"), col("cell"), expr(
+        s"""transform(sequence(0, ${m - 1}), m ->
+           |  transform(sequence(0, ${ksub - 1}), j ->
+           |    ${subDist("rq")}))""".stripMargin).as("lut"))
+    // ADC: cell-equi join, 8 lookups per (query, in-cell doc)
+    val adc = coded.join(broadcast(probed), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adist", expr(
+        s"""aggregate(sequence(0, ${m - 1}), 0L, (acc, m) ->
+           |  acc + element_at(element_at(lut, m + 1),
+           |                   element_at(codes, m + 1) + 1))""".stripMargin))
+      .select(col("qid"), col("vec_id").as("nid"), col("adist"))
+    val wc = Window.partitionBy("qid").orderBy(asc("adist"), asc("nid"))
+    val candidates = adc.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cand)
+      .select("qid", "nid")
+    // exact rescore of the surviving candidates only
+    val qv = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec2"),
+        col("norm").as("qnorm"))
+    val nv = e.select(col("vec_id").as("nid"), col("vec").as("nvec"),
+      col("norm").as("nnorm"))
+    val scored = candidates.join(broadcast(qv), Seq("qid"))
+      .join(nv, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine("qvec2", "nvec"), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB replay of [[annIvfPqTopK]] (16 cells / 4 probes / 8
+    * subspaces x 16 codewords / 100 ADC candidates / k=5): the shared
+    * [[ivfTrainSql]] prefix reproduces the coarse index bit-identical,
+    * then residuals, codebook, codes, per-(query, cell) LUTs, ADC and
+    * the exact rescore are all relational over exact BIGINTs.
+    */
+  val annIvfPqTopKSql: String = {
+    val nCells = 16; val nProbe = 4; val m = 8; val ksub = 16
+    val dsub = 8; val cand = 100; val k = 5; val iters = 5
+    s"""WITH ${ivfTrainSql(nCells, nProbe, iters)},
+       |resid AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(64), i ->
+       |      floor((a.vec[i+1] - ct.cent[i+1]) * 10000.0 + 0.5)::BIGINT)
+       |      AS rq
+       |  FROM assigned a JOIN cents$iters ct ON ct.cell = a.cell),
+       |ms AS (SELECT unnest(range($m)) AS m),
+       |cb AS (
+       |  SELECT ms.m, r.vec_id AS j,
+       |    r.rq[ms.m * $dsub + 1 : ms.m * $dsub + $dsub] AS cvec
+       |  FROM resid r, ms WHERE r.vec_id < $ksub),
+       |dists AS (
+       |  SELECT r.vec_id, r.cell, cb.m, cb.j,
+       |    list_sum(list_transform(range(1, $dsub + 1), i ->
+       |      (r.rq[cb.m * $dsub + i] - cb.cvec[i])
+       |      * (r.rq[cb.m * $dsub + i] - cb.cvec[i])))::BIGINT AS dist_q
+       |  FROM resid r, cb),
+       |codes AS (
+       |  SELECT vec_id, cell, m, j AS code FROM (
+       |    SELECT vec_id, cell, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist_q ASC, j ASC) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1),
+       |qresid AS (
+       |  SELECT p.qid, p.cell,
+       |    list_transform(range(64), i ->
+       |      floor((q.vec[i+1] - ct.cent[i+1]) * 10000.0 + 0.5)::BIGINT)
+       |      AS rq
+       |  FROM probed p
+       |  JOIN e q ON q.vec_id = p.qid
+       |  JOIN cents$iters ct ON ct.cell = p.cell),
+       |lut AS (
+       |  SELECT qr.qid, qr.cell, cb.m, cb.j,
+       |    list_sum(list_transform(range(1, $dsub + 1), i ->
+       |      (qr.rq[cb.m * $dsub + i] - cb.cvec[i])
+       |      * (qr.rq[cb.m * $dsub + i] - cb.cvec[i])))::BIGINT AS dist_q
+       |  FROM qresid qr, cb),
+       |adc AS (
+       |  SELECT l.qid, c2.vec_id AS nid, sum(l.dist_q)::BIGINT AS adist
+       |  FROM codes c2
+       |  JOIN lut l ON l.cell = c2.cell AND l.m = c2.m AND l.j = c2.code
+       |  WHERE l.qid != c2.vec_id
+       |  GROUP BY l.qid, c2.vec_id),
+       |cands AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY adist ASC, nid ASC) AS crank
+       |    FROM adc)
+       |  WHERE crank <= $cand),
+       |scored AS (
+       |  SELECT cands.qid, cands.nid,
+       |    round(list_dot_product(q.vec, n.vec) / (q.norm * n.norm), 4) AS cos
+       |  FROM cands
+       |  JOIN e q ON q.vec_id = cands.qid
+       |  JOIN e n ON n.vec_id = cands.nid)
+       |SELECT qid, nid, rank, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)
+       |      AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** Symmetric int8 quantization per vector — the standard compression
     * step before shipping embeddings to an ANN index or training job
     * (4x smaller than float32, 8x than the double staging form). Scale
@@ -805,5 +1034,7 @@ object SimilarityOps {
     ("emb_semdedup", (s: SparkSession, d: String) => embSemDedup(s, d),
       embSemDedupSql),
     ("ann_pq_topk", (s: SparkSession, d: String) => annPqTopK(s, d),
-      annPqTopKSql))
+      annPqTopKSql),
+    ("ann_ivfpq_topk", (s: SparkSession, d: String) => annIvfPqTopK(s, d),
+      annIvfPqTopKSql))
 }

@@ -71,6 +71,28 @@ class AnnSpec extends SparkSuite {
     assert(lsh.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 5))
   }
 
+  test("IVF-PQ top-k achieves the coarse-stage recall against brute force") {
+    val brute = SimilarityOps.annBruteTopK(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ipq = SimilarityOps.annIvfPqTopK(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    info(s"IVF-PQ recall = ${(brute & ipq).size}/${brute.size}")
+    // PINNED golden (see LSH note): with cand=100 the exact rescore
+    // recovers every neighbor the 4/16-probe coarse stage admits, so
+    // recall equals ann_ivf_topk's 62/100 exactly — the PQ compression
+    // stage costs zero recall at this design point. A value below 62
+    // means the residual codebook/ADC regressed; above is impossible
+    // without touching the coarse stage.
+    assert(brute.size == 100, s"brute set ${brute.size} != 100")
+    assert((brute & ipq).size == 62,
+      s"IVF-PQ recall ${(brute & ipq).size}/100 != pinned 62/100")
+    assert(ipq.forall { case (q, n) => q != n })
+  }
+
   test("near-dup pairs are invariant to the label-block split bound") {
     // the block-pair tiling only relocates pairwise work across tasks;
     // the pair set must be identical at any bound — including 1 (every
