@@ -504,7 +504,61 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus-statistics token-rarity scoring — the oracle-exact
+    * stand-in for LM-perplexity quality filtering (the CCNet recipe:
+    * score each document by how surprising its tokens are under a
+    * corpus-level model, then review/drop both tails). The per-token
+    * score here is the INTEGER floor-log10 IDF — the decimal digit
+    * count of `total_tokens div token_count` — so the whole pipeline
+    * is exact BIGINT arithmetic and hash-compares against the oracle;
+    * a real deployment swaps an LM logprob per token into the same
+    * plan (transcendental logs diverge at the final ulp across
+    * engines, which is why the catalog twin is the integer form).
+    *
+    * Scale shape: one explode + hash-agg builds the vocabulary (tiny
+    * vs the corpus; AQE broadcasts it), the exploded tokens join it,
+    * and a per-doc re-aggregation folds the scores. Two data-sized
+    * shuffles — (token), then (doc_id) — everything else codegen.
+    */
+  def textIdfRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totalDf = counts.agg(sum("cnt").as("total"))
+    val vocab = counts.crossJoin(broadcast(totalDf))
+      .withColumn("rare",
+        length(expr("cast(total div cnt as string)")).cast("long"))
+      .select("tok", "rare")
+    toks.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("rare").as("rare_sum"))
+      .withColumn("mean_rare_e4",
+        expr("(rare_sum * 10000L + n_tokens div 2) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val textIdfRaritySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |counts AS (
+      |  SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+      |vocab AS (
+      |  SELECT tok,
+      |    length(((SELECT sum(cnt)::BIGINT FROM counts) // cnt)::VARCHAR)
+      |      ::BIGINT AS rare
+      |  FROM counts)
+      |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+      |  sum(v.rare)::BIGINT AS rare_sum,
+      |  (sum(v.rare)::BIGINT * 10000 + count(*) // 2) // count(*)
+      |    AS mean_rare_e4
+      |FROM toks t JOIN vocab v ON v.tok = t.tok
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("text_idf_rarity", textIdfRarity _, textIdfRaritySql),
     ("text_tokens", textTokens _, textTokensSql),
     ("text_quality", textQuality _, textQualitySql),
     ("text_langid", textLangId _, textLangIdSql),
