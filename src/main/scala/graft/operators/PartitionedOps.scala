@@ -89,7 +89,62 @@ object PartitionedOps {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Z-order (Morton-curve) layout statistics — the multi-dimensional
+    * counterpart of the date layout above (Delta/Iceberg `OPTIMIZE
+    * ZORDER BY`): interleaving the bits of two filter columns gives a
+    * 1-D sort key whose contiguous ranges are small 2-D tiles, so
+    * per-file min/max stats prune range predicates on BOTH columns —
+    * a single-column sort gives tight bounds on one dimension and
+    * useless full-range bounds on the other. The operator emits what
+    * the layout decision actually consumes: per-tile (top 8 bits of a
+    * 32-bit Morton code) row counts and bounding boxes over
+    * (l_partkey, l_suppkey); tight boxes = effective pruning.
+    *
+    * Everything is exact integer bit arithmetic (shift/mask/interleave
+    * folded over 16 bit positions), so the DuckDB oracle replays it
+    * verbatim. Scale: one codegen projection + one 256-group hash agg;
+    * the actual re-write at 100 TB is `sort by zcode` into files —
+    * the same repartitionByRange shape as the bucketed layouts.
+    */
+  def q57ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val morton =
+      """aggregate(sequence(0, 15), 0L, (acc, i) ->
+        |  acc + shiftleft(shiftright(x, i) & 1L, 2 * i)
+        |      + shiftleft(shiftright(y, i) & 1L, 2 * i + 1))""".stripMargin
+    Tables.lineitem(spark, sfDir)
+      .select((col("l_partkey") % 65536L).as("x"),
+        (col("l_suppkey") % 65536L).as("y"))
+      .withColumn("zcode", expr(morton))
+      .withColumn("tile", expr("zcode div 16777216")) // top 8 bits
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .withColumn("bbox_area",
+        (col("max_x") - col("min_x") + 1L) *
+          (col("max_y") - col("min_y") + 1L))
+      .orderBy("tile")
+  }
+
+  val q57Sql: String =
+    """WITH z AS (
+      |  SELECT x, y,
+      |    list_sum(list_transform(range(16), i ->
+      |      (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))
+      |    ))::BIGINT AS zcode
+      |  FROM (
+      |    SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+      |    FROM lineitem))
+      |SELECT zcode // 16777216 AS tile, count(*)::BIGINT AS n,
+      |  min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+      |  min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y,
+      |  ((max(x) - min(x) + 1) * (max(y) - min(y) + 1))::BIGINT AS bbox_area
+      |FROM z
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q29_partition_pruning", q29PartitionPruning _, q29Sql),
-    ("q30_dynamic_pruning", q30DynamicPruning _, q30Sql))
+    ("q30_dynamic_pruning", q30DynamicPruning _, q30Sql),
+    ("q57_zorder_layout", q57ZorderLayout _, q57Sql))
 }
