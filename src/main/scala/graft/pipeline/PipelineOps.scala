@@ -226,6 +226,61 @@ object PipelineOps {
        |FROM s JOIN o ON o.lang = s.lang AND o.shard = s.shard
        |ORDER BY s.lang, s.doc_id""".stripMargin
 
+  /** Sliding-window document chunking — the context-window prep step
+    * shared by RAG ingestion and long-document pretraining: each doc
+    * is cut into windows of `chunkTokens` with stride `strideTokens`
+    * (overlap = chunk - stride keeps boundary context in two chunks).
+    * Unlike [[packChunks]] (which concatenates docs into a global
+    * token stream), chunking is per-document, so it needs NO global
+    * state at all: one explode over a sequence of chunk starts — pure
+    * codegen, embarrassingly parallel, zero shuffles before the
+    * presentation sort.
+    *
+    * Chunk count is `1 + ceil(max(0, n - chunk) / stride)` — always at
+    * least one chunk (short docs emit themselves), and a trailing
+    * window shorter than `chunk` is emitted iff it extends past the
+    * previous window's end. All exact integer arithmetic. Defaults
+    * are sized to the synthetic corpus (docs are 10-99 tokens, so
+    * 32/24 makes most docs multi-chunk); production values (512/384,
+    * 8192/6144…) are the same algebra.
+    */
+  def chunkSliding(spark: SparkSession, sfDir: String,
+      chunkTokens: Long = 32L, strideTokens: Long = 24L): DataFrame =
+    tokenCounts(spark, sfDir)
+      .withColumn("n_chunks", expr(
+        s"1L + (greatest(n_tokens - $chunkTokens, 0L) + $strideTokens - 1L)" +
+          s" div $strideTokens"))
+      .withColumn("chunk_id", explode(expr("sequence(0L, n_chunks - 1L)")))
+      .withColumn("start_tok", col("chunk_id") * strideTokens)
+      .withColumn("end_tok",
+        least(col("start_tok") + chunkTokens, col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_id"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+
+  val chunkSlidingSql: String = {
+    val c = 32L; val s = 24L
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, n_tokens,
+       |    1 + (greatest(n_tokens - $c, 0) + $s - 1) // $s AS n_chunks
+       |  FROM t),
+       |x AS (
+       |  SELECT doc_id, n_tokens,
+       |    unnest(range(n_chunks))::BIGINT AS chunk_id
+       |  FROM n)
+       |SELECT doc_id, n_tokens, chunk_id,
+       |  (chunk_id * $s)::BIGINT AS start_tok,
+       |  least(chunk_id * $s + $c, n_tokens)::BIGINT AS end_tok,
+       |  (least(chunk_id * $s + $c, n_tokens) - chunk_id * $s)::BIGINT
+       |    AS n_chunk_tokens
+       |FROM x
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   /** SCD2 history build from an event stream: collapse each user's
     * consecutive same-event_type runs into validity intervals
     * [valid_from, valid_to) with an is_current flag — the standard
@@ -637,6 +692,9 @@ object PipelineOps {
       ("pipe_pack_nextfit_sharded",
         ((s: SparkSession, d: String) => packNextFitSharded(s, d)),
         packNextFitShardedSql),
+      ("pipe_chunk_sliding",
+        ((s: SparkSession, d: String) => chunkSliding(s, d)),
+        chunkSlidingSql),
       ("pipe_scd2_user_state", scd2UserState _, scd2UserStateSql),
       ("pipe_cdc_merge", cdcMergeUpsert _, cdcMergeUpsertSql),
       ("pipe_pii_redact", piiRedact _, piiRedactSql),

@@ -94,6 +94,40 @@ class PipelineSpec extends SparkSuite {
     assert(whole.exceptAll(serial).isEmpty && serial.exceptAll(whole).isEmpty)
   }
 
+  test("sliding chunks tile each doc with the exact stride/overlap algebra") {
+    val c = 32L; val s = 24L
+    val expected = docTokens.flatMap { case (id, n) =>
+      val nChunks = 1L + (math.max(n - c, 0L) + s - 1L) / s
+      (0L until nChunks).map { i =>
+        val start = i * s
+        val end = math.min(start + c, n)
+        (id, n, i, start, end, end - start)
+      }
+    }.toSeq
+    val got = PipelineOps.chunkSliding(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // structural invariants a shared off-by-one could not satisfy:
+    // full coverage (last chunk ends at n), every token in >=1 chunk,
+    // consecutive chunks overlap by exactly chunk - stride while the
+    // doc is long enough, and every doc emits at least one chunk
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._3)
+      val n = sorted.head._2
+      assert(sorted.last._5 == n, s"doc $id: coverage ends early")
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._4 < a._5, s"doc $id: gap between chunks")
+        case _ => ()
+      }
+      // the fixture exercises multi-chunk docs
+    }
+    assert(got.groupBy(_._1).values.exists(_.size > 1),
+      "fixture has no multi-chunk doc — stride untested")
+  }
+
   test("scd2 intervals tile each user's history without gaps or overlap") {
     val rows = PipelineOps.scd2UserState(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
