@@ -57,16 +57,23 @@ object Bench {
     // the total; the r4→r5 history showed 2× swings on the heavy queries
     // from exactly that. The min of three runs measures the engine, not
     // the neighbor's I/O.
+    // a failed query records -1, NOT its elapsed time: an instant
+    // failure would otherwise read as a very fast legitimate run and
+    // poison the scale ratios below with false superlinear flags
     def timedPass(dir: String): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, dir).count(); true }
+        catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         dropCheckpoints()
-        name -> dt
+        name -> (if (ok) dt else -1.0)
       }
     def minOf(passes: Seq[Map[String, Double]]): Map[String, Double] =
-      passes.head.keys.map(k => k -> passes.map(_(k)).min).toMap
+      passes.head.keys.map { k =>
+        val good = passes.map(_(k)).filter(_ >= 0)
+        k -> (if (good.nonEmpty) good.min else -1.0)
+      }.toMap
     val results = minOf(Seq.fill(3)(timedPass(sfDir)))
 
     // Two-point scale check: rerun the catalog at a 10× smaller SF and
@@ -78,19 +85,29 @@ object Bench {
     // 0.05 s → 0.8 s fixed-overhead jump on a trivial query cannot
     // false-alarm, while anything genuinely superlinear (which IS slow
     // at the big SF by definition) cannot hide.
+    val ScaleFlagRatio = 15.0
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHECK_DIR",
       if (sfDir.endsWith("sf0.1")) sfDir.stripSuffix("sf0.1") + "sf0.01"
       else "")
     val scaleRatios: Map[String, Double] =
       if (smallDir.nonEmpty && smallDir != sfDir &&
           new java.io.File(smallDir).isDirectory) {
+        // the small SF gets the same one-time layout setup the big SF
+        // got, so q26/q29/q30's first small pass doesn't pay a parquet
+        // write inside its timed window and bias the ratio
+        try graft.operators.BucketedOps.ensureBucketed(spark, smallDir)
+        catch { case _: Throwable => () }
+        try graft.operators.PartitionedOps.ensurePartitioned(spark, smallDir)
+        catch { case _: Throwable => () }
         val small = minOf(Seq.fill(2)(timedPass(smallDir)))
-        results.map { case (k, big) =>
-          k -> math.round(big / math.max(small(k), 1e-3) * 100.0) / 100.0
+        results.collect {
+          // a failed side (-1) yields no ratio rather than a fake one
+          case (k, big) if big >= 0 && small(k) >= 0 =>
+            k -> math.round(big / math.max(small(k), 1e-3) * 100.0) / 100.0
         }
       } else Map.empty
     val flagged = scaleRatios
-      .filter { case (k, r) => r > 15.0 && results(k) >= 1.0 }
+      .filter { case (k, r) => r > ScaleFlagRatio && results(k) >= 1.0 }
       .keys.toSeq.sorted
     // streaming per-trigger latency A/B — the reference's headline
     // experiment (BASELINE.md: append 70.40 ms mean vs update+earliest
@@ -130,7 +147,7 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(s"""{"metric":"scale_ratio","small_sf":"$smallDir","big_sf":"$sfDir","flag_threshold":15,"flagged":$fl,"ratios":$rs}""")
+      println(s"""{"metric":"scale_ratio","small_sf":"$smallDir","big_sf":"$sfDir","flag_threshold":$ScaleFlagRatio,"flagged":$fl,"ratios":$rs}""")
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","st_append_trigger_mean":$stAppend,"st_update_earliest_trigger_mean":$stUpdate,"sf":"$sfDir","scale_flagged":${flagged.size}}""")
     spark.stop()

@@ -43,6 +43,15 @@ object PipelineOps {
     */
   val DefaultShardDocs = 100L
 
+  /** Sliding-chunk window/stride shared by [[chunkSliding]] and its
+    * SQL oracle — same never-diverge rule as [[DefaultShards]]. Sized
+    * to the synthetic corpus (docs are 10-99 tokens, so 32/24 makes
+    * most docs multi-chunk); production values (512/384, 8192/6144…)
+    * are the same algebra.
+    */
+  val DefaultChunkTokens = 32L
+  val DefaultChunkStride = 24L
+
   private def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
@@ -239,13 +248,11 @@ object PipelineOps {
     * Chunk count is `1 + ceil(max(0, n - chunk) / stride)` — always at
     * least one chunk (short docs emit themselves), and a trailing
     * window shorter than `chunk` is emitted iff it extends past the
-    * previous window's end. All exact integer arithmetic. Defaults
-    * are sized to the synthetic corpus (docs are 10-99 tokens, so
-    * 32/24 makes most docs multi-chunk); production values (512/384,
-    * 8192/6144…) are the same algebra.
+    * previous window's end. All exact integer arithmetic.
     */
   def chunkSliding(spark: SparkSession, sfDir: String,
-      chunkTokens: Long = 32L, strideTokens: Long = 24L): DataFrame =
+      chunkTokens: Long = DefaultChunkTokens,
+      strideTokens: Long = DefaultChunkStride): DataFrame =
     tokenCounts(spark, sfDir)
       .withColumn("n_chunks", expr(
         s"1L + (greatest(n_tokens - $chunkTokens, 0L) + $strideTokens - 1L)" +
@@ -260,7 +267,7 @@ object PipelineOps {
       .orderBy("doc_id", "chunk_id")
 
   val chunkSlidingSql: String = {
-    val c = 32L; val s = 24L
+    val c = DefaultChunkTokens; val s = DefaultChunkStride
     s"""WITH t AS (
        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
        |  FROM documents),

@@ -48,6 +48,38 @@ object SimilarityOps {
   private def cosine(a: String, b: String): Column =
     graft.functions.CosineSimilarity.cosineSim(col(a), col(b))
 
+  /** Block-pair tiled pairwise self-join — the hot-key straggler fix
+    * shared by [[embeddingNearDup]] and [[embSemDedup]]. Rows get a
+    * block id monotone in vec_id within their `key` group (`sb = rank
+    * div blockSize`); the lower side of a pair replicates to tiles
+    * (sb, q) for q >= sb, the upper side to (p, sb) for p <= sb, and
+    * the join keys on (key, p, q). Because blocks follow vec_id order,
+    * every a.vec_id < b.vec_id pair lands in EXACTLY one tile of at
+    * most blockSize² work — the pair set (and any result computed from
+    * it) is bit-identical for every bound, while the biggest shuffle
+    * task shrinks from O(group²) to O(blockSize²). Tiles of a
+    * well-split group collapse to the single (0, 0) tile, so small
+    * groups pay nothing; the block-id pass itself is one linear
+    * window. Returns (blocked rows, joined pairs aliased "a"/"b").
+    */
+  private def pairsWithinKey(df: DataFrame, key: String,
+      blockSize: Int): (DataFrame, DataFrame) = {
+    val byKey = Window.partitionBy(key)
+    val blocked = df
+      .withColumn("sb",
+        ((row_number().over(byKey.orderBy("vec_id")) - 1)
+          / blockSize).cast("int"))
+      .withColumn("maxsb", max("sb").over(byKey))
+      .localCheckpoint() // both tile sides read the blocked rows once
+    val aSide = blocked.withColumn("tq", explode(expr("sequence(sb, maxsb)")))
+    val bSide = blocked.withColumn("tp", explode(expr("sequence(0, sb)")))
+    val pairs = aSide.as("a").join(bSide.as("b"),
+      col(s"a.$key") === col(s"b.$key") &&
+        col("a.sb") === col("b.tp") && col("a.tq") === col("b.sb") &&
+        col("a.vec_id") < col("b.vec_id"))
+    (blocked, pairs)
+  }
+
   /** Exact brute-force top-5 cosine neighbors for query vectors
     * (vec_id < 20). Queries are broadcast; ranking uses the rounded
     * cosine with vec_id tiebreak so result sets are deterministic
@@ -101,20 +133,10 @@ object SimilarityOps {
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String,
       blockSize: Int = 64): DataFrame = {
-    val byLabel = Window.partitionBy("label")
     val e = withVec(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("label"), col("vec"), col("norm"))
-      .withColumn("sb",
-        ((row_number().over(byLabel.orderBy("vec_id")) - 1)
-          / blockSize).cast("int"))
-      .withColumn("maxsb", max("sb").over(byLabel))
-      .localCheckpoint() // both tile sides read the blocked rows once
-    val aSide = e.withColumn("tq", explode(expr("sequence(sb, maxsb)")))
-    val bSide = e.withColumn("tp", explode(expr("sequence(0, sb)")))
-    aSide.as("a").join(bSide.as("b"),
-        col("a.label") === col("b.label") &&
-          col("a.sb") === col("b.tp") && col("a.tq") === col("b.sb") &&
-          col("a.vec_id") < col("b.vec_id"))
+    val (_, pairs) = pairsWithinKey(e, "label", blockSize)
+    pairs
       .withColumn("cos", round(cosine("a.vec", "b.vec"), 4))
       .filter(col("cos") >= 0.3)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
@@ -557,30 +579,15 @@ object SimilarityOps {
           lit(0L), (acc, v) => acc + v).as("dist_q"),
         lit(cid).as("cid"))
     }
-    // second-level split: block id within the cluster (monotone in
-    // vec_id) and the cluster's max block, so each side can explode to
-    // exactly the tiles it participates in
-    val byCluster = Window.partitionBy("cluster")
-    val blocked = e
+    // second-level split: the shared block-pair tiling
+    // ([[pairsWithinKey]]) bounds any hot cluster's pairwise work to
+    // blockSize² per tile without changing the pair set
+    val assigned = e
       .withColumn("cluster",
         array_min(array(candidates.toIndexedSeq: _*)).getField("cid"))
       .select("vec_id", "cluster", "vec", "norm")
-      .withColumn("sb",
-        ((row_number().over(byCluster.orderBy("vec_id")) - 1)
-          / blockSize).cast("int"))
-      .withColumn("maxsb", max("sb").over(byCluster))
-      .localCheckpoint() // both sides of the tile join read it once
-    // a-side owns tiles (sb, q) for q >= sb; b-side tiles (p, sb) for
-    // p <= sb — a.vec_id < b.vec_id implies sb_a <= sb_b, so each pair
-    // meets in exactly one (cluster, p, q) tile of bounded size
-    val aSide = blocked
-      .withColumn("tq", explode(expr("sequence(sb, maxsb)")))
-    val bSide = blocked
-      .withColumn("tp", explode(expr("sequence(0, sb)")))
-    val dom = aSide.as("a").join(bSide.as("b"),
-        col("a.cluster") === col("b.cluster") &&
-          col("a.sb") === col("b.tp") && col("a.tq") === col("b.sb") &&
-          col("a.vec_id") < col("b.vec_id"))
+    val (blocked, pairs) = pairsWithinKey(assigned, "cluster", blockSize)
+    val dom = pairs
       .withColumn("cos", round(cosine("a.vec", "b.vec"), 4))
       .filter(col("cos") >= tau)
       .groupBy(col("b.vec_id").as("vec_id"))
