@@ -65,6 +65,21 @@ class AnnSpec extends SparkSuite {
     assert(pq.forall { case (q, n) => q != n })
   }
 
+  test("LSH candidate fraction is pinned — the cost of the recall knob") {
+    // recall and candidate fraction move together on the uniform
+    // fixture (no cluster structure to exploit), so the fraction the
+    // 73/100 recall BUYS is pinned right next to it: k=corpus makes
+    // the rank filter a no-op, so the result set IS the candidate set.
+    // If an index change silently probes more of the corpus, this
+    // count moves even when recall doesn't — the "brute force wearing
+    // an index" regression the round-6 design note warned about.
+    val n = 500
+    val cands = SimilarityOps.annLshTopK(spark, sf0001, k = n).count()
+    val fracE4 = cands * 10000 / (20L * n)
+    info(s"LSH candidates = $cands / ${20 * n} (${fracE4} bp)")
+    assert(cands == 4671, s"candidate count $cands != pinned 4671")
+  }
+
   test("LSH results are a subset of valid neighbors (no self matches)") {
     val lsh = SimilarityOps.annLshTopK(spark, sf0001).collect()
     assert(lsh.forall(r => r.getLong(0) != r.getLong(1)))

@@ -79,6 +79,25 @@ class FunnelRetentionStreamSpec extends SparkSuite {
     assert(batch.values.exists(_._4 == 3))
   }
 
+  test("funnel absorbs arbitrary disorder inside a single batch") {
+    // the processors sort by ts within a batch, so feeding the WHOLE
+    // stream as one reverse-ordered batch must still equal the batch
+    // operator — the in-batch half of the exactness contract
+    val src = new MemorySource(spark)
+    val q = FunnelRetentionStream.funnelStream(parsed(src))
+      .writeStream.format("memory").queryName("funnel_rev")
+      .outputMode("update").start()
+    src.add(orderedMsgs.flatten.reverse)
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.sql(
+      "select user_id, stage from funnel_rev").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = EventWindows.funnel(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(fin == batch)
+  }
+
   test("streaming retention cells aggregate to the batch retention matrix") {
     val src = new MemorySource(spark)
     val q = FunnelRetentionStream.retentionCells(parsed(src))
