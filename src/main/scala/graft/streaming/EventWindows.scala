@@ -276,8 +276,61 @@ object EventWindows {
        |ORDER BY cells.cohort_week, cells.week_offset""".stripMargin
   }
 
+  /** 3-sigma anomaly flags over the hourly event series — the
+    * monitoring pass a pipeline runs on its own throughput (traffic
+    * spike, dead producer). The test `|x - μ| > 3σ` is evaluated
+    * ENTIRELY in cross-multiplied integers: with per-type hour counts
+    * c_i, S = Σc, Q = Σc², n hours, sample variance σ² =
+    * (nQ - S²) / (n(n-1)) and deviation (x - μ)² = (nx - S)²/n², the
+    * flag is `(nx - S)²·(n-1) > 9·n·(nQ - S²)` — no float stddev, no
+    * sqrt, no rounding boundary, so both engines agree bit-for-bit.
+    * (Magnitude bound: exact while count·hours < ~3·10⁹ per type —
+    * beyond that the same algebra runs in DECIMAL(38).)
+    *
+    * Scale shape: the hourly rollup is one (window, type) shuffle with
+    * map-side combine; the per-type moments are an O(types) aggregate
+    * broadcast back — output is O(hours · types), never O(events).
+    */
+  def anomalyHours(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("hour_us"),
+        col("event_type"), col("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("n").as("s"),
+        sum(col("n") * col("n")).as("q"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("dev_n", col("n_hours") * col("n") - col("s"))
+      .withColumn("lhs", col("dev_n") * col("dev_n") * (col("n_hours") - 1L))
+      .withColumn("rhs",
+        lit(9L) * col("n_hours") *
+          (col("n_hours") * col("q") - col("s") * col("s")))
+      .withColumn("is_anomaly", col("lhs") > col("rhs"))
+      .select("event_type", "hour_us", "n", "is_anomaly")
+      .orderBy("event_type", "hour_us")
+  }
+
+  val anomalyHoursSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_hours,
+      |    sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS q
+      |  FROM hourly GROUP BY event_type)
+      |SELECT h.event_type, h.hour_us, h.n,
+      |  (st.n_hours * h.n - st.s) * (st.n_hours * h.n - st.s)
+      |    * (st.n_hours - 1)
+      |    > 9 * st.n_hours * (st.n_hours * st.q - st.s * st.s)
+      |    AS is_anomaly
+      |FROM hourly h JOIN stats st ON st.event_type = h.event_type
+      |ORDER BY h.event_type, h.hour_us""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ev_hourly_window", hourlyWindow _, hourlyWindowSql),
+    ("ev_anomaly_hours", anomalyHours _, anomalyHoursSql),
     ("ev_funnel", funnel _, funnelSql),
     ("ev_retention", retention _, retentionSql),
     ("ev_sessionize",

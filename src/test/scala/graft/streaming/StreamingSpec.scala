@@ -192,6 +192,34 @@ class StreamingSpec extends SparkSuite {
     assert(out.forall(r => r.getInt(4) >= 0 && r.getInt(4) <= 3))
   }
 
+  test("anomaly flags match a BigInt driver recompute of the sigma test") {
+    val hourUs = 3600L * 1000000L
+    val evs = Tables.events(spark, sf0001)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / hourUs * hourUs))
+    val hourly = evs.groupBy(identity).map { case ((et, h), rows) =>
+      (et, h, rows.length.toLong)
+    }.toSeq
+    val expected = hourly.groupBy(_._1).flatMap { case (et, rows) =>
+      val n = BigInt(rows.length)
+      val s = BigInt(rows.map(_._3).sum)
+      val q = rows.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      rows.map { case (_, h, c) =>
+        val dev = n * c - s
+        (et, h) -> ((c, dev * dev * (n - 1) > 9 * n * (n * q - s * s)))
+      }
+    }
+    val got = EventWindows.anomalyHours(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"cell $k: got ${got(k)}, want $v")
+    }
+    // a steady synthetic series should be mostly normal, not all-true
+    assert(got.values.count(_._2) < got.size / 2)
+  }
+
   test("retention matrix matches a driver cohort recompute") {
     val weekUs = 7L * 86400L * 1000000L
     val evs = Tables.events(spark, sf0001)
