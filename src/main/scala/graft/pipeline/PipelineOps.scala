@@ -552,6 +552,59 @@ object PipelineOps {
        |ORDER BY source""".stripMargin
   }
 
+  /** Deterministic train/val/test split census — the holdout
+    * assignment every training corpus needs, as a pure function of
+    * doc_id: the first 4 hex chars of md5("split42:" || doc_id) sort
+    * against 90%/95% thresholds in 1/65536 units (0xe666/0xf333), so
+    * the split is reproducible across runs, engines, partitionings,
+    * and INSERTS (a new doc never moves an old doc's split — the
+    * property `randomSplit` cannot give, and the reason eval
+    * contamination from re-splits cannot happen). Emits the per-
+    * (lang, split) census with within-language shares in basis points
+    * so mix drift between splits is visible.
+    *
+    * Scale shape: one codegen projection + an O(langs × 3) hash agg
+    * with map-side combine; the window for language totals runs over
+    * the tiny census, never the docs.
+    */
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = substring(
+      md5(concat(lit("split42:"), col("doc_id").cast("string"))), 1, 4)
+    val census = Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(h < lit(f"${58982}%04x"), "train")
+          .when(h < lit(f"${62259}%04x"), "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+    census
+      .withColumn("lang_total",
+        sum("n").over(Window.partitionBy("lang")))
+      .withColumn("share_e4",
+        expr("(n * 10000L + lang_total div 2) div lang_total"))
+      .orderBy("lang", "split")
+  }
+
+  val trainSplitSql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CASE
+       |      WHEN substr(md5('split42:' || doc_id::VARCHAR), 1, 4)
+       |        < '${f"${58982}%04x"}' THEN 'train'
+       |      WHEN substr(md5('split42:' || doc_id::VARCHAR), 1, 4)
+       |        < '${f"${62259}%04x"}' THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM documents),
+       |census AS (
+       |  SELECT lang, split, count(*)::BIGINT AS n
+       |  FROM t GROUP BY lang, split)
+       |SELECT lang, split, n,
+       |  sum(n) OVER (PARTITION BY lang)::BIGINT AS lang_total,
+       |  ((n * 10000 + sum(n) OVER (PARTITION BY lang) // 2)
+       |    // sum(n) OVER (PARTITION BY lang))::BIGINT AS share_e4
+       |FROM census
+       |ORDER BY lang, split""".stripMargin
+
   /** Deterministic global shuffle + resharding — the "shuffle the
     * corpus before training" step, as a pure function of doc_id:
     * every doc's position in the permutation is the rank of
@@ -706,6 +759,7 @@ object PipelineOps {
       ("pipe_cdc_merge", cdcMergeUpsert _, cdcMergeUpsertSql),
       ("pipe_pii_redact", piiRedact _, piiRedactSql),
       ("pipe_domain_mix", domainMix _, domainMixSql),
+      ("pipe_train_split", trainSplit _, trainSplitSql),
       ("pipe_global_shuffle",
         ((s: SparkSession, d: String) => globalShuffle(s, d)),
         globalShuffleSql),

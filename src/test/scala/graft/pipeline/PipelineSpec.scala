@@ -200,6 +200,42 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getLong(4)).distinct.length > 1, "targets degenerate")
   }
 
+  test("train split census matches a driver md5 recompute, 90/5/5") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex4(docId: Long): String =
+      md.digest(s"split42:$docId".getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, lang) =>
+      val h = hex4(id)
+      val split =
+        if (h < f"${58982}%04x") "train"
+        else if (h < f"${62259}%04x") "val"
+        else "test"
+      (lang, split)
+    }.groupBy(identity).map { case ((lang, split), rows) =>
+      (lang, split) -> rows.length.toLong
+    }
+    val got = PipelineOps.trainSplit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    val langTotals = expected.groupBy(_._1._1)
+      .map { case (l, m) => l -> m.values.sum }
+    expected.foreach { case ((lang, split), n) =>
+      val lt = langTotals(lang)
+      val want = (n, lt, (n * 10000L + lt / 2) / lt)
+      assert(got((lang, split)) == want,
+        s"($lang, $split): got ${got((lang, split))}, want $want")
+    }
+    // realized shares must sit near the 90/5/5 targets overall
+    val byS = expected.groupBy(_._1._2).map { case (s, m) => s -> m.values.sum }
+    val total = byS.values.sum.toDouble
+    assert(byS("train") / total > 0.85 && byS("train") / total < 0.95)
+  }
+
   test("global shuffle is the md5-rank permutation, shards balanced") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
