@@ -29,4 +29,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: 32 local executor threads share this heap; 8g left the
   // heaviest sf0.1 queries GC-bound when the host was also busy.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The JDK-17 default ReservedCodeCacheSize is 240m. A bench run
+  // whole-stage-codegens the 111-query catalog 8 times (warmup + 3 big
+  // + 2+2 scale passes); once the JIT code cache fills, HotSpot stops
+  // compiling ("CodeCache is full. Compiler has been disabled.") and
+  // every later query pays an interpreted-execution floor — the uniform
+  // ~+1 s per query observed in BENCH_r07. 1g is reserved (virtual)
+  // address space, not committed memory.
+  "-XX:ReservedCodeCacheSize=1g",
 )

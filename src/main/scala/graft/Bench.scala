@@ -1,14 +1,36 @@
 package graft
 
+import org.apache.spark.metrics.source.CodegenMetrics
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every SparkEntry.queries entry against
   * SPARK_GRAFT_SF_DIR (min of three timed passes per query) and prints
-  * JSON lines: the per-query map, a two-point scale-ratio check
-  * against a 10× smaller SF, and LAST the headline totals line.
+  * JSON lines: one line per timed pass (per-query times + cumulative
+  * janino-compile counters), the per-query min map, a THREE-point
+  * scale-ratio check (sf/100, sf/10, sf), and LAST the headline line
+  * carrying everything that must survive tail truncation: totals,
+  * per-pass totals, codegen-compile counts, flagged queries, and the
+  * 10 worst scale ratios by name.
   *
   * A warmup pass (untimed) absorbs session/codegen/parquet-footer init
   * so per-query numbers measure the queries, not JVM startup.
+  *
+  * Round-7 postmortem baked in here: BENCH_r07 showed a uniform ~+1 s
+  * floor on untouched queries. Two JVM-wide mechanisms can produce
+  * exactly that signature (uniform, persists through min-of-three,
+  * worst on codegen-heavy plans):
+  *  (a) Spark's generated-class cache is a 100-entry LRU
+  *      (spark.sql.codegen.cache.maxEntries, StaticSQLConf); the
+  *      catalog holds far more than 100 codegen units, so every pass
+  *      janino-recompiles every stage inside its timed window. Fixed:
+  *      maxEntries raised to 10000 below (static conf, fresh JVM).
+  *  (b) the JIT code cache (default 240m) fills mid-run after 8 catalog
+  *      passes and HotSpot disables compilation for the rest of the
+  *      JVM's life. Fixed: -XX:ReservedCodeCacheSize=1g in build.sbt.
+  * The per-pass log lines + codegen counters printed below are the
+  * evidence trail: flat pass totals and a near-zero compile delta on
+  * passes 2..n mean both fixes hold; growing totals or thousands of
+  * recompiles per pass point straight at the guilty mechanism.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,6 +43,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Static conf; default 100 entries. The 111-query catalog compiles
+      // to several hundred whole-stage-codegen units, so the default LRU
+      // thrashes and re-runs janino for the full catalog on EVERY pass —
+      // inside the timed windows. See the object doc.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -32,10 +59,15 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
 
+    // cumulative janino compilation count for this JVM — the delta
+    // across a pass is the number of generated classes that were NOT
+    // served from the codegen cache during that pass
+    def compiles(): Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+
     // Warmup at the smallest SF: measured, this is NOT redundant with
-    // the two timed passes — dropping it raised the reported min from
+    // the timed passes — dropping it raised the reported min from
     // ~30s to ~39s on a quiet host (C2 JIT and codegen caches need the
-    // third execution to reach steady state across 80 query plans).
+    // extra execution to reach steady state across 111 query plans).
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
@@ -45,10 +77,14 @@ object Bench {
     // bucket layout is a one-time data-organization cost (written once,
     // amortized over every later join) — do it in setup so the timed
     // q26 run measures the exchange-free join, not a parquet write
-    try graft.operators.BucketedOps.ensureBucketed(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.operators.PartitionedOps.ensurePartitioned(spark, sfDir)
-    catch { case _: Throwable => () }
+    def layoutSetup(dir: String): Unit = {
+      try graft.operators.BucketedOps.ensureBucketed(spark, dir)
+      catch { case _: Throwable => () }
+      try graft.operators.PartitionedOps.ensurePartitioned(spark, dir)
+      catch { case _: Throwable => () }
+    }
+    layoutSetup(sfDir)
+    println(s"""{"metric":"warmup_done","codegen_compiles":${compiles()}}""")
 
     // Three timed passes at the target SF, reporting the per-query MIN:
     // steady-state throughput. A single pass is hostage to whatever else
@@ -60,8 +96,9 @@ object Bench {
     // a failed query records -1, NOT its elapsed time: an instant
     // failure would otherwise read as a very fast legitimate run and
     // poison the scale ratios below with false superlinear flags
-    def timedPass(dir: String): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+    def timedPass(dir: String, idx: Int): Map[String, Double] = {
+      val c0 = compiles()
+      val pass = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, dir).count(); true }
         catch { case _: Throwable => false }
@@ -69,46 +106,66 @@ object Bench {
         dropCheckpoints()
         name -> (if (ok) dt else -1.0)
       }
+      // one diagnostic line per pass: per-query times so cross-round
+      // regressions can be attributed to a pass (JVM decay shows as
+      // pass-1<pass-2<pass-3; host noise as one outlier pass), and the
+      // compile delta so codegen-cache thrash is measured, not guessed
+      val qs = pass.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+        .mkString("{", ",", "}")
+      val total = pass.values.filter(_ >= 0).sum
+      println(s"""{"metric":"pass","dir":"$dir","idx":$idx,"total":${math.round(total * 100) / 100.0},"codegen_compile_delta":${compiles() - c0},"queries":$qs}""")
+      pass
+    }
     def minOf(passes: Seq[Map[String, Double]]): Map[String, Double] =
       passes.head.keys.map { k =>
         val good = passes.map(_(k)).filter(_ >= 0)
         k -> (if (good.nonEmpty) good.min else -1.0)
       }.toMap
-    val results = minOf(Seq.fill(3)(timedPass(sfDir)))
+    val bigPasses = (1 to 3).map(i => timedPass(sfDir, i))
+    val results = minOf(bigPasses)
+    val passTotals = bigPasses.map(p => math.round(p.values.filter(_ >= 0).sum * 100) / 100.0)
 
-    // Two-point scale check: rerun the catalog at a 10× smaller SF and
-    // flag any query whose min-time ratio exceeds 15× (10× data plus
-    // margin). Plan-shape audits argue no query is superlinear; this
-    // MEASURES it — a quadratic candidate join or a driver-side loop
-    // shows up as a ratio, not an opinion. All ratios are reported;
-    // flagging additionally requires the big-SF time to be >= 1 s so a
+    // THREE-point scale check: rerun the catalog at 10× and 100× smaller
+    // SFs and flag any query whose big/mid min-time ratio exceeds 15×
+    // (10× data plus margin). Plan-shape audits argue no query is
+    // superlinear; this MEASURES it — a quadratic candidate join or a
+    // driver-side loop shows up as a ratio, not an opinion. The third
+    // point (mid/small ratio) separates fixed per-query overhead (ratio
+    // ≈1 at small SFs, where data cost is negligible) from real
+    // superlinearity (ratio grows at BOTH steps) — a 2-point check
+    // cannot tell those apart, which is exactly how the r7 floor hid.
+    // Flagging additionally requires the big-SF time to be >= 1 s so a
     // 0.05 s → 0.8 s fixed-overhead jump on a trivial query cannot
     // false-alarm, while anything genuinely superlinear (which IS slow
     // at the big SF by definition) cannot hide.
     val ScaleFlagRatio = 15.0
-    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHECK_DIR",
-      if (sfDir.endsWith("sf0.1")) sfDir.stripSuffix("sf0.1") + "sf0.01"
-      else "")
-    val scaleRatios: Map[String, Double] =
-      if (smallDir.nonEmpty && smallDir != sfDir &&
-          new java.io.File(smallDir).isDirectory) {
-        // the small SF gets the same one-time layout setup the big SF
-        // got, so q26/q29/q30's first small pass doesn't pay a parquet
-        // write inside its timed window and bias the ratio
-        try graft.operators.BucketedOps.ensureBucketed(spark, smallDir)
-        catch { case _: Throwable => () }
-        try graft.operators.PartitionedOps.ensurePartitioned(spark, smallDir)
-        catch { case _: Throwable => () }
-        val small = minOf(Seq.fill(2)(timedPass(smallDir)))
-        results.collect {
-          // a failed side (-1) yields no ratio rather than a fake one
-          case (k, big) if big >= 0 && small(k) >= 0 =>
-            k -> math.round(big / math.max(small(k), 1e-3) * 100.0) / 100.0
-        }
+    def siblingDir(suffix: String): String =
+      if (sfDir.endsWith("sf0.1")) sfDir.stripSuffix("sf0.1") + suffix else ""
+    val midDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHECK_DIR", siblingDir("sf0.01"))
+    val smallDir = siblingDir("sf0.001")
+    def ratioPass(dir: String): Map[String, Double] =
+      if (dir.nonEmpty && dir != sfDir && new java.io.File(dir).isDirectory) {
+        // each smaller SF gets the same one-time layout setup the big SF
+        // got, so q26/q29/q30's first pass doesn't pay a parquet write
+        // inside its timed window and bias the ratio
+        layoutSetup(dir)
+        minOf((1 to 2).map(i => timedPass(dir, i)))
       } else Map.empty
-    val flagged = scaleRatios
+    val mid = ratioPass(midDir)
+    val small = ratioPass(smallDir)
+    def ratios(bigM: Map[String, Double], smallM: Map[String, Double]): Map[String, Double] =
+      bigM.collect {
+        // a failed side (-1) yields no ratio rather than a fake one
+        case (k, b) if b >= 0 && smallM.getOrElse(k, -1.0) >= 0 =>
+          k -> math.round(b / math.max(smallM(k), 1e-3) * 100.0) / 100.0
+      }
+    val bigMidRatios = ratios(results, mid)
+    val midSmallRatios = ratios(mid, small)
+    val flagged = bigMidRatios
       .filter { case (k, r) => r > ScaleFlagRatio && results(k) >= 1.0 }
       .keys.toSeq.sorted
+
     // streaming per-trigger latency A/B — the reference's headline
     // experiment (BASELINE.md: append 70.40 ms mean vs update+earliest
     // 82.97 ms). Reported in seconds-per-trigger alongside the batch
@@ -135,21 +192,27 @@ object Bench {
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    def ratioJson(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     // Headline metrics in a compact line of their own, printed LAST:
-    // artifact collection keeps the TAIL of stdout, so the one number
-    // BASELINE.md publishes (streaming trigger means) must be the final
-    // line or it is truncated away with the long per-query map.
+    // artifact collection keeps the TAIL of stdout, so everything the
+    // round's verdict needs — streaming means, pass totals, compile
+    // counts, flagged queries, the worst measured ratios BY NAME — must
+    // be on the final line or it is truncated away with the long
+    // per-query maps (r7 lost all 111 measured ratios exactly that way).
     val stAppend = streaming.getOrElse("st_append_trigger_mean", -1.0)
     val stUpdate = streaming.getOrElse("st_update_earliest_trigger_mean", -1.0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    if (scaleRatios.nonEmpty) {
-      val rs = scaleRatios.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(s"""{"metric":"scale_ratio","small_sf":"$smallDir","big_sf":"$sfDir","flag_threshold":$ScaleFlagRatio,"flagged":$fl,"ratios":$rs}""")
-    }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","st_append_trigger_mean":$stAppend,"st_update_earliest_trigger_mean":$stUpdate,"sf":"$sfDir","scale_flagged":${flagged.size}}""")
+    if (bigMidRatios.nonEmpty)
+      println(s"""{"metric":"scale_ratio","small_sf":"$midDir","big_sf":"$sfDir","flag_threshold":$ScaleFlagRatio,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"ratios":${ratioJson(bigMidRatios)}}""")
+    if (midSmallRatios.nonEmpty)
+      println(s"""{"metric":"scale_ratio","small_sf":"$smallDir","big_sf":"$midDir","flag_threshold":$ScaleFlagRatio,"flagged":[],"ratios":${ratioJson(midSmallRatios)}}""")
+    val worst10 = bigMidRatios.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val flJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ptJson = passTotals.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","st_append_trigger_mean":$stAppend,"st_update_earliest_trigger_mean":$stUpdate,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"pass_totals_big_sf":$ptJson,"codegen_compiles_total":${compiles()}}""")
     spark.stop()
   }
 }
