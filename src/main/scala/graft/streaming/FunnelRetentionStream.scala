@@ -15,16 +15,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state rows spread across the cluster.
   *
   *  - Funnel state is O(1) per user: the three chained first-step
-  *    timestamps plus an emission counter. Every batch that touches a
-  *    user re-emits that user's current funnel row (Update mode — the
-  *    live-dashboard contract, latest row per user wins).
-  *  - Retention state is the user's cohort week plus the set of
-  *    week-offsets already credited — bounded by the number of weeks
-  *    the user has been active (a few hundred longs even over years;
-  *    a fixed bitmap at scale). Each NEW (cohort, offset) credit emits
-  *    one append-mode cell delta; the matrix itself is a trivial
+  *    timestamps, the max event time seen, and two counters. Every
+  *    batch that touches a user re-emits that user's current funnel
+  *    row (Update mode — the live-dashboard contract, latest row per
+  *    user wins).
+  *  - Retention state is the user's cohort week plus a BITMAP of
+  *    week-offsets already credited — one bit per week since the
+  *    cohort, i.e. 64 weeks per long, ~2 longs per user-year
+  *    regardless of activity (an O(activeWeeks) Seq with linear
+  *    `contains` per event would contradict the bounded-state story
+  *    at dashboard scale). Each NEW (cohort, offset) credit emits one
+  *    append-mode cell delta; the matrix itself is a trivial
   *    count/sum over emitted cells, exactly the shape a dashboard
   *    store ingests.
+  *
+  * State lifetime: both operators take `stateTtl`. `None` keeps state
+  * forever (NoTimeout) — the exact-batch-parity mode the differential
+  * specs assert, correct for bounded replays. `Some(ttl)` arms an
+  * event-time timeout at `lastSeenEventTime + ttl`: once the watermark
+  * passes it, the user's state is dropped — the production setting,
+  * since an unbounded user-id space (the 100 TB narrative) otherwise
+  * grows state forever. The tradeoff is explicit: a user who returns
+  * after `ttl` of silence restarts from empty state (funnel re-enters
+  * at stage 0 with n_seen reset; retention opens a NEW cohort), which
+  * is the standard dashboard semantics for expired visitors.
   *
   * Exactness contract (asserted in FunnelRetentionStreamSpec):
   * incremental state equals the batch recompute when each user's
@@ -32,62 +46,111 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * processors sort by ts, so any single-batch disorder is absorbed;
   * across batches the stream must not regress in event time per user
   * (the watermark bound). A click arriving BEFORE the view it follows
-  * can otherwise credit differently than the batch chained-min — the
-  * same in-order caveat every incremental funnel carries.
+  * can otherwise credit differently than the batch chained-min. That
+  * contract is no longer a silent assumption: the funnel tracks the
+  * max event time per user and counts cross-batch regressions in
+  * `n_late` — a nonzero `n_late` on a dashboard row says "this user's
+  * funnel stage may disagree with the batch recompute", turning the
+  * in-order caveat into an observable signal.
   */
 object FunnelRetentionStream {
 
   // 0 marks "step not reached": real epoch-µs timestamps are always > 0
-  final case class FunnelState(tv: Long, tc: Long, tp: Long, nSeen: Long)
+  final case class FunnelState(tv: Long, tc: Long, tp: Long, nSeen: Long,
+      maxTs: Long, nLate: Long)
   final case class FunnelOut(user_id: Long, t_view_us: Option[Long],
       t_click_us: Option[Long], t_purchase_us: Option[Long], stage: Int,
-      n_seen: Long)
+      n_seen: Long, n_late: Long)
 
   /** events: streaming DataFrame with (user_id long, ts_us long,
     * event_type string). Update-mode per-user funnel rows; `n_seen`
     * is monotone per user, so "row with max n_seen" is the final
-    * state in any at-least-once sink.
+    * state in any at-least-once sink. `n_late` counts events that
+    * arrived in a LATER batch than one with a greater event time —
+    * violations of the in-order contract (see object doc).
+    *
+    * `stateTtl` (event-time, e.g. `Duration.ofDays(90)`) requires the
+    * input to carry event time; a watermark of `watermarkDelay` is
+    * applied here on `timestamp_micros(ts_us)`.
     */
-  def funnelStream(events: DataFrame): Dataset[FunnelOut] = {
+  def funnelStream(events: DataFrame,
+      stateTtl: Option[java.time.Duration] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[FunnelOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val base = events
       .select(col("user_id").cast("long"), col("ts_us").cast("long"),
         col("event_type").cast("string"))
-      .as[(Long, Long, String)]
+    val timeout = stateTtl match {
+      case Some(_) => GroupStateTimeout.EventTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
+    withWatermarkIf(base, stateTtl.isDefined, watermarkDelay)
+      .as[(Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeout) {
         case (uid, rows, state: GroupState[FunnelState]) =>
-          val evs = rows.map { case (_, tsUs, et) => (tsUs, et) }
-            .toIndexedSeq.sortBy(_._1)
-          var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L, 0L))
-          evs.foreach { case (tsUs, et) =>
-            et match {
-              // the chained-min rule of EventWindows.funnel, folded
-              // incrementally: each step only arms once, and only from
-              // an event strictly after the previous step's time
-              case "view" if s.tv == 0L =>
-                s = s.copy(tv = tsUs)
-              case "click" if s.tv != 0L && tsUs > s.tv && s.tc == 0L =>
-                s = s.copy(tc = tsUs)
-              case "purchase" if s.tc != 0L && tsUs > s.tc && s.tp == 0L =>
-                s = s.copy(tp = tsUs)
-              case _ => ()
+          if (state.hasTimedOut) {
+            // watermark passed lastSeen + ttl: idle user, drop state.
+            // No emission — the sink already holds the user's latest row
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = rows.map { case (_, tsUs, et, _) => (tsUs, et) }
+              .toIndexedSeq.sortBy(_._1)
+            var s = state.getOption.getOrElse(
+              FunnelState(0L, 0L, 0L, 0L, 0L, 0L))
+            // events older than anything already folded arrived across a
+            // batch boundary out of order — count them (they are still
+            // folded below; the count makes the contract breach visible)
+            val late = evs.count(_._1 < s.maxTs)
+            evs.foreach { case (tsUs, et) =>
+              et match {
+                // the chained-min rule of EventWindows.funnel, folded
+                // incrementally: each step only arms once, and only from
+                // an event strictly after the previous step's time
+                case "view" if s.tv == 0L =>
+                  s = s.copy(tv = tsUs)
+                case "click" if s.tv != 0L && tsUs > s.tv && s.tc == 0L =>
+                  s = s.copy(tc = tsUs)
+                case "purchase" if s.tc != 0L && tsUs > s.tc && s.tp == 0L =>
+                  s = s.copy(tp = tsUs)
+                case _ => ()
+              }
             }
+            s = s.copy(nSeen = s.nSeen + evs.size,
+              maxTs = math.max(s.maxTs, if (evs.isEmpty) 0L else evs.last._1),
+              nLate = s.nLate + late)
+            state.update(s)
+            armTimeout(state, stateTtl, s.maxTs)
+            def opt(x: Long): Option[Long] = if (x == 0L) None else Some(x)
+            val stage =
+              if (s.tp != 0L) 3 else if (s.tc != 0L) 2
+              else if (s.tv != 0L) 1 else 0
+            Iterator.single(FunnelOut(uid, opt(s.tv), opt(s.tc), opt(s.tp),
+              stage, s.nSeen, s.nLate))
           }
-          s = s.copy(nSeen = s.nSeen + evs.size)
-          state.update(s)
-          def opt(x: Long): Option[Long] = if (x == 0L) None else Some(x)
-          val stage =
-            if (s.tp != 0L) 3 else if (s.tc != 0L) 2
-            else if (s.tv != 0L) 1 else 0
-          Iterator.single(
-            FunnelOut(uid, opt(s.tv), opt(s.tc), opt(s.tp), stage, s.nSeen))
       }
   }
 
-  final case class RetState(cohortWeek: Long, offsets: Seq[Long])
+  /** Week-offset bitmap: bit `off` of word `off / 64`. Bounded by
+    * weeks-since-cohort / 64 words per user (~1 long/year), O(1) test
+    * and set — the state shape that survives years of activity.
+    */
+  final case class RetState(cohortWeek: Long, bits: Array[Long])
+  private def bitSet(bits: Array[Long], off: Long): Boolean = {
+    val w = (off >> 6).toInt
+    w < bits.length && (bits(w) & (1L << (off & 63))) != 0L
+  }
+  private def withBit(bits: Array[Long], off: Long): Array[Long] = {
+    val w = (off >> 6).toInt
+    val out = if (w < bits.length) bits.clone()
+    else java.util.Arrays.copyOf(bits, w + 1)
+    out(w) |= 1L << (off & 63)
+    out
+  }
+
   final case class RetCell(cohort_week: Long, week_offset: Long,
       user_id: Long)
 
@@ -97,36 +160,81 @@ object FunnelRetentionStream {
     * count over this stream, `cohort_n` is the cell at offset 0.
     */
   def retentionCells(events: DataFrame,
-      weekUs: Long = 7L * 86400L * 1000000L): Dataset[RetCell] = {
+      weekUs: Long = 7L * 86400L * 1000000L,
+      stateTtl: Option[java.time.Duration] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[RetCell] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val base = events
       .select(col("user_id").cast("long"), col("ts_us").cast("long"))
-      .as[(Long, Long)]
+    val timeout = stateTtl match {
+      case Some(_) => GroupStateTimeout.EventTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
+    withWatermarkIf(base, stateTtl.isDefined, watermarkDelay)
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[RetState, RetCell](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         case (uid, rows, state: GroupState[RetState]) =>
-          val weeks = rows.map(_._2 / weekUs).toIndexedSeq.sorted
-          var s = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[RetCell]
-          weeks.foreach { w =>
-            s match {
-              case None =>
-                // first event ever: this week IS the cohort (in-order
-                // contract — see the object docstring)
-                s = Some(RetState(w, Seq(0L)))
-                out += RetCell(w, 0L, uid)
-              case Some(st) =>
-                val off = w - st.cohortWeek
-                if (!st.offsets.contains(off)) {
-                  s = Some(st.copy(offsets = st.offsets :+ off))
-                  out += RetCell(st.cohortWeek, off, uid)
-                }
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val tss = rows.map(_._2).toIndexedSeq.sorted
+            var s = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[RetCell]
+            tss.foreach { ts =>
+              val w = ts / weekUs
+              s match {
+                case None =>
+                  // first event ever: this week IS the cohort (in-order
+                  // contract — see the object docstring)
+                  s = Some(RetState(w, withBit(Array(0L), 0L)))
+                  out += RetCell(w, 0L, uid)
+                case Some(st) =>
+                  val off = w - st.cohortWeek
+                  // a pre-cohort week (off < 0) is a late arrival from
+                  // before the first-seen event; it cannot be credited
+                  // into the bitmap and the batch twin would have used
+                  // it as the cohort — skip rather than corrupt
+                  if (off >= 0L && !bitSet(st.bits, off)) {
+                    s = Some(st.copy(bits = withBit(st.bits, off)))
+                    out += RetCell(st.cohortWeek, off, uid)
+                  }
+              }
             }
+            s.foreach { st =>
+              state.update(st)
+              armTimeout(state, stateTtl, tss.lastOption.getOrElse(0L))
+            }
+            out.iterator
           }
-          s.foreach(state.update)
-          out.iterator
       }
   }
+
+  /** EventTimeTimeout requires a watermarked event-time COLUMN to be
+    * present in the grouped input (the checker looks for the watermark
+    * metadata on an output attribute, not just for the plan node), so
+    * `ts_wm` is appended in both modes — watermarked only when a TTL
+    * asks for it — and ignored by the fold.
+    */
+  private def withWatermarkIf(df: DataFrame, enabled: Boolean,
+      delay: String): DataFrame = {
+    val withTs = df.withColumn("ts_wm", timestamp_micros(col("ts_us")))
+    if (enabled) withTs.withWatermark("ts_wm", delay) else withTs
+  }
+
+  /** Arm the event-time timeout at lastSeen + ttl, clamped above the
+    * current watermark (Spark rejects a timeout at or below it — a
+    * user whose latest event is already older than watermark - ttl
+    * expires at the next possible instant instead).
+    */
+  private def armTimeout[S](state: GroupState[S],
+      ttl: Option[java.time.Duration], lastSeenUs: Long): Unit =
+    ttl.foreach { d =>
+      val at = math.max(lastSeenUs / 1000L + d.toMillis,
+        state.getCurrentWatermarkMs() + 1L)
+      state.setTimeoutTimestamp(at)
+    }
 }

@@ -77,6 +77,11 @@ class FunnelRetentionStreamSpec extends SparkSuite {
     }
     // the fixture must exercise every converted stage, not just stage 0
     assert(batch.values.exists(_._4 == 3))
+    // in-order replay: the late-event counter must stay at zero — it
+    // only fires on cross-batch event-time regressions
+    val late = spark.sql("select max(n_late) from funnel_stream")
+      .collect()(0).getLong(0)
+    assert(late == 0L, s"in-order replay reported $late late events")
   }
 
   test("funnel absorbs arbitrary disorder inside a single batch") {
@@ -96,6 +101,60 @@ class FunnelRetentionStreamSpec extends SparkSuite {
     val batch = EventWindows.funnel(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getInt(4)).toMap
     assert(fin == batch)
+  }
+
+  test("cross-batch event-time regressions are counted in n_late") {
+    def msg(u: Long, tsUs: Long, et: String): String =
+      s"""{"user_id": $u, "ts_us": $tsUs, "event_type": "$et"}"""
+    val src = new MemorySource(spark)
+    val q = FunnelRetentionStream.funnelStream(parsed(src))
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode("update").start()
+    // batch 1: view at t=2_000_000; batch 2: click at t=1_000_000 —
+    // an event-time regression across the batch boundary. The click
+    // precedes the view, so it must NOT advance the funnel (chained
+    // rule), and it must be flagged in n_late instead of vanishing.
+    src.add(Seq(msg(7L, 2000000L, "view")))
+    q.processAllAvailable()
+    src.add(Seq(msg(7L, 1000000L, "click")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "select stage, n_seen, n_late from funnel_late where user_id = 7 " +
+        "order by n_seen").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1, 1L, 0L), (1, 2L, 1L)),
+      s"expected late click flagged, stage unchanged; got $rows")
+  }
+
+  test("funnel state expires once the watermark passes lastSeen + ttl") {
+    def msg(u: Long, tsUs: Long, et: String): String =
+      s"""{"user_id": $u, "ts_us": $tsUs, "event_type": "$et"}"""
+    val hourUs = 3600L * 1000000L
+    val src = new MemorySource(spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_funnel_ttl").toString
+    val q = FunnelRetentionStream.funnelStream(parsed(src),
+        stateTtl = Some(java.time.Duration.ofHours(1)))
+      .writeStream.format("memory").queryName("funnel_ttl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    // user 1 goes idle; user 2's later events advance the watermark
+    // past user 1's lastSeen + 1h, so user 1's timeout fires on the
+    // next micro-batch and its state row is dropped
+    src.add(Seq(msg(1L, hourUs, "view")))
+    q.processAllAvailable()
+    src.add(Seq(msg(2L, 10L * hourUs, "view")))
+    q.processAllAvailable()
+    src.add(Seq(msg(2L, 11L * hourUs, "click")))
+    q.processAllAvailable()
+    q.stop()
+    // offline state read (the production way — StateInspectSpec):
+    // only user 2 may remain
+    val remaining = graft.streaming.StateInspect.state(spark, ckpt)
+      .select("key.value").as[Long].collect().toSet
+    assert(remaining == Set(2L),
+      s"expected only user 2's state to survive the TTL, got $remaining")
   }
 
   test("streaming retention cells aggregate to the batch retention matrix") {
