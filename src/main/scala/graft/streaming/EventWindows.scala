@@ -278,9 +278,14 @@ object EventWindows {
 
   /** 3-sigma anomaly flags over the hourly event series — the
     * monitoring pass a pipeline runs on its own throughput (traffic
-    * spike, dead producer). The test `|x - μ| > 3σ` is evaluated
-    * ENTIRELY in cross-multiplied integers: with per-type hour counts
-    * c_i, S = Σc, Q = Σc², n hours, sample variance σ² =
+    * spike, dead producer). The hour grid is DENSIFIED per type
+    * (every hour from the type's first to its last, zero-filled), so
+    * a silently stopped producer shows up as n=0 rows that deviate
+    * from the mean and flag — a sparse rollup would simply omit those
+    * hours and the monitor would never see the outage. The test
+    * `|x - μ| > 3σ` is evaluated ENTIRELY in cross-multiplied
+    * integers: with per-type hour counts c_i (zeros included),
+    * S = Σc, Q = Σc², n grid hours, sample variance σ² =
     * (nQ - S²) / (n(n-1)) and deviation (x - μ)² = (nx - S)²/n², the
     * flag is `(nx - S)²·(n-1) > 9·n·(nQ - S²)` — no float stddev, no
     * sqrt, no rounding boundary, so both engines agree bit-for-bit.
@@ -288,15 +293,27 @@ object EventWindows {
     * beyond that the same algebra runs in DECIMAL(38).)
     *
     * Scale shape: the hourly rollup is one (window, type) shuffle with
-    * map-side combine; the per-type moments are an O(types) aggregate
-    * broadcast back — output is O(hours · types), never O(events).
+    * map-side combine; the grid is `sequence`-exploded from the O(types)
+    * span aggregate (span is CALENDAR time — ~9k rows per type per
+    * year regardless of data volume); the per-type moments are an
+    * O(types) aggregate broadcast back — output is O(hours · types),
+    * never O(events).
     */
   def anomalyHours(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = Tables.events(spark, sfDir)
+    val hourUs = 3600L * 1000000L
+    val sparse = Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("w.start")).as("hour_us"),
         col("event_type"), col("n"))
+      .localCheckpoint() // grid, join, and stats branches read it once
+    val grid = sparse.groupBy("event_type")
+      .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), lit(hourUs))).as("hour_us"))
+    val hourly = grid
+      .join(sparse, Seq("event_type", "hour_us"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n_hours"), sum("n").as("s"),
         sum(col("n") * col("n")).as("q"))
@@ -312,10 +329,19 @@ object EventWindows {
   }
 
   val anomalyHoursSql: String =
-    """WITH hourly AS (
+    """WITH sparse AS (
       |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
       |    count(*)::BIGINT AS n
       |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(min(hour_us), max(hour_us), 3600000000))
+      |      AS hour_us
+      |  FROM sparse GROUP BY event_type),
+      |hourly AS (
+      |  SELECT g.event_type, g.hour_us, coalesce(s.n, 0)::BIGINT AS n
+      |  FROM grid g LEFT JOIN sparse s
+      |    ON s.event_type = g.event_type AND s.hour_us = g.hour_us),
       |stats AS (
       |  SELECT event_type, count(*)::BIGINT AS n_hours,
       |    sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS q
@@ -327,6 +353,71 @@ object EventWindows {
       |    AS is_anomaly
       |FROM hourly h JOIN stats st ON st.event_type = h.event_type
       |ORDER BY h.event_type, h.hour_us""".stripMargin
+
+  /** State of the streaming anomaly monitor: the per-type map of
+    * finalized hour counts. Bounded by CALENDAR hours (~9k entries
+    * per type per year), not by event volume — the same O(span) the
+    * batch monitor's output already is.
+    */
+  final case class AnomState(counts: Map[Long, Long], emitSeq: Long)
+  final case class AnomCell(event_type: String, hour_us: Long, n: Long,
+      is_anomaly: Boolean, emit_seq: Long)
+
+  /** Streaming twin of [[anomalyHours]] — the live-dashboard member of
+    * the monitor family (the reference's surface is exactly this kind
+    * of continuously-updated counter board, `app3/live_counts.py`).
+    * Consumes the FINALIZED hourly cells emitted by
+    * [[hourlyWindowStreaming]] (event_type, hour_us, n) and keeps the
+    * per-type hour series in `flatMapGroupsWithState` state. Each
+    * batch folds the new cells in and re-emits the type's full
+    * densified, re-flagged series (Update mode): 3-sigma flags of
+    * PAST hours legitimately change as the series statistics evolve,
+    * exactly as a batch re-run would change them — so "latest
+    * emit_seq per type" in the sink always equals [[anomalyHours]]
+    * over the cells seen so far (asserted in StreamingSpec). The
+    * emission is O(span-hours · types) — dashboard-sized, not
+    * data-sized. Same Long algebra as the batch/oracle pair, so the
+    * three agree bit-for-bit.
+    */
+  def anomalyHoursStreaming(cells: DataFrame)
+      : org.apache.spark.sql.Dataset[AnomCell] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val hourUs = 3600L * 1000000L
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells
+      .select(col("event_type").cast("string"), col("hour_us").cast("long"),
+        col("n").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomState, AnomCell](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (et, rows, state) =>
+          val prev = state.getOption.getOrElse(AnomState(Map.empty, 0L))
+          // a finalized window is emitted once; on an at-least-once
+          // replay the same (hour, n) overwrites itself — idempotent
+          val counts = rows.foldLeft(prev.counts) {
+            case (m, (_, h, n)) => m.updated(h, n)
+          }
+          val seq = prev.emitSeq + 1
+          state.update(AnomState(counts, seq))
+          if (counts.isEmpty) Iterator.empty
+          else {
+            val h0 = counts.keys.min
+            val h1 = counts.keys.max
+            val dense = (h0 to h1 by hourUs)
+              .map(h => h -> counts.getOrElse(h, 0L))
+            val n = dense.size.toLong
+            val s = dense.map(_._2).sum
+            val q = dense.map { case (_, c) => c * c }.sum
+            dense.iterator.map { case (h, c) =>
+              val dev = n * c - s
+              AnomCell(et, h, c,
+                dev * dev * (n - 1) > 9L * n * (n * q - s * s), seq)
+            }
+          }
+      }
+  }
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ev_hourly_window", hourlyWindow _, hourlyWindowSql),

@@ -197,14 +197,19 @@ class StreamingSpec extends SparkSuite {
     val evs = Tables.events(spark, sf0001)
       .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
       .collect().map(r => (r.getString(0), r.getLong(1) / hourUs * hourUs))
-    val hourly = evs.groupBy(identity).map { case ((et, h), rows) =>
+    val sparse = evs.groupBy(identity).map { case ((et, h), rows) =>
       (et, h, rows.length.toLong)
     }.toSeq
-    val expected = hourly.groupBy(_._1).flatMap { case (et, rows) =>
+    val expected = sparse.groupBy(_._1).flatMap { case (et, active) =>
+      // densify min..max with zero-filled hours — the dead-producer
+      // grid the operator now computes over
+      val byHour = active.map(r => r._2 -> r._3).toMap
+      val rows = (byHour.keys.min to byHour.keys.max by hourUs)
+        .map(h => (h, byHour.getOrElse(h, 0L)))
       val n = BigInt(rows.length)
-      val s = BigInt(rows.map(_._3).sum)
-      val q = rows.map(r => BigInt(r._3) * BigInt(r._3)).sum
-      rows.map { case (_, h, c) =>
+      val s = BigInt(rows.map(_._2).sum)
+      val q = rows.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      rows.map { case (h, c) =>
         val dev = n * c - s
         (et, h) -> ((c, dev * dev * (n - 1) > 9 * n * (n * q - s * s)))
       }
@@ -216,8 +221,57 @@ class StreamingSpec extends SparkSuite {
     expected.foreach { case (k, v) =>
       assert(got(k) == v, s"cell $k: got ${got(k)}, want $v")
     }
-    // a steady synthetic series should be mostly normal, not all-true
+    // the fixture must exercise the densification (sf0.001 has empty
+    // hours) AND stay mostly normal — not an all-true degenerate flag
+    assert(got.values.exists(_._1 == 0L), "no zero-filled hours in grid")
     assert(got.values.count(_._2) < got.size / 2)
+  }
+
+  test("streaming anomaly monitor converges to the batch 3-sigma flags") {
+    // the monitor consumes the finalized hourly cells that
+    // hourlyWindowStreaming emits; here the SAME cells (batch hourly
+    // rollup of the real sf0.001 events) are replayed through a memory
+    // stream in hour order across 4 micro-batches — the latest
+    // emit_seq snapshot per type must equal the batch anomalyHours
+    // output cell-for-cell, flags included
+    val cells = EventWindows.hourlyWindow(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(c => (c._1, c._2))
+    val msgs = cells.map { case (h, et, n) =>
+      s"""{"event_type": "$et", "hour_us": $h, "n": $n}"""
+    }
+    val src = new MemorySource(spark)
+    val parsed = src.load(spark)
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type string, hour_us long, n long")).as("j"))
+      .select("j.*")
+    val q = EventWindows.anomalyHoursStreaming(parsed)
+      .writeStream.format("memory").queryName("anom_stream")
+      .outputMode("update").start()
+    msgs.grouped(math.max(1, msgs.length / 4 + 1)).foreach { b =>
+      src.add(b.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val fin = spark.sql(
+      """select event_type, hour_us, n, is_anomaly from (
+        |  select *, max(emit_seq) over (partition by event_type) as mx
+        |  from anom_stream)
+        |where emit_seq = mx""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    val batch = EventWindows.anomalyHours(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(fin == batch,
+      s"stream snapshot (${fin.size} cells) != batch (${batch.size})")
+    // mid-stream snapshots are PREFIX recomputes, so the final equality
+    // plus nonempty intermediate emissions is the convergence contract
+    val nSeqs = spark.sql(
+      "select count(distinct emit_seq) from anom_stream")
+      .collect()(0).getLong(0)
+    assert(nSeqs >= 3, s"expected multiple incremental snapshots, got $nSeqs")
   }
 
   test("retention matrix matches a driver cohort recompute") {
