@@ -810,15 +810,19 @@ object SimilarityOps {
     * every PQ distance after that is exact integer arithmetic.
     * [[annIvfPqTopKSql]] replays the whole composed index.
     *
-    * Design point: cand=100 (vs 50 for flat PQ) makes the rescore
-    * recover EVERY neighbor the coarse stage admits — recall equals
-    * ann_ivf_topk's 62/100 exactly (58 at cand=50, 62 at 100, flat
-    * beyond), so the compression stage costs nothing the probe
-    * budget hadn't already spent. 100 exact rescores per query is
-    * noise next to the ADC scan.
+    * Design point: nProbe=8 (vs the flat IVF's 4) — the POINT of the
+    * PQ layer is that its memory savings buy probe depth. A probed
+    * entry here is an 8-byte code, not a 512-byte float vector, so
+    * probing half the cells instead of a quarter still scans ~16×
+    * fewer bytes per query than 4-probe flat IVF — and lifts recall
+    * to 82/100 vs the coarse stage's 62/100 (75 at 6 probes, 85 at
+    * 10; 8 is the knee on the seeded fixture). cand=100 keeps the
+    * exact rescore recovering every neighbor the widened probe set
+    * admits; 100 exact rescores per query is noise next to the ADC
+    * scan.
     */
   def annIvfPqTopK(spark: SparkSession, sfDir: String, nCells: Int = 16,
-      nProbe: Int = 4, m: Int = 8, ksub: Int = 16, cand: Int = 100,
+      nProbe: Int = 8, m: Int = 8, ksub: Int = 16, cand: Int = 100,
       k: Int = 5): DataFrame = {
     import spark.implicits._
     val dsub = 64 / m
@@ -910,14 +914,14 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
-  /** DuckDB replay of [[annIvfPqTopK]] (16 cells / 4 probes / 8
+  /** DuckDB replay of [[annIvfPqTopK]] (16 cells / 8 probes / 8
     * subspaces x 16 codewords / 100 ADC candidates / k=5): the shared
     * [[ivfTrainSql]] prefix reproduces the coarse index bit-identical,
     * then residuals, codebook, codes, per-(query, cell) LUTs, ADC and
     * the exact rescore are all relational over exact BIGINTs.
     */
   val annIvfPqTopKSql: String = {
-    val nCells = 16; val nProbe = 4; val m = 8; val ksub = 16
+    val nCells = 16; val nProbe = 8; val m = 8; val ksub = 16
     val dsub = 8; val cand = 100; val k = 5; val iters = 5
     s"""WITH ${ivfTrainSql(nCells, nProbe, iters)},
        |resid AS (

@@ -86,7 +86,7 @@ class AnnSpec extends SparkSuite {
     assert(lsh.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 5))
   }
 
-  test("IVF-PQ top-k achieves the coarse-stage recall against brute force") {
+  test("IVF-PQ top-k beats the coarse-stage recall against brute force") {
     val brute = SimilarityOps.annBruteTopK(spark, sf0001)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -96,16 +96,37 @@ class AnnSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     info(s"IVF-PQ recall = ${(brute & ipq).size}/${brute.size}")
-    // PINNED golden (see LSH note): with cand=100 the exact rescore
-    // recovers every neighbor the 4/16-probe coarse stage admits, so
-    // recall equals ann_ivf_topk's 62/100 exactly — the PQ compression
-    // stage costs zero recall at this design point. A value below 62
-    // means the residual codebook/ADC regressed; above is impossible
-    // without touching the coarse stage.
+    // PINNED golden (see LSH note): 8/16 probes over 8-byte codes give
+    // exactly 82/100 on the seeded fixture — ABOVE the 4-probe flat
+    // IVF's 62/100, because the compression's memory savings are spent
+    // on probe depth (the faiss argument: 8 probes of PQ codes still
+    // scan ~16× fewer bytes than 4 probes of raw vectors; the
+    // per-probe cost is pinned in the candidate-fraction test below).
+    // A drop means the residual codebook/ADC or coarse stage regressed.
     assert(brute.size == 100, s"brute set ${brute.size} != 100")
-    assert((brute & ipq).size == 62,
-      s"IVF-PQ recall ${(brute & ipq).size}/100 != pinned 62/100")
+    assert((brute & ipq).size == 82,
+      s"IVF-PQ recall ${(brute & ipq).size}/100 != pinned 82/100")
     assert(ipq.forall { case (q, n) => q != n })
+  }
+
+  test("IVF-PQ candidate bytes stay below flat IVF's — the PQ bargain") {
+    // the deeper probe budget is only honest if the BYTES scanned stay
+    // lower: candidates(ivfpq, 8 probes) x 8-byte codes must undercut
+    // candidates(ivf, 4 probes) x 512-byte raw vectors by an order of
+    // magnitude. Candidate counts are deterministic (seeded corpus,
+    // deterministic Lloyd), so both sides are pinned integers: k=corpus
+    // turns the rank filter into a no-op and the result set IS the
+    // candidate set (same trick as the LSH fraction pin).
+    val n = 500
+    val ivfpqCands = SimilarityOps.annIvfPqTopK(spark, sf0001,
+      cand = 20 * n, k = n).count()
+    val ivfCands = SimilarityOps.annIvfTopK(spark, sf0001, k = n).count()
+    info(s"IVF-PQ candidates = $ivfpqCands, IVF candidates = $ivfCands")
+    assert(ivfpqCands == 5006, s"IVF-PQ candidates $ivfpqCands != pinned 5006")
+    assert(ivfCands == 2467, s"IVF candidates $ivfCands != pinned 2467")
+    // bytes: 8B codes vs 64 doubles = 512B per scanned entry
+    assert(ivfpqCands * 8 < ivfCands * 512 / 10,
+      "PQ probe-depth bargain violated: scanned bytes not ~10x lower")
   }
 
   test("near-dup pairs are invariant to the label-block split bound") {
