@@ -197,6 +197,29 @@ object SimilarityOps {
   val LshTables = 8
   val LshProbeDepth = 2
 
+  /** The LOW-COST alternative (the round-6 default): 8 bits × 4
+    * tables × 1-bit probes — ~19% mean candidate fraction for 0.43
+    * recall on the structureless uniform fixture. The headline config
+    * above buys 0.73 recall at ~47% candidates, which is only a
+    * bargain when the corpus has cluster structure for the buckets to
+    * exploit (real embedding corpora do; adversarially uniform data
+    * does not — see ARCHITECTURE.md). Pick per corpus: this triple is
+    * the 100 TB-frugal point, the default is the recall point; both
+    * recalls and candidate counts are pinned in AnnSpec so either
+    * regressing fails the build.
+    */
+  val LshBitsLowCost = 8
+  val LshTablesLowCost = 4
+  val LshProbeDepthLowCost = 1
+
+  /** [[annLshTopK]] at the low-cost config — same index algebra and
+    * oracle shape, ~2.4× fewer candidate rescores per query.
+    */
+  def annLshTopKLowCost(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame =
+    annLshTopK(spark, sfDir, nBits = LshBitsLowCost,
+      nTables = LshTablesLowCost, k = k, probeDepth = LshProbeDepthLowCost)
+
   /** XOR masks enumerating all buckets within hamming distance
     * `depth` of the query's bucket — the multi-probe set, shared by
     * the Spark plan and the SQL oracle so they can never diverge.
@@ -271,8 +294,13 @@ object SimilarityOps {
     * because every step is exact or a single IEEE rounding shared by
     * both engines.
     */
-  val annLshTopKSql: String = {
-    val masks = probeMasks(LshBits, LshProbeDepth)
+  /** [[annLshTopKSql]] for an arbitrary (bits, tables, probe-depth)
+    * triple — the default and low-cost catalog entries share one
+    * generator so the replayed index can never drift between configs.
+    */
+  def annLshTopKSqlFor(nBits: Int, nTables: Int,
+      probeDepth: Int): String = {
+    val masks = probeMasks(nBits, probeDepth)
       .mkString("[", ", ", "]")
     s"""WITH coefs AS (
       |  SELECT t.t, b.b, d.d,
@@ -280,8 +308,8 @@ object SimilarityOps {
       |        * 6364136223846793005 + 1442695040888963407)
       |       % 18446744073709551616) // 2048)::DOUBLE
       |      / 9007199254740992.0 * 2.0 - 1.0 AS coef
-      |  FROM (SELECT unnest(range($LshTables)) AS t) t,
-      |       (SELECT unnest(range($LshBits)) AS b) b,
+      |  FROM (SELECT unnest(range($nTables)) AS t) t,
+      |       (SELECT unnest(range($nBits)) AS b) b,
       |       (SELECT unnest(range(64)) AS d) d),
       |planes AS (
       |  SELECT t, b, list(coef ORDER BY d) AS plane FROM coefs GROUP BY t, b),
@@ -318,6 +346,11 @@ object SimilarityOps {
       |WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
   }
+
+  val annLshTopKSql: String =
+    annLshTopKSqlFor(LshBits, LshTables, LshProbeDepth)
+  val annLshTopKLowCostSql: String =
+    annLshTopKSqlFor(LshBitsLowCost, LshTablesLowCost, LshProbeDepthLowCost)
 
   /** IVF-style ANN top-k: a k-means coarse quantizer partitions
     * the corpus into `nCells` cells; each query probes only its
@@ -1040,6 +1073,9 @@ object SimilarityOps {
       embeddingNearDupSql),
     ("ann_lsh_topk", (s: SparkSession, d: String) => annLshTopK(s, d),
       annLshTopKSql),
+    ("ann_lsh_lowcost_topk",
+      (s: SparkSession, d: String) => annLshTopKLowCost(s, d),
+      annLshTopKLowCostSql),
     ("ann_ivf_topk", (s: SparkSession, d: String) => annIvfTopK(s, d),
       annIvfTopKSql),
     ("emb_semdedup", (s: SparkSession, d: String) => embSemDedup(s, d),

@@ -80,6 +80,24 @@ class AnnSpec extends SparkSuite {
     assert(cands == 4671, s"candidate count $cands != pinned 4671")
   }
 
+  test("low-cost LSH config: pinned recall and cheaper candidates") {
+    // the named frugal alternative (8x4x1): recall drops to 43/100 but
+    // the candidate fraction — the per-query cost at 100 TB — is ~2.4x
+    // lower than the 73/100 headline config (19% vs 47%). Both sides pinned so the
+    // recall/cost tradeoff stays an explicit, tested design choice.
+    val brute = SimilarityOps.annBruteTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.annLshTopKLowCost(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"low-cost LSH recall = ${(brute & lsh).size}/${brute.size}")
+    assert((brute & lsh).size == 43,
+      s"low-cost LSH recall ${(brute & lsh).size}/100 != pinned 43/100")
+    val n = 500
+    val cands = SimilarityOps.annLshTopKLowCost(spark, sf0001, k = n).count()
+    info(s"low-cost LSH candidates = $cands / ${20 * n}")
+    assert(cands == 1917, s"low-cost candidates $cands != pinned 1917")
+  }
+
   test("LSH results are a subset of valid neighbors (no self matches)") {
     val lsh = SimilarityOps.annLshTopK(spark, sf0001).collect()
     assert(lsh.forall(r => r.getLong(0) != r.getLong(1)))
