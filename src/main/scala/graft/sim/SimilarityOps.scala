@@ -1065,9 +1065,69 @@ object SimilarityOps {
       |  WHERE maxabs > 0)
       |ORDER BY vec_id""".stripMargin
 
+  /** Cross-corpus embedding decontamination — "is my eval set leaking
+    * into my training set?", the embedding-level sibling of the exact
+    * n-gram text_decontaminate. Vectors with vec_id < nEval stand in
+    * for the held-out benchmark; every TRAIN vector whose cosine to
+    * some eval vector reaches `threshold` is flagged with its closest
+    * eval hit (highest cosine, lowest eval id on ties) so the
+    * contamination report is one row per leaked train doc.
+    *
+    * Scale shape: eval benchmarks are small by nature (thousands of
+    * rows against a 100 TB corpus), so the eval side is BROADCAST and
+    * the train corpus streams through exactly once — no shuffle of the
+    * big side at all until the threshold filter has cut it to the
+    * contaminated subset, and the top-1-per-train rank window then
+    * partitions by train_id (millions of tiny groups, map-side
+    * WindowGroupLimit — audited in PlanAuditSpec like the ANN
+    * windows). For eval sets too big to broadcast, the LSH/IVF bucket
+    * join machinery above is the drop-in candidate generator; this
+    * exact pass is then its rescorer.
+    */
+  def embDecontaminate(spark: SparkSession, sfDir: String,
+      nEval: Int = 50, threshold: Double = 0.3): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, sfDir))
+    val eval = e.filter(col("vec_id") < nEval)
+      .select(col("vec_id").as("eval_id"), col("vec").as("evec"))
+    val train = e.filter(col("vec_id") >= nEval)
+      .select(col("vec_id").as("train_id"), col("vec").as("tvec"))
+    val hits = train.crossJoin(broadcast(eval))
+      .withColumn("cos", round(cosine("tvec", "evec"), 4))
+      .filter(col("cos") >= threshold)
+    val w = Window.partitionBy("train_id")
+      .orderBy(desc("cos"), asc("eval_id"))
+    hits.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 1) // <=: the InferWindowGroupLimit shape
+      .select("train_id", "eval_id", "cos")
+      .orderBy("train_id")
+  }
+
+  val embDecontaminateSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+      |      AS norm
+      |  FROM embeddings),
+      |hits AS (
+      |  SELECT t.vec_id AS train_id, q.vec_id AS eval_id,
+      |    round(list_dot_product(t.vec, q.vec) / (t.norm * q.norm), 4) AS cos
+      |  FROM e t JOIN e q ON q.vec_id < 50 AND t.vec_id >= 50
+      |  WHERE round(list_dot_product(t.vec, q.vec) / (t.norm * q.norm), 4)
+      |    >= 0.3)
+      |SELECT train_id, eval_id, cos FROM (
+      |  SELECT train_id, eval_id, cos,
+      |    row_number() OVER (PARTITION BY train_id
+      |      ORDER BY cos DESC, eval_id ASC) AS rk
+      |  FROM hits)
+      |WHERE rk = 1
+      |ORDER BY train_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ann_brute_topk", annBruteTopK _, annBruteTopKSql),
     ("emb_int8_quant", embInt8Quant _, embInt8QuantSql),
+    ("emb_decontaminate",
+      (s: SparkSession, d: String) => embDecontaminate(s, d),
+      embDecontaminateSql),
     ("embedding_neardup",
       (s: SparkSession, d: String) => embeddingNearDup(s, d),
       embeddingNearDupSql),

@@ -299,21 +299,46 @@ object EventWindows {
     * O(types) aggregate broadcast back — output is O(hours · types),
     * never O(events).
     */
-  def anomalyHours(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Densified per-type hourly counts (event_type, hour_us, n): every
+    * hour from the type's first to its last, zero-filled — shared by
+    * both anomaly monitors so their grids can never diverge. The
+    * sparse rollup is localCheckpoint'ed (grid, join, and downstream
+    * stats branches read it once; one events scan total).
+    */
+  private def denseHourly(spark: SparkSession, sfDir: String): DataFrame = {
     val hourUs = 3600L * 1000000L
     val sparse = Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("w.start")).as("hour_us"),
         col("event_type"), col("n"))
-      .localCheckpoint() // grid, join, and stats branches read it once
+      .localCheckpoint()
     val grid = sparse.groupBy("event_type")
       .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), lit(hourUs))).as("hour_us"))
-    val hourly = grid
-      .join(sparse, Seq("event_type", "hour_us"), "left")
+    grid.join(sparse, Seq("event_type", "hour_us"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
+  /** Shared dense-hourly CTE prefix for the anomaly oracles. */
+  private val denseHourlySqlPrefix: String =
+    """sparse AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(min(hour_us), max(hour_us), 3600000000))
+      |      AS hour_us
+      |  FROM sparse GROUP BY event_type),
+      |hourly AS (
+      |  SELECT g.event_type, g.hour_us, coalesce(s.n, 0)::BIGINT AS n
+      |  FROM grid g LEFT JOIN sparse s
+      |    ON s.event_type = g.event_type AND s.hour_us = g.hour_us)""".stripMargin
+
+  def anomalyHours(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = denseHourly(spark, sfDir)
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n_hours"), sum("n").as("s"),
         sum(col("n") * col("n")).as("q"))
@@ -329,19 +354,7 @@ object EventWindows {
   }
 
   val anomalyHoursSql: String =
-    """WITH sparse AS (
-      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
-      |    count(*)::BIGINT AS n
-      |  FROM events GROUP BY 1, 2),
-      |grid AS (
-      |  SELECT event_type,
-      |    unnest(generate_series(min(hour_us), max(hour_us), 3600000000))
-      |      AS hour_us
-      |  FROM sparse GROUP BY event_type),
-      |hourly AS (
-      |  SELECT g.event_type, g.hour_us, coalesce(s.n, 0)::BIGINT AS n
-      |  FROM grid g LEFT JOIN sparse s
-      |    ON s.event_type = g.event_type AND s.hour_us = g.hour_us),
+    s"""WITH $denseHourlySqlPrefix,
       |stats AS (
       |  SELECT event_type, count(*)::BIGINT AS n_hours,
       |    sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS q
@@ -353,6 +366,61 @@ object EventWindows {
       |    AS is_anomaly
       |FROM hourly h JOIN stats st ON st.event_type = h.event_type
       |ORDER BY h.event_type, h.hour_us""".stripMargin
+
+  /** Robust (median/MAD) anomaly flags over the same densified hourly
+    * series as [[anomalyHours]] — the monitor you actually want when
+    * outages are what you are looking for: a dead-producer run of
+    * zero-hours drags the MEAN down and inflates the variance, so the
+    * 3-sigma test can mask the very anomaly (and its neighbors) it
+    * should flag, while the median and MAD ignore up to half the
+    * series being corrupted (50% breakdown point vs 0%).
+    *
+    * The flag is the Iglewicz–Hoaglin modified z-score
+    * `0.6745·|x − med| / MAD > 3.5`, evaluated in EXACT integers:
+    * med2 = 2·median(n) and mad4 = 2·median(|2n − med2|) are integers
+    * (an even-count median is a half-integer; interpolating the two
+    * middle integers and doubling is exact in ieee754 well past 2⁵²,
+    * so the BIGINT cast loses nothing in either engine), and the test
+    * becomes `13490·|2n − med2| > 35000·mad4`. MAD = 0 (over half the
+    * hours identical) degenerates to "flag any deviation", the
+    * documented Iglewicz–Hoaglin convention.
+    *
+    * Scale shape: same one events scan + (window, type) shuffle as
+    * [[anomalyHours]]; the two medians are exact percentiles over the
+    * O(hours · types) rollup — dashboard-sized, never O(events).
+    */
+  def anomalyHoursMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = denseHourly(spark, sfDir)
+      .localCheckpoint() // median agg, dev, and MAD agg branches
+    val med = hourly.groupBy("event_type")
+      .agg((percentile(col("n"), lit(0.5)) * 2).cast("long").as("med2"))
+    val dev = hourly.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs(lit(2L) * col("n") - col("med2")))
+    val mad = dev.groupBy("event_type")
+      .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("is_anomaly",
+        lit(13490L) * col("dev2") > lit(35000L) * col("mad4"))
+      .select("event_type", "hour_us", "n", "is_anomaly")
+      .orderBy("event_type", "hour_us")
+  }
+
+  val anomalyHoursMadSql: String =
+    s"""WITH $denseHourlySqlPrefix,
+      |med AS (
+      |  SELECT event_type, (2 * quantile_cont(n, 0.5))::BIGINT AS med2
+      |  FROM hourly GROUP BY event_type),
+      |dev AS (
+      |  SELECT h.event_type, h.hour_us, h.n,
+      |    abs(2 * h.n - m.med2)::BIGINT AS dev2
+      |  FROM hourly h JOIN med m ON m.event_type = h.event_type),
+      |mad AS (
+      |  SELECT event_type, (2 * quantile_cont(dev2, 0.5))::BIGINT AS mad4
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, d.hour_us, d.n,
+      |  13490 * d.dev2 > 35000 * md.mad4 AS is_anomaly
+      |FROM dev d JOIN mad md ON md.event_type = d.event_type
+      |ORDER BY d.event_type, d.hour_us""".stripMargin
 
   /** State of the streaming anomaly monitor: the per-type map of
     * finalized hour counts. Bounded by CALENDAR hours (~9k entries
@@ -422,6 +490,7 @@ object EventWindows {
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ev_hourly_window", hourlyWindow _, hourlyWindowSql),
     ("ev_anomaly_hours", anomalyHours _, anomalyHoursSql),
+    ("ev_anomaly_mad", anomalyHoursMad _, anomalyHoursMadSql),
     ("ev_funnel", funnel _, funnelSql),
     ("ev_retention", retention _, retentionSql),
     ("ev_sessionize",

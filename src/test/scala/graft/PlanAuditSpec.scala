@@ -88,7 +88,7 @@ class PlanAuditSpec extends SparkSuite {
     // bounded window (the nProbe cell_rank cut).
     val pinned = Map( // name -> (partial, final)
       "ann_brute_topk" -> (1, 1), "ann_lsh_topk" -> (1, 1),
-      "ann_lsh_lowcost_topk" -> (1, 1),
+      "ann_lsh_lowcost_topk" -> (1, 1), "emb_decontaminate" -> (1, 1),
       "ann_ivf_topk" -> (2, 2), "ann_pq_topk" -> (1, 2),
       "ann_ivfpq_topk" -> (2, 3)) // cell_rank + ADC crank + rescore rank
     val offenders = pinned.toSeq.sortBy(_._1).flatMap {

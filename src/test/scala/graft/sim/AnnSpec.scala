@@ -147,6 +147,36 @@ class AnnSpec extends SparkSuite {
       "PQ probe-depth bargain violated: scanned bytes not ~10x lower")
   }
 
+  test("decontamination report matches a driver brute-force recompute") {
+    // independent recompute: plain Scala cosines over the collected
+    // vectors, no Spark expressions shared with the operator
+    val vecs = graft.core.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double))")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val (evalV, trainV) = vecs.partition(_._1 < 50)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e4 + 0.5) / 1e4
+    }
+    val expected = trainV.flatMap { case (tid, tv) =>
+      val hits = evalV.map { case (eid, ev) => (eid, cos(tv, ev)) }
+        .filter(_._2 >= 0.3)
+      if (hits.isEmpty) None
+      else Some(tid -> hits.minBy { case (eid, c) => (-c, eid) })
+    }.toMap
+    val got = SimilarityOps.embDecontaminate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected,
+      s"${got.size} flagged vs ${expected.size} expected")
+    // the fixture must actually exercise the report
+    assert(got.nonEmpty, "no contaminated train vectors in fixture")
+    assert(got.keySet.forall(_ >= 50))
+  }
+
   test("near-dup pairs are invariant to the label-block split bound") {
     // the block-pair tiling only relocates pairwise work across tasks;
     // the pair set must be identical at any bound — including 1 (every

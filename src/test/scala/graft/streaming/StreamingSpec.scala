@@ -227,6 +227,44 @@ class StreamingSpec extends SparkSuite {
     assert(got.values.count(_._2) < got.size / 2)
   }
 
+  test("MAD anomaly flags match an exact integer driver recompute") {
+    val hourUs = 3600L * 1000000L
+    val evs = Tables.events(spark, sf0001)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / hourUs * hourUs))
+    val sparse = evs.groupBy(identity).map { case ((et, h), rows) =>
+      (et, h, rows.length.toLong)
+    }.toSeq
+    // exact 2x-median of Longs: sum of the two middle elements (odd n:
+    // the middle twice) — no floating point anywhere in the recompute
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    val expected = sparse.groupBy(_._1).flatMap { case (et, active) =>
+      val byHour = active.map(r => r._2 -> r._3).toMap
+      val rows = (byHour.keys.min to byHour.keys.max by hourUs)
+        .map(h => (h, byHour.getOrElse(h, 0L)))
+      val m2 = med2(rows.map(_._2))
+      val devs = rows.map { case (h, c) => (h, c, (2 * c - m2).abs) }
+      val mad4 = med2(devs.map(_._3))
+      devs.map { case (h, c, d2) =>
+        (et, h) -> ((c, BigInt(13490) * d2 > BigInt(35000) * mad4))
+      }
+    }
+    val got = EventWindows.anomalyHoursMad(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"cell $k: got ${got(k)}, want $v")
+    }
+    // robust monitor on the same series: flags exist but stay a minority
+    assert(got.values.exists(_._2), "fixture produced no MAD anomalies")
+    assert(got.values.count(_._2) < got.size / 2)
+  }
+
   test("streaming anomaly monitor converges to the batch 3-sigma flags") {
     // the monitor consumes the finalized hourly cells that
     // hourlyWindowStreaming emits; here the SAME cells (batch hourly
