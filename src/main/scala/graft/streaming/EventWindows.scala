@@ -448,6 +448,48 @@ object EventWindows {
     * three agree bit-for-bit.
     */
   def anomalyHoursStreaming(cells: DataFrame)
+      : org.apache.spark.sql.Dataset[AnomCell] =
+    monitorStream(cells) { dense =>
+      val n = dense.size.toLong
+      val s = dense.map(_._2).sum
+      val q = dense.map { case (_, c) => c * c }.sum
+      dense.map { case (h, c) =>
+        val dev = n * c - s
+        (h, c, dev * dev * (n - 1) > 9L * n * (n * q - s * s))
+      }
+    }
+
+  /** Streaming twin of [[anomalyHoursMad]] — same state and emission
+    * contract as [[anomalyHoursStreaming]], flagging with the robust
+    * modified z-score instead of 3-sigma. The two monitors share one
+    * state shape, so a dashboard runs both off the same hourly cell
+    * stream; the per-emission sort is O(span·log span) on the
+    * dashboard-sized series. Exact-integer medians match the batch
+    * operator and oracle bit-for-bit (asserted in StreamingSpec).
+    */
+  def anomalyMadStreaming(cells: DataFrame)
+      : org.apache.spark.sql.Dataset[AnomCell] =
+    monitorStream(cells) { dense =>
+      def med2(xs: Seq[Long]): Long = {
+        val s = xs.sorted
+        val n = s.length
+        if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+      }
+      val m2 = med2(dense.map(_._2))
+      val devs = dense.map { case (h, c) => (h, c, (2 * c - m2).abs) }
+      val mad4 = med2(devs.map(_._3))
+      devs.map { case (h, c, d2) =>
+        (h, c, 13490L * d2 > 35000L * mad4)
+      }
+    }
+
+  /** Shared harness of the streaming monitors: fold finalized hourly
+    * cells into per-type state, densify, and re-emit the full
+    * re-flagged series each batch with a monotone emit_seq (see
+    * [[anomalyHoursStreaming]]'s doc for the contract).
+    */
+  private def monitorStream(cells: DataFrame)(
+      flag: IndexedSeq[(Long, Long)] => Seq[(Long, Long, Boolean)])
       : org.apache.spark.sql.Dataset[AnomCell] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val hourUs = 3600L * 1000000L
@@ -475,13 +517,8 @@ object EventWindows {
             val h1 = counts.keys.max
             val dense = (h0 to h1 by hourUs)
               .map(h => h -> counts.getOrElse(h, 0L))
-            val n = dense.size.toLong
-            val s = dense.map(_._2).sum
-            val q = dense.map { case (_, c) => c * c }.sum
-            dense.iterator.map { case (h, c) =>
-              val dev = n * c - s
-              AnomCell(et, h, c,
-                dev * dev * (n - 1) > 9L * n * (n * q - s * s), seq)
+            flag(dense).iterator.map { case (h, c, f) =>
+              AnomCell(et, h, c, f, seq)
             }
           }
       }

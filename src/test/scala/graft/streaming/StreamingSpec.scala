@@ -312,6 +312,43 @@ class StreamingSpec extends SparkSuite {
     assert(nSeqs >= 3, s"expected multiple incremental snapshots, got $nSeqs")
   }
 
+  test("streaming MAD monitor converges to the batch robust flags") {
+    // same replay harness as the 3-sigma monitor test; the robust twin
+    // must converge to anomalyHoursMad cell-for-cell
+    val cells = EventWindows.hourlyWindow(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(c => (c._1, c._2))
+    val msgs = cells.map { case (h, et, n) =>
+      s"""{"event_type": "$et", "hour_us": $h, "n": $n}"""
+    }
+    val src = new MemorySource(spark)
+    val parsed = src.load(spark)
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type string, hour_us long, n long")).as("j"))
+      .select("j.*")
+    val q = EventWindows.anomalyMadStreaming(parsed)
+      .writeStream.format("memory").queryName("anom_mad_stream")
+      .outputMode("update").start()
+    msgs.grouped(math.max(1, msgs.length / 4 + 1)).foreach { b =>
+      src.add(b.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val fin = spark.sql(
+      """select event_type, hour_us, n, is_anomaly from (
+        |  select *, max(emit_seq) over (partition by event_type) as mx
+        |  from anom_mad_stream)
+        |where emit_seq = mx""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    val batch = EventWindows.anomalyHoursMad(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(fin == batch,
+      s"stream snapshot (${fin.size} cells) != batch (${batch.size})")
+  }
+
   test("retention matrix matches a driver cohort recompute") {
     val weekUs = 7L * 86400L * 1000000L
     val evs = Tables.events(spark, sf0001)
