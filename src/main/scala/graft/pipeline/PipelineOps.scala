@@ -745,6 +745,113 @@ object PipelineOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source target epoch counts for [[repeatUpsample]], in 1/16
+    * units (so the fractional part is EXACTLY a 4-hex-digit
+    * md5-Bernoulli threshold, the [[mixRate16]] trick): source srcI
+    * trains for (16 + (I·11) % 64)/16 epochs — 1.0× to 4.9×.
+    */
+  private val epochs16: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> (16 + (i * 11) % 64))
+
+  /** Deterministic repetition upsampling — the OTHER half of data
+    * mixing: [[domainMix]] samples sources DOWN, this repeats sources
+    * UP (train high-value domains for >1 epoch, the standard
+    * curriculum for books/reference vs crawl). Every doc gets
+    * floor(epochs) copies plus one md5-Bernoulli extra copy with
+    * probability frac(epochs) — so a 2.25-epoch source emits 2 copies
+    * of every doc and a deterministic quarter of docs a 3rd. Copies
+    * carry `epoch_ix` (0-based) so a downstream global shuffle can
+    * interleave epochs rather than replay them back-to-back. Decisions
+    * are pure functions of doc_id: reproducible run-over-run,
+    * engine-over-engine, under any partitioning. Unknown sources
+    * abort (raise_error), same contract as [[domainMix]].
+    *
+    * Scale shape: one codegen'd projection (md5 + map lookup) and one
+    * `explode(sequence(...))` — output rows ≈ Σ epochs·|source|, the
+    * training set itself; no join, no window, no shuffle at all until
+    * a consumer asks for one.
+    */
+  def repeatUpsample(spark: SparkSession, sfDir: String): DataFrame = {
+    val baseMap = map(epochs16.flatMap { case (s, e) =>
+      Seq(lit(s), lit((e / 16).toLong))
+    }: _*)
+    val fracMap = map(epochs16.flatMap { case (s, e) =>
+      Seq(lit(s), lit(f"${(e % 16) * 4096}%04x"))
+    }: _*)
+    Tables.documents(spark, sfDir)
+      .withColumn("base_copies",
+        coalesce(element_at(baseMap, col("source")),
+          raise_error(concat(lit("repeat upsample: unknown source '"),
+            col("source"), lit("'"))).cast("long")))
+      .withColumn("extra",
+        when(substring(md5(concat(lit("rep42:"),
+          col("doc_id").cast("string"))), 1, 4) <
+          element_at(fracMap, col("source")), 1L).otherwise(0L))
+      .withColumn("epoch_ix",
+        explode(expr("sequence(0L, base_copies + extra - 1L)")))
+      .select("doc_id", "source", "epoch_ix")
+  }
+
+  /** Catalog census over [[repeatUpsample]]'s exploded output: per
+    * source, docs, emitted copies, and realized vs target epochs in
+    * basis points — the drift monitor a mixing stage publishes. The
+    * oracle replays the explode itself (generate_series), so the
+    * copy-expansion path is what's being checked, not just the rates.
+    */
+  def repeatUpsampleCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val targetMap = map(epochs16.flatMap { case (s, e) =>
+      Seq(lit(s), lit(e.toLong))
+    }: _*)
+    repeatUpsample(spark, sfDir)
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_copies"),
+        max("epoch_ix").as("max_epoch_ix"))
+      .withColumn("e16", element_at(targetMap, col("source")))
+      .withColumn("target_e4", expr("(e16 * 10000L + 8L) div 16L"))
+      .drop("e16")
+      .withColumn("realized_e4",
+        expr("(n_copies * 10000L + n_docs div 2) div n_docs"))
+      .orderBy("source")
+  }
+
+  val repeatUpsampleCensusSql: String = {
+    val baseCase = epochs16.map { case (s, e) =>
+      s"WHEN '$s' THEN ${e / 16}"
+    }.mkString("\n      ")
+    val fracCase = epochs16.map { case (s, e) =>
+      s"WHEN '$s' THEN '${f"${(e % 16) * 4096}%04x"}'"
+    }.mkString("\n      ")
+    val targetCase = epochs16.map { case (s, e) =>
+      s"WHEN '$s' THEN $e"
+    }.mkString("\n      ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    (CASE source
+       |      $baseCase
+       |     END)::BIGINT
+       |    + CASE WHEN substr(md5('rep42:' || doc_id::VARCHAR), 1, 4) <
+       |        (CASE source
+       |      $fracCase
+       |         END) THEN 1 ELSE 0 END AS n_copies
+       |  FROM documents),
+       |exploded AS (
+       |  SELECT doc_id, source,
+       |    unnest(generate_series(0, n_copies - 1))::BIGINT AS epoch_ix
+       |  FROM t)
+       |SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  count(*)::BIGINT AS n_copies,
+       |  max(epoch_ix)::BIGINT AS max_epoch_ix,
+       |  ((CASE source
+       |      $targetCase
+       |    END)::BIGINT * 10000 + 8) // 16 AS target_e4,
+       |  (count(*)::BIGINT * 10000 + count(DISTINCT doc_id)::BIGINT // 2)
+       |    // count(DISTINCT doc_id)::BIGINT AS realized_e4
+       |FROM exploded
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("pipe_pack_chunks", packChunks _, packChunksSql),
@@ -759,6 +866,8 @@ object PipelineOps {
       ("pipe_cdc_merge", cdcMergeUpsert _, cdcMergeUpsertSql),
       ("pipe_pii_redact", piiRedact _, piiRedactSql),
       ("pipe_domain_mix", domainMix _, domainMixSql),
+      ("pipe_repeat_upsample", repeatUpsampleCensus _,
+        repeatUpsampleCensusSql),
       ("pipe_train_split", trainSplit _, trainSplitSql),
       ("pipe_global_shuffle",
         ((s: SparkSession, d: String) => globalShuffle(s, d)),

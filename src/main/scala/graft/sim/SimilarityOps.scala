@@ -1065,6 +1065,90 @@ object SimilarityOps {
       |  WHERE maxabs > 0)
       |ORDER BY vec_id""".stripMargin
 
+  /** Matryoshka (truncated-prefix) ANN top-k — the two-stage search
+    * MRL-style embeddings are trained for (Kusupati et al. 2022):
+    * stage 1 ranks the corpus by cosine over only the first
+    * `prefixDim` dimensions (half the bytes and FLOPs per entry at
+    * 32/64 — and the prefix slice is what you'd actually STORE hot
+    * at 100 TB, full vectors staying cold), stage 2 exactly rescores
+    * the top `cand` survivors on full width. No index to build or
+    * train — the "index" is the dimension order itself, which also
+    * makes this the cheapest candidate generator to keep consistent
+    * under streaming ingest (nothing to retrain on insert).
+    *
+    * On the uniform fixture the 32-dim prefix carries exactly half
+    * the signal, so recall is the honest 80/100 pinned in AnnSpec
+    * (71 at 16 dims/100 cand; 92 at 32/100) — real Matryoshka-trained
+    * embeddings front-load information and recall far higher at the
+    * same config. Same broadcast-queries / corpus-streams-once /
+    * WindowGroupLimit-bounded shape as [[annBruteTopK]], twice.
+    */
+  def annMatryoshkaTopK(spark: SparkSession, sfDir: String,
+      prefixDim: Int = 32, cand: Int = 50, k: Int = 5): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .withColumn("pvec", expr(s"slice(vec, 1, $prefixDim)"))
+      .localCheckpoint() // prefix pass and full-width rescore branches
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("pvec").as("qpvec"))
+    val s1 = e.select(col("vec_id").as("nid"), col("pvec").as("npvec"))
+      .join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("pcos", round(cosine("qpvec", "npvec"), 4))
+    val wc = Window.partitionBy("qid").orderBy(desc("pcos"), asc("nid"))
+    val cands = s1.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cand)
+      .select("qid", "nid")
+    val qv = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val nv = e.select(col("vec_id").as("nid"), col("vec").as("nvec"))
+    val scored = cands.join(broadcast(qv), Seq("qid"))
+      .join(nv, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine("qvec", "nvec"), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  val annMatryoshkaTopKSql: String = {
+    val prefixDim = 32; val cand = 50; val k = 5
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+       |      AS norm,
+       |    list_slice(embedding::DOUBLE[], 1, $prefixDim) AS pvec,
+       |    sqrt(list_sum(list_transform(
+       |      list_slice(embedding::DOUBLE[], 1, $prefixDim), x -> x * x)))
+       |      AS pnorm
+       |  FROM embeddings),
+       |s1 AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    round(list_dot_product(q.pvec, c.pvec) / (q.pnorm * c.pnorm), 4)
+       |      AS pcos
+       |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id != q.vec_id),
+       |cands AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY pcos DESC, nid ASC) AS crank
+       |    FROM s1)
+       |  WHERE crank <= $cand),
+       |scored AS (
+       |  SELECT cands.qid, cands.nid,
+       |    round(list_dot_product(q.vec, n.vec) / (q.norm * n.norm), 4) AS cos
+       |  FROM cands
+       |  JOIN e q ON q.vec_id = cands.qid
+       |  JOIN e n ON n.vec_id = cands.nid)
+       |SELECT qid, nid, rank, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)
+       |      AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** Cross-corpus embedding decontamination — "is my eval set leaking
     * into my training set?", the embedding-level sibling of the exact
     * n-gram text_decontaminate. Vectors with vec_id < nEval stand in
@@ -1138,6 +1222,9 @@ object SimilarityOps {
       annLshTopKLowCostSql),
     ("ann_ivf_topk", (s: SparkSession, d: String) => annIvfTopK(s, d),
       annIvfTopKSql),
+    ("ann_matryoshka_topk",
+      (s: SparkSession, d: String) => annMatryoshkaTopK(s, d),
+      annMatryoshkaTopKSql),
     ("emb_semdedup", (s: SparkSession, d: String) => embSemDedup(s, d),
       embSemDedupSql),
     ("ann_pq_topk", (s: SparkSession, d: String) => annPqTopK(s, d),

@@ -90,6 +90,10 @@ class PlanAuditSpec extends SparkSuite {
       "ann_brute_topk" -> (1, 1), "ann_lsh_topk" -> (1, 1),
       "ann_lsh_lowcost_topk" -> (1, 1), "emb_decontaminate" -> (1, 1),
       "ann_ivf_topk" -> (2, 2), "ann_pq_topk" -> (1, 2),
+      // prefix crank is Partial+Final; the rescore rank window's input
+      // is already qid-partitioned so it gets Final-only, NO Exchange —
+      // the best shape, not a gap
+      "ann_matryoshka_topk" -> (1, 2),
       "ann_ivfpq_topk" -> (2, 3)) // cell_rank + ADC crank + rescore rank
     val offenders = pinned.toSeq.sortBy(_._1).flatMap {
       case (name, (wantP, wantF)) =>

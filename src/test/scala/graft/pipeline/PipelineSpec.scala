@@ -200,6 +200,42 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getLong(4)).distinct.length > 1, "targets degenerate")
   }
 
+  test("repeat upsampling matches a driver md5 recompute of copies") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent per-doc copy counts: floor(epochs) + md5 fractional
+    def copiesOf(id: Long, src: String): Long = {
+      val e16 = 16 + (src.stripPrefix("src").toInt * 11) % 64
+      val extra =
+        if (md5hex(s"rep42:$id").substring(0, 4) < f"${(e16 % 16) * 4096}%04x")
+          1L
+        else 0L
+      e16 / 16 + extra
+    }
+    val expected = docs.map { case (id, src) => (id, src, copiesOf(id, src)) }
+    // the exploded output has exactly copies rows per doc, epoch_ix
+    // dense from 0
+    val rows = PipelineOps.repeatUpsample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size == docs.length)
+    expected.foreach { case (id, src, want) =>
+      val got = byDoc(id).map(_._3).sorted.toSeq
+      assert(got == (0L until want), s"doc $id ($src): $got != 0..${want - 1}")
+    }
+    // census agrees with the recompute, and epochs actually vary
+    val census = PipelineOps.repeatUpsampleCensus(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    expected.groupBy(_._2).foreach { case (src, g) =>
+      assert(census(src) == ((g.length.toLong, g.map(_._3).sum)), s"$src census")
+    }
+    assert(expected.map(_._3).distinct.length > 2, "copy counts degenerate")
+  }
+
   test("train split census matches a driver md5 recompute, 90/5/5") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex4(docId: Long): String =

@@ -147,6 +147,23 @@ class AnnSpec extends SparkSuite {
       "PQ probe-depth bargain violated: scanned bytes not ~10x lower")
   }
 
+  test("Matryoshka top-k achieves the pinned prefix-stage recall") {
+    val brute = SimilarityOps.annBruteTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mat = SimilarityOps.annMatryoshkaTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"Matryoshka recall = ${(brute & mat).size}/${brute.size}")
+    // PINNED golden (see LSH note): a 32-of-64-dim prefix pass keeping
+    // 50 candidates recalls exactly 80/100 on the uniform fixture —
+    // the prefix carries exactly half the signal here; MRL-trained
+    // embeddings front-load information and recall higher at the same
+    // config. A drop means the two-stage pipeline regressed.
+    assert(brute.size == 100, s"brute set ${brute.size} != 100")
+    assert((brute & mat).size == 80,
+      s"Matryoshka recall ${(brute & mat).size}/100 != pinned 80/100")
+    assert(mat.forall { case (q, n) => q != n })
+  }
+
   test("decontamination report matches a driver brute-force recompute") {
     // independent recompute: plain Scala cosines over the collected
     // vectors, no Spark expressions shared with the operator
