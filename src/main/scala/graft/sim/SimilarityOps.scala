@@ -1065,6 +1065,53 @@ object SimilarityOps {
       |  WHERE maxabs > 0)
       |ORDER BY vec_id""".stripMargin
 
+  /** Per-label mean embedding (centroid) on the ×10⁴ integer grid —
+    * the pooling step that turns chunk/member embeddings into a
+    * group-level vector (doc pooling, class prototypes, cluster
+    * summaries). Float means are NOT reproducible under distribution
+    * (fp addition does not commute with shuffle order), so each
+    * component first snaps to `floor(x·10⁴ + 0.5)` BIGINT; integer
+    * sums are order-free, making the centroid bit-identical across
+    * runs, partitionings, and engines — the same grid trick the
+    * PQ residuals use, promoted to an aggregation.
+    *
+    * The half-up divide shifts sums non-negative first (+10⁴ per
+    * member — an exact multiple of the divisor, so the shift cancels
+    * after floor division): Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, and the two only agree on non-negative
+    * numerators.
+    *
+    * Scale shape: one scan, a 64× posexplode, one (label, dim) hash
+    * aggregate with map-side partial combine — the shuffle carries
+    * O(labels · 64) partial rows per task regardless of corpus size;
+    * output is O(labels · 64).
+    */
+  def embLabelCentroid(spark: SparkSession, sfDir: String): DataFrame =
+    withVec(Tables.embeddings(spark, sfDir))
+      .select(col("label"), posexplode(expr(
+        "transform(vec, x -> cast(floor(x * 10000d + 0.5d) as bigint))"))
+        .as(Seq("dim", "q")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum("q").as("s"))
+      .withColumn("centroid_e4", expr(
+        "(s + 10000L * n_vecs + n_vecs div 2) div n_vecs - 10000L"))
+      .select("label", "dim", "n_vecs", "centroid_e4")
+      .orderBy("label", "dim")
+
+  val embLabelCentroidSql: String =
+    """WITH e AS (
+      |  SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
+      |comp AS (
+      |  SELECT e.label, d.d AS dim,
+      |    floor(e.vec[d.d + 1] * 10000 + 0.5)::BIGINT AS q
+      |  FROM e, (SELECT unnest(range(64)) AS d) d)
+      |SELECT label, dim, count(*)::BIGINT AS n_vecs,
+      |  (sum(q)::BIGINT + 10000 * count(*)::BIGINT + count(*)::BIGINT // 2)
+      |    // count(*)::BIGINT - 10000 AS centroid_e4
+      |FROM comp
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
   /** Matryoshka (truncated-prefix) ANN top-k — the two-stage search
     * MRL-style embeddings are trained for (Kusupati et al. 2022):
     * stage 1 ranks the corpus by cosine over only the first
@@ -1212,6 +1259,7 @@ object SimilarityOps {
     ("emb_decontaminate",
       (s: SparkSession, d: String) => embDecontaminate(s, d),
       embDecontaminateSql),
+    ("emb_label_centroid", embLabelCentroid _, embLabelCentroidSql),
     ("embedding_neardup",
       (s: SparkSession, d: String) => embeddingNearDup(s, d),
       embeddingNearDupSql),

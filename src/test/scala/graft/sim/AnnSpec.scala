@@ -194,6 +194,33 @@ class AnnSpec extends SparkSuite {
     assert(got.keySet.forall(_ >= 50))
   }
 
+  test("label centroids match a BigInt driver recompute, order-free") {
+    val rows = graft.core.Tables.embeddings(spark, sf0001)
+      .selectExpr("label", "transform(embedding, x -> cast(x as double))")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    // independent recompute: snap, sum as BigInt in ARBITRARY order
+    // (reverse of collected), divide half-up via the same shift
+    val expected = rows.groupBy(_._1).flatMap { case (label, g) =>
+      val vs = g.map(_._2).reverse
+      (0 until 64).map { d =>
+        val s = vs.map(v => BigInt(math.floor(v(d) * 1e4 + 0.5).toLong)).sum
+        val n = BigInt(vs.length)
+        (label, d) -> ((vs.length.toLong,
+          ((s + 10000 * n + n / 2) / n - 10000).toLong))
+      }
+    }
+    val got = SimilarityOps.embLabelCentroid(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"centroid $k: got ${got(k)}, want $v")
+    }
+    // centroids of a mean-zero-ish corpus still carry signal: not all 0
+    assert(got.values.exists(_._2 != 0L), "all centroid components zero")
+  }
+
   test("near-dup pairs are invariant to the label-block split bound") {
     // the block-pair tiling only relocates pairwise work across tasks;
     // the pair set must be identical at any bound — including 1 (every
