@@ -1112,6 +1112,85 @@ object SimilarityOps {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** Nearest-centroid classification against [[embLabelCentroid]]'s
+    * pooled vectors, reported as a confusion census — the coherence
+    * check a pipeline runs after pooling ("do members actually sit
+    * closest to their own label's centroid?"), and the simplest
+    * centroid classifier for routing new documents to an existing
+    * taxonomy. Everything stays on the ×10⁴ integer grid: snapped
+    * components vs integer centroids give exact BIGINT squared
+    * distances, so the argmin (ties to the lowest label) is
+    * bit-identical across engines.
+    *
+    * Scale shape: the centroids are the pooling op's O(labels · 64)
+    * output collected to the driver (a few KB — the same bounded
+    * collect as the kmeans seed centroids) and inlined as literals;
+    * assignment is ONE codegen'd projection over the corpus (per row
+    * an array of (dist, label) structs whose `array_min` IS the
+    * argmin — no crossJoin, no window, no corpus-sized shuffle), and
+    * the census is an O(labels²) aggregate with map-side combine.
+    */
+  def embCentroidAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents: Array[(Int, Array[Long])] =
+      embLabelCentroid(spark, sfDir)
+        .select("label", "dim", "centroid_e4").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).toArray
+        .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3)) }
+        .sortBy(_._1)
+    val candidates = cents.map { case (label, cvec) =>
+      val cv = array(cvec.map(lit(_)).toIndexedSeq: _*)
+      struct(
+        aggregate(zip_with(col("qvec"), cv, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("dist_q"),
+        lit(label).as("alabel"))
+    }
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), expr(
+        "transform(cast(embedding as array<double>), " +
+          "x -> cast(floor(x * 10000d + 0.5d) as bigint))").as("qvec"))
+      .withColumn("best", array_min(array(candidates.toIndexedSeq: _*)))
+      .groupBy(col("label"), col("best.alabel").as("assigned_label"))
+      .agg(count(lit(1)).as("n_vecs"), sum("best.dist_q").as("sum_dist"))
+      .orderBy("label", "assigned_label")
+  }
+
+  val embCentroidAssignSql: String =
+    """WITH e AS (
+      |  SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
+      |comp AS (
+      |  SELECT e.label, d.d AS dim,
+      |    floor(e.vec[d.d + 1] * 10000 + 0.5)::BIGINT AS q
+      |  FROM e, (SELECT unnest(range(64)) AS d) d),
+      |cent_rows AS (
+      |  SELECT label, dim,
+      |    (sum(q)::BIGINT + 10000 * count(*)::BIGINT + count(*)::BIGINT // 2)
+      |      // count(*)::BIGINT - 10000 AS centroid_e4
+      |  FROM comp GROUP BY label, dim),
+      |cents AS (
+      |  SELECT label AS alabel, list(centroid_e4 ORDER BY dim) AS cvec
+      |  FROM cent_rows GROUP BY label),
+      |q AS (
+      |  SELECT row_number() OVER () AS rid, label,
+      |    list_transform(vec, x -> floor(x * 10000 + 0.5)::BIGINT) AS qvec
+      |  FROM e),
+      |d AS (
+      |  SELECT q.rid, q.label, c.alabel,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (q.qvec[i] - c.cvec[i]) * (q.qvec[i] - c.cvec[i])))::BIGINT
+      |      AS dist_q,
+      |    row_number() OVER (PARTITION BY q.rid
+      |      ORDER BY list_sum(list_transform(range(1, 65),
+      |        i -> (q.qvec[i] - c.cvec[i]) * (q.qvec[i] - c.cvec[i]))),
+      |        c.alabel) AS rk
+      |  FROM q CROSS JOIN cents c)
+      |SELECT label, alabel AS assigned_label, count(*)::BIGINT AS n_vecs,
+      |  sum(dist_q)::BIGINT AS sum_dist
+      |FROM d
+      |WHERE rk = 1
+      |GROUP BY label, alabel
+      |ORDER BY label, assigned_label""".stripMargin
+
   /** Matryoshka (truncated-prefix) ANN top-k — the two-stage search
     * MRL-style embeddings are trained for (Kusupati et al. 2022):
     * stage 1 ranks the corpus by cosine over only the first
@@ -1260,6 +1339,7 @@ object SimilarityOps {
       (s: SparkSession, d: String) => embDecontaminate(s, d),
       embDecontaminateSql),
     ("emb_label_centroid", embLabelCentroid _, embLabelCentroidSql),
+    ("emb_centroid_assign", embCentroidAssign _, embCentroidAssignSql),
     ("embedding_neardup",
       (s: SparkSession, d: String) => embeddingNearDup(s, d),
       embeddingNearDupSql),

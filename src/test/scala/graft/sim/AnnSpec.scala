@@ -221,6 +221,47 @@ class AnnSpec extends SparkSuite {
     assert(got.values.exists(_._2 != 0L), "all centroid components zero")
   }
 
+  test("centroid assignment census matches a BigInt driver recompute") {
+    val rows = graft.core.Tables.embeddings(spark, sf0001)
+      .selectExpr("label", "transform(embedding, x -> cast(x as double))")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    def snap(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(x * 1e4 + 0.5).toLong)
+    // centroids via the same shifted half-up divide, independent code
+    val cents = rows.groupBy(_._1).map { case (label, g) =>
+      val n = BigInt(g.length)
+      label -> (0 until 64).map { d =>
+        val s = g.map(r => BigInt(snap(r._2)(d))).sum
+        ((s + 10000 * n + n / 2) / n - 10000).toLong
+      }.toArray
+    }
+    val expected = rows.map { case (label, v) =>
+      val q = snap(v)
+      val (alabel, dist) = cents.toSeq.sortBy(_._1).map { case (l, c) =>
+        (l, (0 until 64).map(d => BigInt(q(d) - c(d)) * BigInt(q(d) - c(d))).sum)
+      }.minBy { case (l, dd) => (dd, l) }
+      ((label, alabel), dist)
+    }.groupBy(_._1).map { case (k, g) =>
+      k -> ((g.length.toLong, g.map(_._2).sum))
+    }
+    val got = SimilarityOps.embCentroidAssign(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), BigInt(r.getLong(3))))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"census cell $k: got ${got(k)}, want $v")
+    }
+    // coherence: the synthetic labels are weakly clustered, so the
+    // diagonal is far above the 10%-chance floor (50/500) without
+    // being dominant — pinned at the measured 183/500 (deterministic
+    // fixture; see the LSH pin note)
+    val diag = got.collect { case ((l, a), (n, _)) if l == a => n }.sum
+    val total = got.values.map(_._1).sum
+    assert(total == 500, s"unexpected corpus size $total")
+    assert(diag == 183, s"own-label diagonal $diag/500 != pinned 183")
+  }
+
   test("near-dup pairs are invariant to the label-block split bound") {
     // the block-pair tiling only relocates pairwise work across tasks;
     // the pair set must be identical at any bound — including 1 (every
