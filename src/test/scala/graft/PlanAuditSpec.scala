@@ -59,7 +59,10 @@ class PlanAuditSpec extends SparkSuite {
       "pipe_e2e_curation" -> 0, // quality+fp and mix stages checkpointed
       "ev_retention" -> 0, // (user, week) distinct checkpointed
       "pipe_pack_nextfit_sharded" -> 0, // local packing checkpointed
-      "text_dup_spans" -> 1) // rolling-hash projection over one scan
+      "text_dup_spans" -> 1, // rolling-hash projection over one scan
+      "pipe_repeat_upsample" -> 1, // projection + explode + tiny agg
+      "ev_anomaly_mad" -> 0, // dense hourly rollup checkpointed
+      "emb_label_centroid" -> 1) // posexplode + one (label, dim) agg
     val offenders = pinnedScans.toSeq.sortBy(_._1).flatMap {
       case (name, want) =>
         val scans = "FileScan".r.findAllIn(plans(name)).size
