@@ -442,6 +442,64 @@ object DedupOps {
        |                  GROUP BY cluster) s USING (cluster)
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware keeper selection over the near-dup clusters — the
+    * curation policy production pipelines actually want: inside each
+    * [[dedupClusterCc]] component keep the HIGHEST-quality member
+    * (ties to the lowest doc_id), not the arbitrary min-id
+    * representative. "Which copy survives" matters: near-dup clusters
+    * often mix a clean original with truncated or boilerplate-wrapped
+    * copies, and min-id keeps whichever was crawled first.
+    *
+    * Composition: CC cluster ids (GraphX over the LSH edge set) join
+    * the integer quality scores of
+    * [[graft.text.TextOps.textQuality]] on doc_id, then one rank
+    * window per cluster picks the keeper. Both inputs carry their own
+    * oracles; the DuckDB replay nests both (recursive-CTE closure +
+    * integer quality) so the composed selection is hash-compared
+    * end-to-end, and the driver differential re-derives clusters with
+    * an independent union-find.
+    *
+    * Scale shape: clusters are O(docs) rows, quality is a projection;
+    * the join and both windows share the cluster/doc_id hash
+    * partitioning; singleton clusters (the overwhelming majority)
+    * cost one row each.
+    */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusterCc(spark, sfDir).select("doc_id", "cluster")
+    val quality = graft.text.TextOps.textQuality(spark, sfDir)
+      .select("doc_id", "quality_e4")
+    val j = clusters.join(quality, "doc_id")
+    val byCluster = Window.partitionBy("cluster")
+    j.withColumn("rk", row_number().over(
+        byCluster.orderBy(desc("quality_e4"), asc("doc_id"))))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .filter(col("rk") <= 1)
+      .select(col("cluster"), col("doc_id").as("keeper_doc"),
+        col("cluster_size"), col("quality_e4").as("keeper_quality_e4"))
+      .orderBy("cluster")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH clus0 AS (
+       |  SELECT doc_id, cluster FROM ($dedupClusterCcSql) cc),
+       |qual AS (
+       |  SELECT doc_id, quality_e4
+       |  FROM (${graft.text.TextOps.textQualitySql}) tq),
+       |j AS (
+       |  SELECT c.cluster, c.doc_id, q.quality_e4
+       |  FROM clus0 c JOIN qual q ON q.doc_id = c.doc_id),
+       |sz AS (SELECT cluster, count(*)::BIGINT AS n FROM j GROUP BY cluster)
+       |SELECT cluster, doc_id AS keeper_doc, n AS cluster_size,
+       |  quality_e4 AS keeper_quality_e4
+       |FROM (
+       |  SELECT j.cluster, j.doc_id, j.quality_e4, sz.n,
+       |    row_number() OVER (PARTITION BY j.cluster
+       |      ORDER BY j.quality_e4 DESC, j.doc_id ASC) AS rk
+       |  FROM j JOIN sz ON sz.cluster = j.cluster)
+       |WHERE rk = 1
+       |ORDER BY cluster""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("dedup_exact", dedupExact _, dedupExactSql),
     ("dedup_fingerprint", dedupFingerprint _, dedupFingerprintSql),
@@ -449,5 +507,6 @@ object DedupOps {
     ("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
     ("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     ("dedup_simhash_pairs", dedupSimhashPairs _, dedupSimhashPairsSql),
-    ("dedup_cluster_cc", dedupClusterCc _, dedupClusterCcSql))
+    ("dedup_cluster_cc", dedupClusterCc _, dedupClusterCcSql),
+    ("dedup_keep_best", dedupKeepBest _, dedupKeepBestSql))
 }

@@ -87,6 +87,44 @@ class DedupSpec extends SparkSuite {
     assert(keepers == truth.values.toSet)
   }
 
+  test("keep-best picks the max-quality member of every union-find cluster") {
+    // clusters re-derived with the same independent union-find as the
+    // cc test; quality comes from the (separately oracle-checked)
+    // textQuality table — what's under test is the SELECTION
+    val pairs = DedupOps.dedupMinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    (pairs ++ pairs.map(_.swap)).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val quality = graft.text.TextOps.textQuality(spark, sf0001)
+      .select("doc_id", "quality_e4").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs.groupBy(find).map { case (root, members) =>
+      val keeper = members.minBy(d => (-quality(d), d))
+      root -> ((keeper, members.length.toLong, quality(keeper)))
+    }
+    val got = DedupOps.dedupKeepBest(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected,
+      s"${got.size} keepers vs ${expected.size} clusters expected")
+    // the fixture must contain a cluster where best-quality != min-id,
+    // otherwise this operator is indistinguishable from cluster_cc
+    val differs = expected.exists { case (root, (keeper, n, _)) =>
+      n > 1 && keeper != root
+    }
+    assert(differs, "no cluster where the keeper differs from min-id")
+  }
+
   test("minhash-LSH pairs are sound and recall ground truth well") {
     val got = DedupOps.dedupMinhashLsh(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
