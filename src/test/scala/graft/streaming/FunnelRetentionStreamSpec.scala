@@ -157,6 +157,39 @@ class FunnelRetentionStreamSpec extends SparkSuite {
       s"expected only user 2's state to survive the TTL, got $remaining")
   }
 
+  test("retention state expires once the watermark passes lastSeen + ttl") {
+    def msg(u: Long, tsUs: Long): String =
+      s"""{"user_id": $u, "ts_us": $tsUs, "event_type": "view"}"""
+    val weekUs = 7L * 86400L * 1000000L
+    val src = new MemorySource(spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ret_ttl").toString
+    val q = FunnelRetentionStream.retentionCells(parsed(src),
+        stateTtl = Some(java.time.Duration.ofDays(7)))
+      .writeStream.format("memory").queryName("ret_ttl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // user 1's cohort opens in week 1; user 2 keeps the stream alive
+    // 10 weeks later, pushing the watermark past week1 + 7d TTL
+    src.add(Seq(msg(1L, weekUs)))
+    q.processAllAvailable()
+    src.add(Seq(msg(2L, 10L * weekUs)))
+    q.processAllAvailable()
+    src.add(Seq(msg(2L, 10L * weekUs + 1000000L)))
+    q.processAllAvailable()
+    q.stop()
+    val remaining = graft.streaming.StateInspect.state(spark, ckpt)
+      .select("key.value").as[Long].collect().toSet
+    assert(remaining == Set(2L),
+      s"expected only user 2's retention state to survive, got $remaining")
+    // the expired user's already-emitted cohort cell is still in the
+    // sink — expiry drops STATE, not history
+    val cells = spark.sql(
+      "select user_id, cohort_week, week_offset from ret_ttl")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cells.contains((1L, 1L, 0L)), s"user 1 cohort cell lost: $cells")
+  }
+
   test("streaming retention cells aggregate to the batch retention matrix") {
     val src = new MemorySource(spark)
     val q = FunnelRetentionStream.retentionCells(parsed(src))
