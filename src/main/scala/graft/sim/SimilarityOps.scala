@@ -1075,11 +1075,14 @@ object SimilarityOps {
     * runs, partitionings, and engines — the same grid trick the
     * PQ residuals use, promoted to an aggregation.
     *
-    * The half-up divide shifts sums non-negative first (+10⁴ per
-    * member — an exact multiple of the divisor, so the shift cancels
-    * after floor division): Spark's `div` truncates toward zero while
-    * DuckDB's `//` floors, and the two only agree on non-negative
-    * numerators.
+    * The half-up divide is `floor((s + n div 2) / n)`, computed
+    * sign-safely as `(a - pmod(a, n)) div n`: `pmod` is non-negative,
+    * so the numerator becomes an exact multiple of n and the
+    * truncating integer division (BOTH Spark's `div` and DuckDB's
+    * `//` truncate toward zero — measured, not assumed) returns the
+    * exact floor quotient for ANY component range — no assumption
+    * that embeddings are normalized into [-1, 1]. The oracle spells
+    * out the same pmod construction.
     *
     * Scale shape: one scan, a 64× posexplode, one (label, dim) hash
     * aggregate with map-side partial combine — the shuffle carries
@@ -1094,7 +1097,7 @@ object SimilarityOps {
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n_vecs"), sum("q").as("s"))
       .withColumn("centroid_e4", expr(
-        "(s + 10000L * n_vecs + n_vecs div 2) div n_vecs - 10000L"))
+        "(s + n_vecs div 2 - pmod(s + n_vecs div 2, n_vecs)) div n_vecs"))
       .select("label", "dim", "n_vecs", "centroid_e4")
       .orderBy("label", "dim")
 
@@ -1106,8 +1109,10 @@ object SimilarityOps {
       |    floor(e.vec[d.d + 1] * 10000 + 0.5)::BIGINT AS q
       |  FROM e, (SELECT unnest(range(64)) AS d) d)
       |SELECT label, dim, count(*)::BIGINT AS n_vecs,
-      |  (sum(q)::BIGINT + 10000 * count(*)::BIGINT + count(*)::BIGINT // 2)
-      |    // count(*)::BIGINT - 10000 AS centroid_e4
+      |  (sum(q)::BIGINT + count(*)::BIGINT // 2
+      |   - (((sum(q)::BIGINT + count(*)::BIGINT // 2) % count(*)::BIGINT
+      |       + count(*)::BIGINT) % count(*)::BIGINT)) // count(*)::BIGINT
+      |    AS centroid_e4
       |FROM comp
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
@@ -1164,8 +1169,10 @@ object SimilarityOps {
       |  FROM e, (SELECT unnest(range(64)) AS d) d),
       |cent_rows AS (
       |  SELECT label, dim,
-      |    (sum(q)::BIGINT + 10000 * count(*)::BIGINT + count(*)::BIGINT // 2)
-      |      // count(*)::BIGINT - 10000 AS centroid_e4
+      |    (sum(q)::BIGINT + count(*)::BIGINT // 2
+      |     - (((sum(q)::BIGINT + count(*)::BIGINT // 2) % count(*)::BIGINT
+      |         + count(*)::BIGINT) % count(*)::BIGINT)) // count(*)::BIGINT
+      |      AS centroid_e4
       |  FROM comp GROUP BY label, dim),
       |cents AS (
       |  SELECT label AS alabel, list(centroid_e4 ORDER BY dim) AS cvec

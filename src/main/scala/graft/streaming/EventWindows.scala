@@ -278,11 +278,13 @@ object EventWindows {
 
   /** 3-sigma anomaly flags over the hourly event series — the
     * monitoring pass a pipeline runs on its own throughput (traffic
-    * spike, dead producer). The hour grid is DENSIFIED per type
-    * (every hour from the type's first to its last, zero-filled), so
-    * a silently stopped producer shows up as n=0 rows that deviate
-    * from the mean and flag — a sparse rollup would simply omit those
-    * hours and the monitor would never see the outage. The test
+    * spike, dead producer). The hour grid is DENSIFIED per type —
+    * every hour from the type's first to the GLOBAL last hour across
+    * all types, zero-filled — so a silently stopped producer shows up
+    * as n=0 rows that deviate from the mean and flag, INCLUDING a
+    * terminal stop with no later events of its own (the rest of the
+    * fleet's clock bounds the grid); a sparse rollup would simply
+    * omit those hours and the monitor would never see the outage. The test
     * `|x - μ| > 3σ` is evaluated ENTIRELY in cross-multiplied
     * integers: with per-type hour counts c_i (zeros included),
     * S = Σc, Q = Σc², n grid hours, sample variance σ² =
@@ -300,10 +302,17 @@ object EventWindows {
     * never O(events).
     */
   /** Densified per-type hourly counts (event_type, hour_us, n): every
-    * hour from the type's first to its last, zero-filled — shared by
-    * both anomaly monitors so their grids can never diverge. The
-    * sparse rollup is localCheckpoint'ed (grid, join, and downstream
-    * stats branches read it once; one events scan total).
+    * hour from the type's FIRST hour to the GLOBAL last hour across
+    * all types, zero-filled — shared by both anomaly monitors so
+    * their grids can never diverge. The global (not per-type) upper
+    * bound is what makes a TERMINAL stop visible: a producer that
+    * dies and never resumes has no later event of its own, so a
+    * per-type max would simply end its grid at the moment of death
+    * and the outage would produce no n=0 rows at all; bounding by the
+    * rest of the fleet's clock keeps emitting zeros for the dead type
+    * as long as anything else is alive. The sparse rollup is
+    * localCheckpoint'ed (grid, join, and downstream stats branches
+    * read it once; one events scan total).
     */
   private def denseHourly(spark: SparkSession, sfDir: String): DataFrame = {
     val hourUs = 3600L * 1000000L
@@ -314,14 +323,17 @@ object EventWindows {
         col("event_type"), col("n"))
       .localCheckpoint()
     val grid = sparse.groupBy("event_type")
-      .agg(min("hour_us").as("h0"), max("hour_us").as("h1"))
+      .agg(min("hour_us").as("h0"))
+      .crossJoin(broadcast(sparse.agg(max("hour_us").as("h1"))))
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), lit(hourUs))).as("hour_us"))
     grid.join(sparse, Seq("event_type", "hour_us"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
   }
 
-  /** Shared dense-hourly CTE prefix for the anomaly oracles. */
+  /** Shared dense-hourly CTE prefix for the anomaly oracles (note
+    * the GLOBAL max bound — see [[denseHourly]]).
+    */
   private val denseHourlySqlPrefix: String =
     """sparse AS (
       |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
@@ -329,8 +341,8 @@ object EventWindows {
       |  FROM events GROUP BY 1, 2),
       |grid AS (
       |  SELECT event_type,
-      |    unnest(generate_series(min(hour_us), max(hour_us), 3600000000))
-      |      AS hour_us
+      |    unnest(generate_series(min(hour_us),
+      |      (SELECT max(hour_us) FROM sparse), 3600000000)) AS hour_us
       |  FROM sparse GROUP BY event_type),
       |hourly AS (
       |  SELECT g.event_type, g.hour_us, coalesce(s.n, 0)::BIGINT AS n
@@ -422,12 +434,19 @@ object EventWindows {
       |FROM dev d JOIN mad md ON md.event_type = d.event_type
       |ORDER BY d.event_type, d.hour_us""".stripMargin
 
-  /** State of the streaming anomaly monitor: the per-type map of
-    * finalized hour counts. Bounded by CALENDAR hours (~9k entries
-    * per type per year), not by event volume — the same O(span) the
-    * batch monitor's output already is.
+  /** State of the streaming anomaly monitors: finalized hour counts
+    * for ALL types (type → hour → n). One state group, not one per
+    * type, because the dense grid's upper bound is the GLOBAL max
+    * hour across types (see [[denseHourly]]) — a per-type group could
+    * never see the rest of the fleet's clock and a dead producer
+    * would be invisible. Bounded by CALENDAR hours × types (~9k
+    * entries per type per year), not by event volume — the same
+    * O(span) the batch monitor's output already is, and exactly the
+    * dashboard-sized single-task shape as the reference's driver-side
+    * tail-200 (S11).
     */
-  final case class AnomState(counts: Map[Long, Long], emitSeq: Long)
+  final case class AnomState(counts: Map[String, Map[Long, Long]],
+      emitSeq: Long)
   final case class AnomCell(event_type: String, hour_us: Long, n: Long,
       is_anomaly: Boolean, emit_seq: Long)
 
@@ -436,8 +455,8 @@ object EventWindows {
     * of continuously-updated counter board, `app3/live_counts.py`).
     * Consumes the FINALIZED hourly cells emitted by
     * [[hourlyWindowStreaming]] (event_type, hour_us, n) and keeps the
-    * per-type hour series in `flatMapGroupsWithState` state. Each
-    * batch folds the new cells in and re-emits the type's full
+    * all-types hour series in `flatMapGroupsWithState` state. Each
+    * batch folds the new cells in and re-emits every type's full
     * densified, re-flagged series (Update mode): 3-sigma flags of
     * PAST hours legitimately change as the series statistics evolve,
     * exactly as a batch re-run would change them — so "latest
@@ -484,8 +503,11 @@ object EventWindows {
     }
 
   /** Shared harness of the streaming monitors: fold finalized hourly
-    * cells into per-type state, densify, and re-emit the full
-    * re-flagged series each batch with a monotone emit_seq (see
+    * cells into the all-types state, densify each type's grid from
+    * its own first hour to the GLOBAL max hour (matching
+    * [[denseHourly]] — this is what makes a terminally-dead producer
+    * emit trailing zeros), and re-emit the full re-flagged series
+    * each batch with a monotone emit_seq (see
     * [[anomalyHoursStreaming]]'s doc for the contract).
     */
   private def monitorStream(cells: DataFrame)(
@@ -499,26 +521,29 @@ object EventWindows {
       .select(col("event_type").cast("string"), col("hour_us").cast("long"),
         col("n").cast("long"))
       .as[(String, Long, Long)]
-      .groupByKey(_._1)
+      .groupByKey(_ => 0)
       .flatMapGroupsWithState[AnomState, AnomCell](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case (et, rows, state) =>
+        case (_, rows, state) =>
           val prev = state.getOption.getOrElse(AnomState(Map.empty, 0L))
           // a finalized window is emitted once; on an at-least-once
-          // replay the same (hour, n) overwrites itself — idempotent
+          // replay the same (type, hour, n) overwrites itself —
+          // idempotent
           val counts = rows.foldLeft(prev.counts) {
-            case (m, (_, h, n)) => m.updated(h, n)
+            case (m, (et, h, n)) =>
+              m.updated(et, m.getOrElse(et, Map.empty).updated(h, n))
           }
           val seq = prev.emitSeq + 1
           state.update(AnomState(counts, seq))
           if (counts.isEmpty) Iterator.empty
           else {
-            val h0 = counts.keys.min
-            val h1 = counts.keys.max
-            val dense = (h0 to h1 by hourUs)
-              .map(h => h -> counts.getOrElse(h, 0L))
-            flag(dense).iterator.map { case (h, c, f) =>
-              AnomCell(et, h, c, f, seq)
+            val gmax = counts.values.flatMap(_.keys).max
+            counts.iterator.flatMap { case (et, byHour) =>
+              val dense = (byHour.keys.min to gmax by hourUs)
+                .map(h => h -> byHour.getOrElse(h, 0L))
+              flag(dense).map { case (h, c, f) =>
+                AnomCell(et, h, c, f, seq)
+              }
             }
           }
       }

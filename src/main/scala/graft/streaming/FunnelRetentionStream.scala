@@ -32,13 +32,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State lifetime: both operators take `stateTtl`. `None` keeps state
   * forever (NoTimeout) — the exact-batch-parity mode the differential
   * specs assert, correct for bounded replays. `Some(ttl)` arms an
-  * event-time timeout at `lastSeenEventTime + ttl`: once the watermark
-  * passes it, the user's state is dropped — the production setting,
-  * since an unbounded user-id space (the 100 TB narrative) otherwise
-  * grows state forever. The tradeoff is explicit: a user who returns
-  * after `ttl` of silence restarts from empty state (funnel re-enters
-  * at stage 0 with n_seen reset; retention opens a NEW cohort), which
-  * is the standard dashboard semantics for expired visitors.
+  * event-time timeout at `lastSeenEventTime + ttl` (monotone
+  * last-seen — a late event never pulls the expiry earlier): once the
+  * watermark passes it, the user's state is dropped — the production
+  * setting, since an unbounded user-id space (the 100 TB narrative)
+  * otherwise grows state forever. The tradeoff is explicit: a user
+  * who returns after `ttl` of silence restarts from empty state
+  * (funnel re-enters at stage 0 with n_seen reset; retention opens a
+  * NEW cohort), which is the standard dashboard semantics for expired
+  * visitors.
+  *
+  * TTL mode also changes which rows the fold SEES: a watermark makes
+  * Spark drop rows older than it BEFORE flatMapGroupsWithState runs,
+  * so events later than `watermarkDelay` never reach the fold (and
+  * therefore can't be counted in `n_late`). Size `watermarkDelay` to
+  * the disorder you want folded: within the delay, disorder reaches
+  * the fold and `n_late` flags it; beyond it, rows are dropped by the
+  * engine — standard watermark semantics, but with the default
+  * "0 seconds" delay ANY cross-batch event-time skew is data loss, so
+  * production TTL deployments should set a real delay. NoTimeout mode
+  * has no watermark and folds everything, which is why the n_late
+  * spec runs there.
   *
   * Exactness contract (asserted in FunnelRetentionStreamSpec):
   * incremental state equals the batch recompute when each user's
@@ -137,8 +151,13 @@ object FunnelRetentionStream {
   /** Week-offset bitmap: bit `off` of word `off / 64`. Bounded by
     * weeks-since-cohort / 64 words per user (~1 long/year), O(1) test
     * and set — the state shape that survives years of activity.
+    * `maxTs` is the MONOTONE last-seen event time: the TTL must be
+    * armed off it, not off the current batch's max, or a late (but
+    * above-watermark) event would move the expiry EARLIER and break
+    * the lastSeen+ttl contract.
     */
-  final case class RetState(cohortWeek: Long, bits: Array[Long])
+  final case class RetState(cohortWeek: Long, bits: Array[Long],
+      maxTs: Long)
   private def bitSet(bits: Array[Long], off: Long): Boolean = {
     val w = (off >> 6).toInt
     w < bits.length && (bits(w) & (1L << (off & 63))) != 0L
@@ -190,23 +209,28 @@ object FunnelRetentionStream {
                 case None =>
                   // first event ever: this week IS the cohort (in-order
                   // contract — see the object docstring)
-                  s = Some(RetState(w, withBit(Array(0L), 0L)))
+                  s = Some(RetState(w, withBit(Array(0L), 0L), ts))
                   out += RetCell(w, 0L, uid)
                 case Some(st) =>
                   val off = w - st.cohortWeek
+                  val st2 = st.copy(maxTs = math.max(st.maxTs, ts))
                   // a pre-cohort week (off < 0) is a late arrival from
                   // before the first-seen event; it cannot be credited
                   // into the bitmap and the batch twin would have used
                   // it as the cohort — skip rather than corrupt
                   if (off >= 0L && !bitSet(st.bits, off)) {
-                    s = Some(st.copy(bits = withBit(st.bits, off)))
+                    s = Some(st2.copy(bits = withBit(st.bits, off)))
                     out += RetCell(st.cohortWeek, off, uid)
+                  } else {
+                    s = Some(st2)
                   }
               }
             }
             s.foreach { st =>
               state.update(st)
-              armTimeout(state, stateTtl, tss.lastOption.getOrElse(0L))
+              // monotone last-seen, NOT the batch max: a late event
+              // must never pull the expiry earlier
+              armTimeout(state, stateTtl, st.maxTs)
             }
             out.iterator
           }

@@ -200,14 +200,15 @@ class AnnSpec extends SparkSuite {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     // independent recompute: snap, sum as BigInt in ARBITRARY order
-    // (reverse of collected), divide half-up via the same shift
+    // (reverse of collected), floor-divide half-up (BigInt.mod is
+    // non-negative, so this is floor division for any sign)
+    def fdiv(a: BigInt, n: BigInt): BigInt = (a - a.mod(n)) / n
     val expected = rows.groupBy(_._1).flatMap { case (label, g) =>
       val vs = g.map(_._2).reverse
       (0 until 64).map { d =>
         val s = vs.map(v => BigInt(math.floor(v(d) * 1e4 + 0.5).toLong)).sum
         val n = BigInt(vs.length)
-        (label, d) -> ((vs.length.toLong,
-          ((s + 10000 * n + n / 2) / n - 10000).toLong))
+        (label, d) -> ((vs.length.toLong, fdiv(s + n / 2, n).toLong))
       }
     }
     val got = SimilarityOps.embLabelCentroid(spark, sf0001).collect()
@@ -228,12 +229,13 @@ class AnnSpec extends SparkSuite {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     def snap(v: Array[Double]): Array[Long] =
       v.map(x => math.floor(x * 1e4 + 0.5).toLong)
-    // centroids via the same shifted half-up divide, independent code
+    // centroids via the same sign-safe floor half-up divide
+    def fdiv2(a: BigInt, n: BigInt): BigInt = (a - a.mod(n)) / n
     val cents = rows.groupBy(_._1).map { case (label, g) =>
       val n = BigInt(g.length)
       label -> (0 until 64).map { d =>
         val s = g.map(r => BigInt(snap(r._2)(d))).sum
-        ((s + 10000 * n + n / 2) / n - 10000).toLong
+        fdiv2(s + n / 2, n).toLong
       }.toArray
     }
     val expected = rows.map { case (label, v) =>

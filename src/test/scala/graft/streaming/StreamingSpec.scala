@@ -200,11 +200,12 @@ class StreamingSpec extends SparkSuite {
     val sparse = evs.groupBy(identity).map { case ((et, h), rows) =>
       (et, h, rows.length.toLong)
     }.toSeq
+    val gmax = sparse.map(_._2).max
     val expected = sparse.groupBy(_._1).flatMap { case (et, active) =>
-      // densify min..max with zero-filled hours — the dead-producer
-      // grid the operator now computes over
+      // densify type-min..GLOBAL-max with zero-filled hours — the
+      // dead-producer grid the operator now computes over
       val byHour = active.map(r => r._2 -> r._3).toMap
-      val rows = (byHour.keys.min to byHour.keys.max by hourUs)
+      val rows = (byHour.keys.min to gmax by hourUs)
         .map(h => (h, byHour.getOrElse(h, 0L)))
       val n = BigInt(rows.length)
       val s = BigInt(rows.map(_._2).sum)
@@ -242,9 +243,10 @@ class StreamingSpec extends SparkSuite {
       val n = s.length
       if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
     }
+    val gmax = sparse.map(_._2).max
     val expected = sparse.groupBy(_._1).flatMap { case (et, active) =>
       val byHour = active.map(r => r._2 -> r._3).toMap
-      val rows = (byHour.keys.min to byHour.keys.max by hourUs)
+      val rows = (byHour.keys.min to gmax by hourUs)
         .map(h => (h, byHour.getOrElse(h, 0L)))
       val m2 = med2(rows.map(_._2))
       val devs = rows.map { case (h, c) => (h, c, (2 * c - m2).abs) }
