@@ -1101,18 +1101,27 @@ object SimilarityOps {
       .select("label", "dim", "n_vecs", "centroid_e4")
       .orderBy("label", "dim")
 
+  /** The sign-safe half-up centroid component in DuckDB SQL —
+    * floor((sum + n/2)/n) via the double-mod pmod construction;
+    * shared by [[embLabelCentroidSql]] and [[embCentroidAssignSql]]
+    * so the two oracles' rounding can never diverge (same pattern as
+    * EventWindows' shared dense-hourly prefix).
+    */
+  private val centroidE4Sql: String =
+    """(sum(q)::BIGINT + count(*)::BIGINT // 2
+      | - (((sum(q)::BIGINT + count(*)::BIGINT // 2) % count(*)::BIGINT
+      |     + count(*)::BIGINT) % count(*)::BIGINT)) // count(*)::BIGINT"""
+      .stripMargin.replace("\n", "\n      ")
+
   val embLabelCentroidSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
       |comp AS (
       |  SELECT e.label, d.d AS dim,
       |    floor(e.vec[d.d + 1] * 10000 + 0.5)::BIGINT AS q
       |  FROM e, (SELECT unnest(range(64)) AS d) d)
       |SELECT label, dim, count(*)::BIGINT AS n_vecs,
-      |  (sum(q)::BIGINT + count(*)::BIGINT // 2
-      |   - (((sum(q)::BIGINT + count(*)::BIGINT // 2) % count(*)::BIGINT
-      |       + count(*)::BIGINT) % count(*)::BIGINT)) // count(*)::BIGINT
-      |    AS centroid_e4
+      |  $centroidE4Sql AS centroid_e4
       |FROM comp
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
@@ -1161,18 +1170,14 @@ object SimilarityOps {
   }
 
   val embCentroidAssignSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT label, embedding::DOUBLE[] AS vec FROM embeddings),
       |comp AS (
       |  SELECT e.label, d.d AS dim,
       |    floor(e.vec[d.d + 1] * 10000 + 0.5)::BIGINT AS q
       |  FROM e, (SELECT unnest(range(64)) AS d) d),
       |cent_rows AS (
-      |  SELECT label, dim,
-      |    (sum(q)::BIGINT + count(*)::BIGINT // 2
-      |     - (((sum(q)::BIGINT + count(*)::BIGINT // 2) % count(*)::BIGINT
-      |         + count(*)::BIGINT) % count(*)::BIGINT)) // count(*)::BIGINT
-      |      AS centroid_e4
+      |  SELECT label, dim, $centroidE4Sql AS centroid_e4
       |  FROM comp GROUP BY label, dim),
       |cents AS (
       |  SELECT label AS alabel, list(centroid_e4 ORDER BY dim) AS cvec

@@ -4,6 +4,10 @@ import graft.SparkSuite
 
 class AnnSpec extends SparkSuite {
 
+  // sign-safe floor division (BigInt.mod is non-negative) — the
+  // driver-side twin of the operators' pmod half-up divide
+  private def fdiv(a: BigInt, n: BigInt): BigInt = (a - a.mod(n)) / n
+
   test("LSH top-k achieves reasonable recall against brute force") {
     val brute = SimilarityOps.annBruteTopK(spark, sf0001)
       .collect()
@@ -200,9 +204,7 @@ class AnnSpec extends SparkSuite {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     // independent recompute: snap, sum as BigInt in ARBITRARY order
-    // (reverse of collected), floor-divide half-up (BigInt.mod is
-    // non-negative, so this is floor division for any sign)
-    def fdiv(a: BigInt, n: BigInt): BigInt = (a - a.mod(n)) / n
+    // (reverse of collected), floor-divide half-up via shared fdiv
     val expected = rows.groupBy(_._1).flatMap { case (label, g) =>
       val vs = g.map(_._2).reverse
       (0 until 64).map { d =>
@@ -230,12 +232,11 @@ class AnnSpec extends SparkSuite {
     def snap(v: Array[Double]): Array[Long] =
       v.map(x => math.floor(x * 1e4 + 0.5).toLong)
     // centroids via the same sign-safe floor half-up divide
-    def fdiv2(a: BigInt, n: BigInt): BigInt = (a - a.mod(n)) / n
     val cents = rows.groupBy(_._1).map { case (label, g) =>
       val n = BigInt(g.length)
       label -> (0 until 64).map { d =>
         val s = g.map(r => BigInt(snap(r._2)(d))).sum
-        fdiv2(s + n / 2, n).toLong
+        fdiv(s + n / 2, n).toLong
       }.toArray
     }
     val expected = rows.map { case (label, v) =>

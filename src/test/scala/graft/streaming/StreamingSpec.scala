@@ -226,6 +226,20 @@ class StreamingSpec extends SparkSuite {
     // hours) AND stay mostly normal — not an all-true degenerate flag
     assert(got.values.exists(_._1 == 0L), "no zero-filled hours in grid")
     assert(got.values.count(_._2) < got.size / 2)
+    // ...and the GLOBAL-max extension specifically: sf0.001's types end
+    // at different hours, so some type must carry zero-rows BEYOND its
+    // own last active hour (the terminal-outage grid; a per-type max
+    // bound would emit no such row and this assertion would fail)
+    val ownMax = sparse.groupBy(_._1).map { case (et, rs) =>
+      et -> rs.map(_._2).max
+    }
+    assert(ownMax.values.toSet.size > 1,
+      "fixture degenerate: every type ends at the same hour")
+    val trailing = got.keys.filter { case (et, h) => h > ownMax(et) }
+    assert(trailing.nonEmpty, "no trailing zero-hours past a type's end")
+    trailing.foreach { k =>
+      assert(got(k)._1 == 0L, s"trailing cell $k should be zero-filled")
+    }
   }
 
   test("MAD anomaly flags match an exact integer driver recompute") {
@@ -312,6 +326,52 @@ class StreamingSpec extends SparkSuite {
       "select count(distinct emit_seq) from anom_stream")
       .collect()(0).getLong(0)
     assert(nSeqs >= 3, s"expected multiple incremental snapshots, got $nSeqs")
+  }
+
+  test("streaming monitor keeps emitting zeros for a dead producer") {
+    // type A emits one cell then dies; type B keeps the feed alive.
+    // The global-max grid must keep extending A with n=0 rows — the
+    // terminal outage a per-type bound would never show.
+    def msg(et: String, hour: Long, n: Long): String = {
+      val hourUs = 3600L * 1000000L
+      s"""{"event_type": "$et", "hour_us": ${hour * hourUs}, "n": $n}"""
+    }
+    val src = new MemorySource(spark)
+    val parsed = src.load(spark)
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type string, hour_us long, n long")).as("j"))
+      .select("j.*")
+    // the ROBUST monitor: with most of the series dead the median is
+    // 0 and MAD is 0, so any nonzero hour flags — 3-sigma on a 6-point
+    // series would not (one spike inflates its own stddev)
+    val q = EventWindows.anomalyMadStreaming(parsed)
+      .writeStream.format("memory").queryName("anom_dead")
+      .outputMode("update").start()
+    src.add(Seq(msg("A", 100L, 5L), msg("B", 100L, 5L)))
+    q.processAllAvailable()
+    src.add((101L to 105L).map(h => msg("B", h, 5L)))
+    q.processAllAvailable()
+    q.stop()
+    val hourUs = 3600L * 1000000L
+    val fin = spark.sql(
+      """select event_type, hour_us, n, is_anomaly from (
+        |  select *, max(emit_seq) over () as mx from anom_dead)
+        |where emit_seq = mx""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1) / hourUs) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    // A's grid extends to B's clock: hours 101..105 exist with n=0
+    (101L to 105L).foreach { h =>
+      assert(fin.contains(("A", h)), s"dead producer A missing hour $h")
+      assert(fin(("A", h))._1 == 0L, s"A hour $h not zero")
+    }
+    // and the deviation IS visible: A's series is 5,0,0,0,0,0 with
+    // median/MAD = 0, so the one live hour flags under the modified
+    // z-score (MAD=0 degenerates to "flag any deviation")
+    assert(fin(("A", 100L)) == ((5L, true)),
+      s"live hour of mostly-dead series not flagged: ${fin(("A", 100L))}")
+    assert((101L to 105L).forall(h => !fin(("A", h))._2),
+      "zero hours of an all-dead tail should not self-flag")
   }
 
   test("streaming MAD monitor converges to the batch robust flags") {
