@@ -529,8 +529,10 @@ object EventWindows {
           // a finalized window is emitted once; on an at-least-once
           // replay the same (type, hour, n) overwrites itself —
           // idempotent
+          var touched = Set.empty[String]
           val counts = rows.foldLeft(prev.counts) {
             case (m, (et, h, n)) =>
+              touched += et
               m.updated(et, m.getOrElse(et, Map.empty).updated(h, n))
           }
           val seq = prev.emitSeq + 1
@@ -538,13 +540,25 @@ object EventWindows {
           if (counts.isEmpty) Iterator.empty
           else {
             val gmax = counts.values.flatMap(_.keys).max
-            counts.iterator.flatMap { case (et, byHour) =>
-              val dense = (byHour.keys.min to gmax by hourUs)
-                .map(h => h -> byHour.getOrElse(h, 0L))
-              flag(dense).map { case (h, c, f) =>
-                AnomCell(et, h, c, f, seq)
+            val prevGmax = prev.counts.values.flatMap(_.keys)
+              .foldLeft(Long.MinValue)(math.max)
+            // a type's output is a pure function of its own series and
+            // the global max hour, so re-emission is needed only for
+            // types with new cells — or for EVERY type when the global
+            // clock advanced (all grids grow a zero row). Keeps
+            // per-batch sink writes at changed-types × span instead of
+            // all-types × span; consumers read "latest emit_seq PER
+            // TYPE", which skipping leaves intact.
+            val emitAll = gmax > prevGmax
+            counts.iterator
+              .filter { case (et, _) => emitAll || touched(et) }
+              .flatMap { case (et, byHour) =>
+                val dense = (byHour.keys.min to gmax by hourUs)
+                  .map(h => h -> byHour.getOrElse(h, 0L))
+                flag(dense).map { case (h, c, f) =>
+                  AnomCell(et, h, c, f, seq)
+                }
               }
-            }
           }
       }
   }

@@ -354,9 +354,12 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     q.stop()
     val hourUs = 3600L * 1000000L
+    // latest emit_seq PER TYPE: the monitor skips types whose grid
+    // did not change, so a type's freshest rows may carry an older seq
     val fin = spark.sql(
       """select event_type, hour_us, n, is_anomaly from (
-        |  select *, max(emit_seq) over () as mx from anom_dead)
+        |  select *, max(emit_seq) over (partition by event_type) as mx
+        |  from anom_dead)
         |where emit_seq = mx""".stripMargin).collect()
       .map(r => (r.getString(0), r.getLong(1) / hourUs) ->
         ((r.getLong(2), r.getBoolean(3)))).toMap
