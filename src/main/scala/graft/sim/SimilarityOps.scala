@@ -1101,6 +1101,33 @@ object SimilarityOps {
       .select("label", "dim", "n_vecs", "centroid_e4")
       .orderBy("label", "dim")
 
+  /** Streaming twin of [[embLabelCentroid]]: the same grid-snap →
+    * posexplode → (label, dim) sum/count, as an update-mode streaming
+    * aggregation over an embedding stream. This is the POINT of the
+    * integer-grid pooling: float means cannot be maintained
+    * incrementally without order drift (every micro-batch would
+    * re-associate the fp sum differently than a batch recompute), but
+    * integer component sums commute with batching exactly, so the
+    * live centroid equals the batch centroid over the rows seen so
+    * far, bit-for-bit, at every trigger (asserted in AnnSpec). State
+    * is the O(labels · 64) running (sum, count) pairs — constant in
+    * corpus size; no watermark needed because the aggregate never
+    * closes.
+    *
+    * Input schema: (label int, embedding array&lt;float&gt;).
+    */
+  def embLabelCentroidStream(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("label"), posexplode(expr(
+        "transform(cast(embedding as array<double>), " +
+          "x -> cast(floor(x * 10000d + 0.5d) as bigint))"))
+        .as(Seq("dim", "q")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum("q").as("s"))
+      .withColumn("centroid_e4", expr(
+        "(s + n_vecs div 2 - pmod(s + n_vecs div 2, n_vecs)) div n_vecs"))
+      .select("label", "dim", "n_vecs", "centroid_e4")
+
   /** The sign-safe half-up centroid component in DuckDB SQL —
     * floor((sum + n/2)/n) via the double-mod pmod construction;
     * shared by [[embLabelCentroidSql]] and [[embCentroidAssignSql]]

@@ -224,6 +224,49 @@ class AnnSpec extends SparkSuite {
     assert(got.values.exists(_._2 != 0L), "all centroid components zero")
   }
 
+  test("streaming centroids equal the batch centroids at every trigger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay the real embeddings in 3 micro-batches; after EACH batch
+    // the live centroid must equal a batch recompute over the prefix —
+    // the exactness float means cannot give under incremental ingest
+    val rows = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val src = MemoryStream[(Long, Int, Array[Float])]
+    val streamed = SimilarityOps.embLabelCentroidStream(
+      src.toDF.toDF("vec_id", "label", "embedding"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("centroid_stream").outputMode("complete").start()
+    val batches = rows.grouped(rows.length / 3 + 1).toSeq
+    var seen = Array.empty[(Long, Int, Array[Float])]
+    batches.foreach { b =>
+      src.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+      seen = seen ++ b
+      val live = spark.sql(
+        "select label, dim, n_vecs, centroid_e4 from centroid_stream")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      // batch recompute over exactly the prefix seen so far
+      val want = seen.groupBy(_._2).flatMap { case (label, g) =>
+        val n = BigInt(g.length)
+        (0 until 64).map { d =>
+          val s = g.map(r =>
+            BigInt(math.floor(r._3(d) * 1e4 + 0.5).toLong)).sum
+          (label, d) -> ((g.length.toLong, fdiv(s + n / 2, n).toLong))
+        }
+      }
+      assert(live == want,
+        s"live centroids diverged from prefix batch at ${seen.length} rows")
+    }
+    q.stop()
+  }
+
   test("centroid assignment census matches a BigInt driver recompute") {
     val rows = graft.core.Tables.embeddings(spark, sf0001)
       .selectExpr("label", "transform(embedding, x -> cast(x as double))")
