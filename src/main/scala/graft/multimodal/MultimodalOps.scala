@@ -218,8 +218,56 @@ object MultimodalOps {
       |FROM sized
       |ORDER BY doc_id""".stripMargin
 
+  /** Byte-range chunking plan for large binary payloads — the ranged
+    * GET manifest a fetch stage executes against object storage (one
+    * task per range, ranges aligned to `chunkBytes`, last range
+    * short). Media blobs at 100 TB are fetched in parallel ranges,
+    * not whole objects; this emits, per payload, the (offset, length)
+    * list that the downstream mapPartitions decoder consumes. Pure
+    * integer arithmetic over octet_length: one scan, one
+    * sequence-explode, no shuffle until the presentation sort —
+    * O(total_bytes / chunkBytes) output rows.
+    */
+  def mmChunkRanges(spark: SparkSession, sfDir: String,
+      chunkBytes: Long = 100L): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long")
+          .as("payload_bytes"))
+      .filter(col("payload_bytes") > 0)
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0L, (payload_bytes - 1L) div ${chunkBytes}L)")))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * chunkBytes).as("range_offset"),
+        least(lit(chunkBytes),
+          col("payload_bytes") - col("chunk_idx") * chunkBytes)
+          .as("range_len"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val mmChunkRangesSql: String = {
+    val chunkBytes = 100L
+    s"""WITH t AS (
+       |  SELECT doc_id, octet_length(text::BLOB)::BIGINT AS payload_bytes
+       |  FROM documents WHERE octet_length(text::BLOB) > 0),
+       |c AS (
+       |  SELECT doc_id, payload_bytes,
+       |    unnest(generate_series(0, (payload_bytes - 1) // $chunkBytes))
+       |      ::BIGINT AS chunk_idx
+       |  FROM t)
+       |SELECT doc_id, chunk_idx,
+       |  chunk_idx * $chunkBytes AS range_offset,
+       |  least($chunkBytes, payload_bytes - chunk_idx * $chunkBytes)
+       |    AS range_len
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("mm_binary_meta", mmBinaryMeta _, mmBinaryMetaSql),
+    ("mm_chunk_ranges",
+      (s: SparkSession, d: String) => mmChunkRanges(s, d),
+      mmChunkRangesSql),
     ("mm_frame_sample",
       (s: SparkSession, d: String) =>
         sampleFrames(s, Tables.documents(s, d)).orderBy("doc_id", "frame_idx"),

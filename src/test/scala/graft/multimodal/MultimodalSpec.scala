@@ -47,6 +47,32 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("chunk ranges tile every payload exactly, last range short") {
+    val lens = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "octet_length(cast(text as binary))")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val got = MultimodalOps.mmChunkRanges(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet == lens.filter(_._2 > 0).keySet)
+    byDoc.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      // dense indices, contiguous non-overlapping ranges covering the
+      // payload exactly — the ranged-GET manifest contract
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.zipWithIndex.foreach { case ((_, i, off, len), ix) =>
+        assert(off == ix * 100L, s"doc $doc chunk $i offset $off")
+        assert(len > 0 && len <= 100L, s"doc $doc chunk $i len $len")
+      }
+      assert(sorted.map(_._4).sum == lens(doc),
+        s"doc $doc ranges don't sum to payload")
+      assert(sorted.init.forall(_._4 == 100L),
+        s"doc $doc has a short range before the last")
+    }
+    // the fixture exercises the short-tail case
+    assert(got.exists(_._4 < 100L), "no short last range in fixture")
+  }
+
   test("sampleFrames explodes by stride with distinct frame hashes") {
     val docs = Tables.documents(spark, sf0001).limit(20)
     val frames = MultimodalOps.sampleFrames(spark, docs, stride = 8)
