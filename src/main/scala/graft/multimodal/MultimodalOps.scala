@@ -228,8 +228,14 @@ object MultimodalOps {
     * sequence-explode, no shuffle until the presentation sort —
     * O(total_bytes / chunkBytes) output rows.
     */
+  /** Range size shared by the operator default, the SQL oracle, and
+    * the spec — one knob, no silent divergence. 100 B (not MB) only
+    * because the stand-in payloads are small documents.
+    */
+  val ChunkBytes: Long = 100L
+
   def mmChunkRanges(spark: SparkSession, sfDir: String,
-      chunkBytes: Long = 100L): DataFrame =
+      chunkBytes: Long = ChunkBytes): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         octet_length(col("text").cast("binary")).cast("long")
@@ -246,7 +252,7 @@ object MultimodalOps {
       .orderBy("doc_id", "chunk_idx")
 
   val mmChunkRangesSql: String = {
-    val chunkBytes = 100L
+    val chunkBytes = ChunkBytes
     s"""WITH t AS (
        |  SELECT doc_id, octet_length(text::BLOB)::BIGINT AS payload_bytes
        |  FROM documents WHERE octet_length(text::BLOB) > 0),

@@ -1089,6 +1089,16 @@ object SimilarityOps {
     * O(labels · 64) partial rows per task regardless of corpus size;
     * output is O(labels · 64).
     */
+  /** Spark-side twins of [[centroidE4Sql]]: the grid snap and the
+    * sign-safe half-up divide, shared by the batch and streaming
+    * centroid operators so their rounding can never diverge.
+    */
+  private val snapE4Expr: String =
+    "transform(cast(embedding as array<double>), " +
+      "x -> cast(floor(x * 10000d + 0.5d) as bigint))"
+  private val centroidE4Expr: String =
+    "(s + n_vecs div 2 - pmod(s + n_vecs div 2, n_vecs)) div n_vecs"
+
   def embLabelCentroid(spark: SparkSession, sfDir: String): DataFrame =
     withVec(Tables.embeddings(spark, sfDir))
       .select(col("label"), posexplode(expr(
@@ -1096,8 +1106,7 @@ object SimilarityOps {
         .as(Seq("dim", "q")))
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n_vecs"), sum("q").as("s"))
-      .withColumn("centroid_e4", expr(
-        "(s + n_vecs div 2 - pmod(s + n_vecs div 2, n_vecs)) div n_vecs"))
+      .withColumn("centroid_e4", expr(centroidE4Expr))
       .select("label", "dim", "n_vecs", "centroid_e4")
       .orderBy("label", "dim")
 
@@ -1118,14 +1127,11 @@ object SimilarityOps {
     */
   def embLabelCentroidStream(vecs: DataFrame): DataFrame =
     vecs
-      .select(col("label"), posexplode(expr(
-        "transform(cast(embedding as array<double>), " +
-          "x -> cast(floor(x * 10000d + 0.5d) as bigint))"))
+      .select(col("label"), posexplode(expr(snapE4Expr))
         .as(Seq("dim", "q")))
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n_vecs"), sum("q").as("s"))
-      .withColumn("centroid_e4", expr(
-        "(s + n_vecs div 2 - pmod(s + n_vecs div 2, n_vecs)) div n_vecs"))
+      .withColumn("centroid_e4", expr(centroidE4Expr))
       .select("label", "dim", "n_vecs", "centroid_e4")
 
   /** The sign-safe half-up centroid component in DuckDB SQL —

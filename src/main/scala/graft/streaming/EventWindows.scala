@@ -456,8 +456,11 @@ object EventWindows {
     * Consumes the FINALIZED hourly cells emitted by
     * [[hourlyWindowStreaming]] (event_type, hour_us, n) and keeps the
     * all-types hour series in `flatMapGroupsWithState` state. Each
-    * batch folds the new cells in and re-emits every type's full
-    * densified, re-flagged series (Update mode): 3-sigma flags of
+    * batch folds the new cells in and re-emits the full densified,
+    * re-flagged series of every CHANGED type — types with new cells,
+    * or all types when the global max hour advanced (every grid grows
+    * a zero row). Consumers must therefore read "latest emit_seq PER
+    * TYPE", never a single global latest (Update mode): 3-sigma flags of
     * PAST hours legitimately change as the series statistics evolve,
     * exactly as a batch re-run would change them — so "latest
     * emit_seq per type" in the sink always equals [[anomalyHours]]
@@ -506,9 +509,9 @@ object EventWindows {
     * cells into the all-types state, densify each type's grid from
     * its own first hour to the GLOBAL max hour (matching
     * [[denseHourly]] — this is what makes a terminally-dead producer
-    * emit trailing zeros), and re-emit the full re-flagged series
-    * each batch with a monotone emit_seq (see
-    * [[anomalyHoursStreaming]]'s doc for the contract).
+    * emit trailing zeros), and re-emit the re-flagged series of each
+    * CHANGED type with a monotone emit_seq (see
+    * [[anomalyHoursStreaming]]'s doc for the emission contract).
     */
   private def monitorStream(cells: DataFrame)(
       flag: IndexedSeq[(Long, Long)] => Seq[(Long, Long, Boolean)])

@@ -53,6 +53,7 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     val got = MultimodalOps.mmChunkRanges(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cb = MultimodalOps.ChunkBytes
     val byDoc = got.groupBy(_._1)
     assert(byDoc.keySet == lens.filter(_._2 > 0).keySet)
     byDoc.foreach { case (doc, chunks) =>
@@ -61,16 +62,16 @@ class MultimodalSpec extends SparkSuite {
       // payload exactly — the ranged-GET manifest contract
       assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
       sorted.zipWithIndex.foreach { case ((_, i, off, len), ix) =>
-        assert(off == ix * 100L, s"doc $doc chunk $i offset $off")
-        assert(len > 0 && len <= 100L, s"doc $doc chunk $i len $len")
+        assert(off == ix * cb, s"doc $doc chunk $i offset $off")
+        assert(len > 0 && len <= cb, s"doc $doc chunk $i len $len")
       }
       assert(sorted.map(_._4).sum == lens(doc),
         s"doc $doc ranges don't sum to payload")
-      assert(sorted.init.forall(_._4 == 100L),
+      assert(sorted.init.forall(_._4 == cb),
         s"doc $doc has a short range before the last")
     }
     // the fixture exercises the short-tail case
-    assert(got.exists(_._4 < 100L), "no short last range in fixture")
+    assert(got.exists(_._4 < cb), "no short last range in fixture")
   }
 
   test("sampleFrames explodes by stride with distinct frame hashes") {

@@ -239,8 +239,11 @@ class AnnSpec extends SparkSuite {
     val src = MemoryStream[(Long, Int, Array[Float])]
     val streamed = SimilarityOps.embLabelCentroidStream(
       src.toDF.toDF("vec_id", "label", "embedding"))
+    // UPDATE mode — the advertised deployment path: the sink receives
+    // only changed (label, dim) rows per trigger; n_vecs is monotone
+    // per cell, so "row with max n_vecs" is the live value
     val q = streamed.writeStream.format("memory")
-      .queryName("centroid_stream").outputMode("complete").start()
+      .queryName("centroid_stream").outputMode("update").start()
     val batches = rows.grouped(rows.length / 3 + 1).toSeq
     var seen = Array.empty[(Long, Int, Array[Float])]
     batches.foreach { b =>
@@ -248,7 +251,10 @@ class AnnSpec extends SparkSuite {
       q.processAllAvailable()
       seen = seen ++ b
       val live = spark.sql(
-        "select label, dim, n_vecs, centroid_e4 from centroid_stream")
+        """select label, dim, n_vecs, centroid_e4 from (
+          |  select *, max(n_vecs) over (partition by label, dim) as mx
+          |  from centroid_stream)
+          |where n_vecs = mx""".stripMargin)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) ->
           ((r.getLong(2), r.getLong(3)))).toMap

@@ -352,6 +352,12 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     src.add((101L to 105L).map(h => msg("B", h, 5L)))
     q.processAllAvailable()
+    // batch 3 REVISES an existing B hour without advancing the global
+    // clock: A must be SKIPPED (no new cells, gmax unchanged) — its
+    // freshest sink rows keep an older emit_seq, which is exactly why
+    // consumers read latest-per-type below
+    src.add(Seq(msg("B", 105L, 7L)))
+    q.processAllAvailable()
     q.stop()
     val hourUs = 3600L * 1000000L
     // latest emit_seq PER TYPE: the monitor skips types whose grid
@@ -368,6 +374,15 @@ class StreamingSpec extends SparkSuite {
       assert(fin.contains(("A", h)), s"dead producer A missing hour $h")
       assert(fin(("A", h))._1 == 0L, s"A hour $h not zero")
     }
+    // the revision landed, and the skip path actually ran: A's newest
+    // emission is OLDER than B's (batch 3 touched only B)
+    assert(fin(("B", 105L))._1 == 7L, "B's hour-105 revision lost")
+    val maxSeq = spark.sql(
+      """select event_type, max(emit_seq) from anom_dead
+        |group by event_type""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(maxSeq("A") < maxSeq("B"),
+      s"type A was not skipped in the no-new-cells batch: $maxSeq")
     // and the deviation IS visible: A's series is 5,0,0,0,0,0 with
     // median/MAD = 0, so the one live hour flags under the modified
     // z-score (MAD=0 degenerates to "flag any deviation")
