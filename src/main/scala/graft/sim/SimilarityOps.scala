@@ -1236,6 +1236,36 @@ object SimilarityOps {
       |GROUP BY label, alabel
       |ORDER BY label, assigned_label""".stripMargin
 
+  /** Streaming twin of [[embDecontaminate]] — decontamination AT
+    * INGEST, where it actually belongs in a pipeline: every incoming
+    * train vector is screened against the (small, static) eval set
+    * the moment it arrives, instead of by periodic batch sweeps over
+    * the accumulated corpus. Stateless stream×static broadcast join
+    * (no watermark, no state store): each micro-batch joins against
+    * the broadcast eval side and appends its hits — per-batch work is
+    * batch-rows × nEval fused cosines, nothing retained. Emits ALL
+    * (train_id, eval_id, cos ≥ threshold) hits rather than the batch
+    * report's top-1-per-train (a rank window would need state in
+    * append mode); the downstream report dedups, and the spec asserts
+    * best-hit-per-train equality with the batch operator.
+    *
+    * `vecs`: streaming (vec_id long, embedding array&lt;float&gt;);
+    * `evalVecs`: static (vec_id long, embedding array&lt;float&gt;).
+    */
+  def embDecontaminateStream(vecs: DataFrame, evalVecs: DataFrame,
+      threshold: Double = 0.3): DataFrame = {
+    def prep(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col("vec_id").cast("long").as(idAs),
+        expr("transform(cast(embedding as array<double>), x -> x)")
+          .as(vecAs))
+    prep(vecs, "train_id", "tvec")
+      .crossJoin(broadcast(prep(evalVecs, "eval_id", "evec")))
+      .filter(col("train_id") =!= col("eval_id"))
+      .withColumn("cos", round(cosine("tvec", "evec"), 4))
+      .filter(col("cos") >= threshold)
+      .select("train_id", "eval_id", "cos")
+  }
+
   /** Matryoshka (truncated-prefix) ANN top-k — the two-stage search
     * MRL-style embeddings are trained for (Kusupati et al. 2022):
     * stage 1 ranks the corpus by cosine over only the first

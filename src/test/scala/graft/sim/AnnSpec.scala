@@ -314,6 +314,43 @@ class AnnSpec extends SparkSuite {
     assert(diag == 183, s"own-label diagonal $diag/500 != pinned 183")
   }
 
+  test("streaming ingest decontamination matches the batch report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val evalDf = graft.core.Tables.embeddings(spark, sf0001)
+      .filter("vec_id < 50").select("vec_id", "embedding")
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = SimilarityOps.embDecontaminateStream(
+        src.toDF.toDF("vec_id", "embedding"), evalDf)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    // the train side arrives in 3 micro-batches, screened at ingest
+    all.filter(_._1 >= 50).grouped(200).foreach { b =>
+      src.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // best hit per train doc over the appended hits == the batch
+    // top-1 report (same cos-desc, eval-asc tiebreak)
+    val got = spark.sql(
+      "select train_id, eval_id, cos from decon_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (t, hits) =>
+        val best = hits.minBy(h => (-h._3, h._2))
+        t -> ((best._2, best._3))
+      }
+    val want = SimilarityOps.embDecontaminate(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want,
+      s"stream flagged ${got.size} train docs, batch ${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("near-dup pairs are invariant to the label-block split bound") {
     // the block-pair tiling only relocates pairwise work across tasks;
     // the pair set must be identical at any bound — including 1 (every
