@@ -300,14 +300,16 @@ class StreamingSpec extends SparkSuite {
         org.apache.spark.sql.types.StructType.fromDDL(
           "event_type string, hour_us long, n long")).as("j"))
       .select("j.*")
-    val q = EventWindows.anomalyHoursStreaming(parsed)
-      .writeStream.format("memory").queryName("anom_stream")
-      .outputMode("update").start()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[EventWindows.AnomCell]
+    val q = EventWindows.anomalyHoursStreaming(parsed) { out =>
+      buf.synchronized { buf ++= out.collect() }
+    }.start()
     msgs.grouped(math.max(1, msgs.length / 4 + 1)).foreach { b =>
       src.add(b.toSeq)
       q.processAllAvailable()
     }
     q.stop()
+    spark.createDataset(buf.toSeq).createOrReplaceTempView("anom_stream")
     val fin = spark.sql(
       """select event_type, hour_us, n, is_anomaly from (
         |  select *, max(emit_seq) over (partition by event_type) as mx
@@ -345,9 +347,10 @@ class StreamingSpec extends SparkSuite {
     // the ROBUST monitor: with most of the series dead the median is
     // 0 and MAD is 0, so any nonzero hour flags — 3-sigma on a 6-point
     // series would not (one spike inflates its own stddev)
-    val q = EventWindows.anomalyMadStreaming(parsed)
-      .writeStream.format("memory").queryName("anom_dead")
-      .outputMode("update").start()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[EventWindows.AnomCell]
+    val q = EventWindows.anomalyMadStreaming(parsed) { out =>
+      buf.synchronized { buf ++= out.collect() }
+    }.start()
     src.add(Seq(msg("A", 100L, 5L), msg("B", 100L, 5L)))
     q.processAllAvailable()
     src.add((101L to 105L).map(h => msg("B", h, 5L)))
@@ -359,6 +362,7 @@ class StreamingSpec extends SparkSuite {
     src.add(Seq(msg("B", 105L, 7L)))
     q.processAllAvailable()
     q.stop()
+    spark.createDataset(buf.toSeq).createOrReplaceTempView("anom_dead")
     val hourUs = 3600L * 1000000L
     // latest emit_seq PER TYPE: the monitor skips types whose grid
     // did not change, so a type's freshest rows may carry an older seq
@@ -407,14 +411,16 @@ class StreamingSpec extends SparkSuite {
         org.apache.spark.sql.types.StructType.fromDDL(
           "event_type string, hour_us long, n long")).as("j"))
       .select("j.*")
-    val q = EventWindows.anomalyMadStreaming(parsed)
-      .writeStream.format("memory").queryName("anom_mad_stream")
-      .outputMode("update").start()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[EventWindows.AnomCell]
+    val q = EventWindows.anomalyMadStreaming(parsed) { out =>
+      buf.synchronized { buf ++= out.collect() }
+    }.start()
     msgs.grouped(math.max(1, msgs.length / 4 + 1)).foreach { b =>
       src.add(b.toSeq)
       q.processAllAvailable()
     }
     q.stop()
+    spark.createDataset(buf.toSeq).createOrReplaceTempView("anom_mad_stream")
     val fin = spark.sql(
       """select event_type, hour_us, n, is_anomaly from (
         |  select *, max(emit_seq) over (partition by event_type) as mx
