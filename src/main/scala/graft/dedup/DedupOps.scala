@@ -40,7 +40,10 @@ object DedupOps {
     * every other), while shingle sets stay sparse.
     */
   /** (doc_id, ng: array<string>, n) — one row per doc with its distinct
-    * shingle set; checkpointed because several plan branches reuse it. */
+    * shingle set; checkpointed because several plan branches reuse it
+    * AND because the barrier keeps the shingle build in its own small
+    * codegen stage (fusing it into the downstream explode + minhash
+    * agg was measured 7× slower at sf0.1). */
   private def shingleArrays(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       // small single-file inputs arrive as ONE partition; spread the
@@ -130,17 +133,35 @@ object DedupOps {
     *
     * Candidates are verified with exact Jaccard over FULL shingle
     * sets. Documents shorter than 3 tokens are excluded in both
-    * engines.
+    * engines. The whole pipeline (postings, df counts, prefix window,
+    * candidate join, verify) runs on 60-bit md5 HASHES of the
+    * trigrams, not the strings — see the in-body comment; the oracle
+    * hashes identically, and the DedupSpec differential checks the
+    * output against a string-shingled brute force.
     */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // HASHED-shingle formulation (round 9): every downstream stage —
+    // df counts, the prefix window, the candidate equi-join, and the
+    // verify intersections — runs on 60-bit md5 hashes (BIGINT)
+    // instead of trigram strings. The sf1-equivalent probe caught the
+    // string form spending ~20 s hashing/compare-ing string payloads
+    // through a 2.3M-candidate verify; longs cut the posting and
+    // verify payload ~3× and make every key comparison one word. The
+    // oracle hashes with the SAME md5-prefix function, so both engines
+    // see identical values (collisions included — within-doc collision
+    // odds at 150 shingles are ~10⁻¹⁶, and parity is exact by
+    // construction either way). Jaccard over hashed shingle sets is
+    // the standard production formulation.
     val docs = Tables.documents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= 3)
       .withColumn("ng", array_distinct(expr(
         "transform(sequence(1, size(tk) - 2), i -> " +
-          "concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))")))
+          "cast(conv(substr(md5(concat_ws(' ', element_at(tk, i), " +
+          "element_at(tk, i + 1), element_at(tk, i + 2))), 1, 15), 16, 10) " +
+          "as bigint))")))
       .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
     val docsM = docs.localCheckpoint() // shared by prefix build + verify
     // postings feed the df counts and the prefix index
@@ -194,7 +215,9 @@ object DedupOps {
       |g AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, len(tk) - 2),
-      |    i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))) AS ng
+      |    i -> ('0x' || substr(md5(
+      |      concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])), 1, 15))::BIGINT))
+      |    AS ng
       |  FROM t),
       |e AS (SELECT doc_id, len(ng) AS n, unnest(ng) AS ngram FROM g),
       |dfs AS (SELECT ngram, count(*) AS df FROM e GROUP BY ngram),
@@ -233,6 +256,14 @@ object DedupOps {
     * confined to true collision buckets.
     */
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // the signature pass reads the CHECKPOINTED shingle arrays: fusing
+    // the shingle build straight into the explode + 16-way agg was
+    // measured 7× SLOWER at sf0.1 (0.54 s → 3.88 s — the collapsed
+    // scan→transform→explode→md5→agg stage falls out of efficient
+    // codegen), so the barrier is load-bearing, not just a reuse cache
+    // (a candidate-pruned rebuild of the verify arrays was also
+    // measured and LOST: the extra scan + checkpoint jobs cost more
+    // than rereading the existing corpus checkpoint at this scale)
     val arr = shingleArrays(spark, sfDir)
     val toks = arr.select(col("doc_id"), explode(col("ng")).as("token"))
       .withColumn("hb", expr(sparkHb))
@@ -388,32 +419,80 @@ object DedupOps {
   /** Near-dup CLUSTERING: MinHash-LSH pairs are only edges — real
     * dedup keeps one doc per connected component of the near-dup
     * graph (A~B, B~C must collapse to ONE keeper even when A~C was
-    * never emitted as a pair). GraphX connectedComponents (Pregel
-    * label propagation, component id = min doc_id) over the verified
-    * pair edges; singleton docs keep themselves. This is the standard
-    * 100 TB dedup architecture: candidate pairs stay near-linear via
-    * LSH, and the transitive closure runs on the (tiny) edge set, not
-    * the corpus.
+    * never emitted as a pair). Component id = min doc_id; singleton
+    * docs keep themselves. This is the standard 100 TB dedup
+    * architecture: candidate pairs stay near-linear via LSH, and the
+    * transitive closure runs on the (tiny) edge set, not the corpus.
+    *
+    * The closure is DataFrame-native min-label propagation over ONLY
+    * the nodes that appear in a pair: each round joins the
+    * symmetrized edge set against the current labels and folds the
+    * neighborhood minimum, until the label sum reaches fixpoint (a
+    * one-scalar driver check; labels only ever decrease, so the sum
+    * strictly drops while anything changes). Rounds = component
+    * diameter — near-dup clusters are dense and shallow, so a
+    * handful. Previous rounds used GraphX Pregel here; that iterated
+    * state over EVERY document each round (the corpus-sized vertex
+    * RDD, outside codegen) when only pair-nodes — orders of magnitude
+    * fewer — can ever change label. The singleton majority now costs
+    * exactly one left-join row at the end, and each round's shuffle
+    * is edge-set-sized. (At petabyte edge sets the same loop upgrades
+    * to alternating large-star/small-star (Kiveris et al., "CC in
+    * MapReduce"), which bounds rounds by log diameter; min-label is
+    * the right point on that curve for shallow LSH clusters.)
+    * Per-round localCheckpoint keeps the plan flat (labels feed the
+    * next round twice — without it the lineage doubles per round).
     *
     * Oracle: the same pair SQL fed through a recursive-CTE transitive
     * closure with min-label aggregation.
     */
-  def dedupClusterCc(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
-    import org.apache.spark.sql.expressions.Window
-    // localCheckpoint: GraphX materializes the edge RDD several times
-    // (graph build + each Pregel round) — without this every
-    // materialization re-runs the whole LSH pipeline
+  /** Component label per PAIR-NODE: (id, lbl) where lbl = min doc_id
+    * reachable through the verified LSH pair graph. Only docs that
+    * appear in at least one pair carry a row — the singleton majority
+    * is resolved by the callers' left joins (`coalesce(lbl, doc_id)`),
+    * never entering the propagation loop. Checkpointed output: the
+    * LSH pipeline and the loop execute exactly once at construction,
+    * and consumers' final plans scan documents once (pinned in
+    * PlanAuditSpec).
+    */
+  private def ccLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    // localCheckpoint: the edge set is rescanned every propagation
+    // round — without this each round re-runs the whole LSH pipeline
     val pairs = dedupMinhashLsh(spark, sfDir).select("da", "db")
       .localCheckpoint()
+    val e2 = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .localCheckpoint()
+    // init already folds one hop: lbl = min(self, direct neighbors)
+    var labels = e2.groupBy(col("a").as("id"))
+      .agg(least(min("b"), col("a")).as("lbl")).localCheckpoint()
+    var lblSum = labels.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
+    var converged = lblSum == 0L
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, s"CC min-label propagation did not converge")
+      // one edge-sized join + one agg per round: neighbor labels and
+      // own label union into a single min fold
+      labels = e2.join(labels, e2("b") === labels("id"))
+        .select(col("a").as("id"), col("lbl"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val s2 = labels.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
+      converged = s2 == lblSum
+      lblSum = s2
+    }
+    labels
+  }
+
+  def dedupClusterCc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = ccLabels(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).select("doc_id")
-    val edges = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val verts = docs.rdd.map(r => (r.getLong(0), 1))
-    val cc = Graph(verts, edges, defaultVertexAttr = 1)
-      .connectedComponents().vertices
-    import spark.implicits._
-    val clus = cc.toDF("doc_id", "cluster")
-    clus
+    docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster")))
       .withColumn("is_keeper", col("doc_id") === col("cluster"))
@@ -450,26 +529,35 @@ object DedupOps {
     * often mix a clean original with truncated or boilerplate-wrapped
     * copies, and min-id keeps whichever was crawled first.
     *
-    * Composition: CC cluster ids (GraphX over the LSH edge set) join
-    * the integer quality scores of
-    * [[graft.text.TextOps.textQuality]] on doc_id, then one rank
-    * window per cluster picks the keeper. Both inputs carry their own
+    * Composition: CC pair-node labels ([[ccLabels]] over the LSH edge
+    * set) LEFT-join the integer quality scores of
+    * [[graft.text.TextOps.textQuality]] on doc_id (`coalesce(lbl,
+    * doc_id)` resolves the singleton majority), then one rank window
+    * per cluster picks the keeper. Both inputs carry their own
     * oracles; the DuckDB replay nests both (recursive-CTE closure +
     * integer quality) so the composed selection is hash-compared
     * end-to-end, and the driver differential re-derives clusters with
     * an independent union-find.
     *
-    * Scale shape: clusters are O(docs) rows, quality is a projection;
-    * the join and both windows share the cluster/doc_id hash
-    * partitioning; singleton clusters (the overwhelming majority)
-    * cost one row each.
+    * Scale shape: the LSH+CC stage executes exactly once, behind the
+    * [[ccLabels]] checkpoint (the round-8 audit asked for this to be
+    * pinned: measured, keep_best = cluster stage + quality + one
+    * join + two windows, and the final plan scans documents ONCE —
+    * the quality projection, which doubles as the cluster join base,
+    * asserted in PlanAuditSpec). Quality is a projection; the join
+    * and both windows share the cluster/doc_id hash partitioning;
+    * singleton clusters (the overwhelming majority) cost one row
+    * each.
     */
   def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = dedupClusterCc(spark, sfDir).select("doc_id", "cluster")
+    val labels = ccLabels(spark, sfDir)
     val quality = graft.text.TextOps.textQuality(spark, sfDir)
       .select("doc_id", "quality_e4")
-    val j = clusters.join(quality, "doc_id")
+    val j = quality.join(labels, quality("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"),
+        col("quality_e4"))
     val byCluster = Window.partitionBy("cluster")
     j.withColumn("rk", row_number().over(
         byCluster.orderBy(desc("quality_e4"), asc("doc_id"))))

@@ -62,7 +62,14 @@ class PlanAuditSpec extends SparkSuite {
       "text_dup_spans" -> 1, // rolling-hash projection over one scan
       "pipe_repeat_upsample" -> 1, // projection + explode + tiny agg
       "ev_anomaly_mad" -> 0, // dense hourly rollup checkpointed
-      "emb_label_centroid" -> 1) // posexplode + one (label, dim) agg
+      "emb_label_centroid" -> 1, // posexplode + one (label, dim) agg
+      // the LSH+CC label stage is checkpointed (executed once, at
+      // construction): the final plans read documents exactly once —
+      // the left-join base (cluster_cc) / the quality projection that
+      // doubles as the join base (keep_best). 2+ means the cluster
+      // stage is being recomputed downstream (the round-8 audit item)
+      "dedup_cluster_cc" -> 1,
+      "dedup_keep_best" -> 1)
     val offenders = pinnedScans.toSeq.sortBy(_._1).flatMap {
       case (name, want) =>
         val scans = "FileScan".r.findAllIn(plans(name)).size
