@@ -173,15 +173,32 @@ object FunnelRetentionStream {
   final case class RetCell(cohort_week: Long, week_offset: Long,
       user_id: Long)
 
+  /** `week_offset` of a reject-marker cell: an event whose offset from
+    * the user's cohort exceeded [[retentionCells]]'s `maxWeekOffset`
+    * was NOT credited (filter `week_offset >= 0` before aggregating;
+    * count the markers to observe the rejects, like `n_late`). */
+  val RejectOffset: Long = -1L
+
   /** events: streaming DataFrame with (user_id long, ts_us long).
     * Append-mode (cohort_week, week_offset, user_id) cell credits,
     * each emitted exactly once per user — `n_active` per cell is a
     * count over this stream, `cohort_n` is the cell at offset 0.
+    *
+    * `maxWeekOffset` bounds the state against corrupt far-future
+    * timestamps (the classic ms-vs-µs unit error lands ~1000× in the
+    * future): an unclamped offset would allocate off/64 longs in the
+    * user's bitmap — hundreds of KB persisted per checkpoint from ONE
+    * bad event — and pin the TTL into the far future. An event beyond
+    * the horizon (default 5200 weeks ≈ a century) is rejected: no bit,
+    * no maxTs/TTL advance, one [[RejectOffset]] marker cell emitted so
+    * the breach is observable downstream. The bitmap is therefore
+    * bounded by `maxWeekOffset / 64 + 1` longs (~82) per user.
     */
   def retentionCells(events: DataFrame,
       weekUs: Long = 7L * 86400L * 1000000L,
       stateTtl: Option[java.time.Duration] = None,
-      watermarkDelay: String = "0 seconds"): Dataset[RetCell] = {
+      watermarkDelay: String = "0 seconds",
+      maxWeekOffset: Long = 5200L): Dataset[RetCell] = {
     val spark = events.sparkSession
     import spark.implicits._
     val base = events
@@ -213,16 +230,22 @@ object FunnelRetentionStream {
                   out += RetCell(w, 0L, uid)
                 case Some(st) =>
                   val off = w - st.cohortWeek
-                  val st2 = st.copy(maxTs = math.max(st.maxTs, ts))
-                  // a pre-cohort week (off < 0) is a late arrival from
-                  // before the first-seen event; it cannot be credited
-                  // into the bitmap and the batch twin would have used
-                  // it as the cohort — skip rather than corrupt
-                  if (off >= 0L && !bitSet(st.bits, off)) {
-                    s = Some(st2.copy(bits = withBit(st.bits, off)))
-                    out += RetCell(st.cohortWeek, off, uid)
+                  if (off > maxWeekOffset) {
+                    // corrupt far-future ts: reject (see doc) — state
+                    // and TTL untouched, breach made visible
+                    out += RetCell(st.cohortWeek, RejectOffset, uid)
                   } else {
-                    s = Some(st2)
+                    val st2 = st.copy(maxTs = math.max(st.maxTs, ts))
+                    // a pre-cohort week (off < 0) is a late arrival from
+                    // before the first-seen event; it cannot be credited
+                    // into the bitmap and the batch twin would have used
+                    // it as the cohort — skip rather than corrupt
+                    if (off >= 0L && !bitSet(st.bits, off)) {
+                      s = Some(st2.copy(bits = withBit(st.bits, off)))
+                      out += RetCell(st.cohortWeek, off, uid)
+                    } else {
+                      s = Some(st2)
+                    }
                   }
               }
             }

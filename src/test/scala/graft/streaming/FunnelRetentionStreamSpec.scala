@@ -190,6 +190,35 @@ class FunnelRetentionStreamSpec extends SparkSuite {
     assert(cells.contains((1L, 1L, 0L)), s"user 1 cohort cell lost: $cells")
   }
 
+  test("retention rejects far-future offsets instead of growing the bitmap") {
+    def msg(u: Long, tsUs: Long): String =
+      s"""{"user_id": $u, "ts_us": $tsUs, "event_type": "view"}"""
+    val weekUs = 7L * 86400L * 1000000L
+    val src = new MemorySource(spark)
+    val q = FunnelRetentionStream.retentionCells(parsed(src))
+      .writeStream.format("memory").queryName("ret_clamp")
+      .outputMode("append").start()
+    // cohort opens at a realistic 2026-era week; then the classic
+    // ms-vs-µs unit error inflates one event ×1000 — millions of weeks
+    // out, far past maxWeekOffset (an unclamped bitmap would allocate
+    // ~46k longs for it); then a sane next-week event follows
+    val w0 = 2950L
+    src.add(Seq(msg(1L, w0 * weekUs)))
+    q.processAllAvailable()
+    src.add(Seq(msg(1L, w0 * weekUs * 1000L)))
+    q.processAllAvailable()
+    src.add(Seq(msg(1L, (w0 + 1L) * weekUs)))
+    q.processAllAvailable()
+    q.stop()
+    val cells = spark.sql(
+      "select cohort_week, week_offset from ret_clamp where user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the corrupt event produced a reject MARKER, not a credit — and
+    // the sane next-week credit still lands on intact state
+    assert(cells == Set((w0, 0L), (w0, FunnelRetentionStream.RejectOffset),
+      (w0, 1L)), s"unexpected cells: $cells")
+  }
+
   test("streaming retention cells aggregate to the batch retention matrix") {
     val src = new MemorySource(spark)
     val q = FunnelRetentionStream.retentionCells(parsed(src))
