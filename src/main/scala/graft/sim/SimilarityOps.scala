@@ -1249,6 +1249,13 @@ object SimilarityOps {
     * append mode); the downstream report dedups, and the spec asserts
     * best-hit-per-train equality with the batch operator.
     *
+    * Ingest rows whose vec_id IS an eval id are dropped up front by a
+    * broadcast anti-join (they are eval vectors, not candidate
+    * training data): without it, an id-overlapping feed would emit
+    * eval×eval "hits" the batch operator excludes by construction —
+    * the stream/batch parity would silently depend on the caller
+    * pre-filtering (round-8 advisory).
+    *
     * `vecs`: streaming (vec_id long, embedding array&lt;float&gt;);
     * `evalVecs`: static (vec_id long, embedding array&lt;float&gt;).
     */
@@ -1258,9 +1265,11 @@ object SimilarityOps {
       df.select(col("vec_id").cast("long").as(idAs),
         expr("transform(cast(embedding as array<double>), x -> x)")
           .as(vecAs))
+    val eval = prep(evalVecs, "eval_id", "evec")
     prep(vecs, "train_id", "tvec")
-      .crossJoin(broadcast(prep(evalVecs, "eval_id", "evec")))
-      .filter(col("train_id") =!= col("eval_id"))
+      .join(broadcast(eval.select(col("eval_id").as("train_id"))),
+        Seq("train_id"), "left_anti")
+      .crossJoin(broadcast(eval))
       .withColumn("cos", round(cosine("tvec", "evec"), 4))
       .filter(col("cos") >= threshold)
       .select("train_id", "eval_id", "cos")

@@ -168,6 +168,27 @@ class AnnSpec extends SparkSuite {
     assert(mat.forall { case (q, n) => q != n })
   }
 
+  test("Matryoshka rescore set and prefix bytes stay pinned") {
+    // every other ANN variant carries a recall + cost pair; this is
+    // Matryoshka's cost side (round-8 advisory): config drift must not
+    // silently turn the two-stage search into full-width brute force
+    // twice. k=cand turns the final rank filter into a no-op, so the
+    // result IS the stage-2 rescore set (the IVF-PQ pin's trick).
+    val corpus = graft.core.Tables.embeddings(spark, sf0001).count()
+    val pairs = 20L * (corpus - 1) // brute-force comparison count
+    val cands = SimilarityOps.annMatryoshkaTopK(spark, sf0001, k = 50).count()
+    info(s"Matryoshka rescore set = $cands / $pairs pairs")
+    assert(cands == 1000L, s"rescore set $cands != pinned 20 queries × 50")
+    // bytes: stage 1 reads the 32-of-64-dim prefix over every pair
+    // (256 B of 512 B), stage 2 rescores only the survivors full-width
+    // — together well under one brute pass (a prefixDim drift to full
+    // width is caught separately: the recall pin would jump 80 → 92+)
+    val matBytes = pairs * 32 * 8 + cands * 64 * 8
+    val bruteBytes = pairs * 64 * 8
+    assert(matBytes * 10 < bruteBytes * 7,
+      s"two-stage bytes $matBytes not under 0.7× brute $bruteBytes")
+  }
+
   test("decontamination report matches a driver brute-force recompute") {
     // independent recompute: plain Scala cosines over the collected
     // vectors, no Spark expressions shared with the operator
@@ -329,12 +350,21 @@ class AnnSpec extends SparkSuite {
         src.toDF.toDF("vec_id", "embedding"), evalDf)
       .writeStream.format("memory").queryName("decon_stream")
       .outputMode("append").start()
-    // the train side arrives in 3 micro-batches, screened at ingest
-    all.filter(_._1 >= 50).grouped(200).foreach { b =>
+    // the WHOLE feed arrives in micro-batches — including the eval
+    // vectors themselves (ids < 50): the operator's broadcast
+    // anti-join must screen them out, with no caller pre-filtering
+    // (the round-8 advisory: parity must not depend on the feed
+    // being pre-cleaned)
+    all.grouped(200).foreach { b =>
       src.addData(b.toIndexedSeq)
       q.processAllAvailable()
     }
     q.stop()
+    // no eval-id row may leak into the hit stream as a "train" doc
+    val leaked = spark.sql(
+      "select count(*) from decon_stream where train_id < 50")
+      .collect()(0).getLong(0)
+    assert(leaked == 0L, s"$leaked eval-id rows leaked past the anti-join")
     // best hit per train doc over the appended hits == the batch
     // top-1 report (same cos-desc, eval-asc tiebreak)
     val got = spark.sql(
