@@ -86,6 +86,20 @@ object Bench {
     layoutSetup(sfDir)
     println(s"""{"metric":"warmup_done","codegen_compiles":${compiles()}}""")
 
+    // ONE untimed warmup pass at the TARGET SF (round-8 item: pass 1
+    // ran ~53% above steady state — sf-sized shuffle buffers, page
+    // cache, and deeper JIT tiers were being measured inside the first
+    // timed window; the sf0.001 warmup above cannot absorb those).
+    // With this pass the three timed totals should be flat within
+    // ~10%, making the per-pass log a real regression guard.
+    val w0 = compiles()
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      dropCheckpoints()
+    }
+    println(s"""{"metric":"warmup_target_sf_done","codegen_compile_delta":${compiles() - w0}}""")
+
     // Three timed passes at the target SF, reporting the per-query MIN:
     // steady-state throughput. A single pass is hostage to whatever else
     // the host is doing during its 30-second window — one page-cache-cold
@@ -106,15 +120,18 @@ object Bench {
         dropCheckpoints()
         name -> (if (ok) dt else -1.0)
       }
-      // one diagnostic line per pass: per-query times so cross-round
-      // regressions can be attributed to a pass (JVM decay shows as
-      // pass-1<pass-2<pass-3; host noise as one outlier pass), and the
-      // compile delta so codegen-cache thrash is measured, not guessed
-      val qs = pass.toSeq.sortBy(_._1)
+      // one diagnostic line per pass: the 20 SLOWEST per-query times
+      // (capped so several pass lines survive the artifact's fixed
+      // stdout-tail budget — r8 lost all but one full pass line to
+      // truncation), plus the compile delta so codegen-cache thrash is
+      // measured, not guessed. JVM decay shows as pass-1<pass-2<pass-3
+      // totals; host noise as one outlier pass.
+      val qs = pass.toSeq.sortBy { case (_, v) => -v }.take(20)
+        .sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
         .mkString("{", ",", "}")
       val total = pass.values.filter(_ >= 0).sum
-      println(s"""{"metric":"pass","dir":"$dir","idx":$idx,"total":${math.round(total * 100) / 100.0},"codegen_compile_delta":${compiles() - c0},"queries":$qs}""")
+      println(s"""{"metric":"pass","dir":"$dir","idx":$idx,"total":${math.round(total * 100) / 100.0},"codegen_compile_delta":${compiles() - c0},"queries_slowest20":$qs}""")
       pass
     }
     def minOf(passes: Seq[Map[String, Double]]): Map[String, Double] =
@@ -170,9 +187,11 @@ object Bench {
     // experiment (BASELINE.md: append 70.40 ms mean vs update+earliest
     // 82.97 ms). Reported in seconds-per-trigger alongside the batch
     // queries so the comparison is direct.
-    // same min-of-3 treatment as the batch queries: a single A/B
-    // run's mean straddles the baseline (53 ms vs 73 ms observed for
-    // identical code) purely on host load
+    // N=5 runs per invocation with mean ± stddev ± n PUBLISHED (r8
+    // item: the A/B mean drifted 31.4→39.6 ms across rounds with the
+    // host-load explanation living in prose — the variance now ships
+    // in the artifact, so a cross-round delta is attributable from the
+    // numbers alone; the min is kept for continuity with r7/r8 lines)
     val streaming: Map[String, Double] = try {
       def once(): (Double, Double) = {
         val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
@@ -182,11 +201,108 @@ object Bench {
           backlogFactor = 15)
         (res.append.meanMs, res.updateEarliest.meanMs)
       }
-      val runs = Seq.fill(3)(once())
+      val n = 5
+      val runs = Seq.fill(n)(once())
+      def stats(xs: Seq[Double]): (Double, Double) = {
+        val m = xs.sum / xs.size
+        val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+        (m / 1000.0, sd / 1000.0)
+      }
+      val (am, asd) = stats(runs.map(_._1))
+      val (um, usd) = stats(runs.map(_._2))
       Map(
-        "st_append_trigger_mean" -> runs.map(_._1).min / 1000.0,
-        "st_update_earliest_trigger_mean" -> runs.map(_._2).min / 1000.0)
+        "st_append_trigger_mean" -> am,
+        "st_append_trigger_stddev" -> asd,
+        "st_append_trigger_min" -> runs.map(_._1).min / 1000.0,
+        "st_update_earliest_trigger_mean" -> um,
+        "st_update_earliest_trigger_stddev" -> usd,
+        "st_update_earliest_trigger_min" -> runs.map(_._2).min / 1000.0,
+        "st_trigger_runs" -> n.toDouble)
     } catch { case _: Throwable => Map.empty[String, Double] }
+
+    // ONE-OFF sf1-equivalent probe (round-8 stretch item): the scale
+    // curve tops out at sf0.1 where fixed overhead dominates, so the
+    // worst measured big/mid ratios get one more decade of data. The
+    // probe corpus is generated HERE, deterministically, as 10 salted
+    // copies of the sf0.1 documents/embeddings/events:
+    //  - documents: per-copy md5-keyed token shuffle — every
+    //    token-level statistic (quality, stopwords, langid, token
+    //    counts) is preserved exactly while shingle sets decorrelate
+    //    across copies, so the dedup family sees 10× natural data, not
+    //    a pathological 10-clone cluster per doc;
+    //  - embeddings: per-copy component rotation — same marginal
+    //    distribution, near-zero cross-copy cosine on this fixture;
+    //  - events: id-shifted copies, timestamps unchanged (10× hourly
+    //    volume over the same span).
+    // Only queries over these three tables are probed (the TPC-H side
+    // has no generator here); each runs ONCE — this is a probe for
+    // superlinearity, not a steady-state timing.
+    val probeFlagged: Seq[String] = (try {
+      val prefixes = Seq("text_", "dedup_", "emb_", "embedding_", "ann_",
+        "pipe_", "mm_", "ev_", "graph_event_")
+      val worst = bigMidRatios.toSeq.sortBy(-_._2).take(10).map(_._1)
+      val names = worst.filter(n => prefixes.exists(n.startsWith))
+      if (names.isEmpty || !sfDir.endsWith("sf0.1")) None
+      else {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bigprobe").toString
+        val copies = 10
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val nDoc = docs.selectExpr("max(doc_id)").head().getLong(0) + 1
+        (0 until copies).map { c =>
+          if (c == 0) docs
+          else docs.selectExpr(s"doc_id + ${c * nDoc} as doc_id",
+            "concat_ws(' ', transform(array_sort(transform(split(text, ' '), " +
+              s"(t, i) -> struct(md5(concat(t, '#', i, '#', $c)) as k, t as v))), " +
+              "s -> s.v)) as text",
+            "lang", "source", "n_chars")
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val nVec = emb.selectExpr("max(vec_id)").head().getLong(0) + 1
+        (0 until copies).map { c =>
+          if (c == 0) emb
+          else emb.selectExpr(s"vec_id + ${c * nVec} as vec_id",
+            s"concat(slice(embedding, ${c + 1}, ${64 - c}), " +
+              s"slice(embedding, 1, $c)) as embedding",
+            "label")
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        val nEv = ev.selectExpr("max(event_id)").head().getLong(0) + 1
+        val nUs = ev.selectExpr("max(user_id)").head().getLong(0) + 1
+        (0 until copies).map { c =>
+          if (c == 0) ev
+          else ev.selectExpr(s"event_id + ${c * nEv} as event_id", "ts",
+            s"user_id + ${c * nUs} as user_id", "event_type", "value",
+            "props")
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        val times = names.map { n =>
+          val t0 = System.nanoTime()
+          val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
+          catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          dropCheckpoints()
+          n -> (if (ok) math.round(dt * 1000) / 1000.0 else -1.0)
+        }
+        // ratio vs the min-of-three steady-state sf0.1 time; 10× data,
+        // same 15× flag bar as the main scale check (single-run probe,
+        // so expect extra noise above the honest ~10× ceiling)
+        val ratios = times.collect {
+          case (n, t) if t >= 0 && results.getOrElse(n, -1.0) > 0.0 =>
+            n -> math.round(t / results(n) * 100) / 100.0
+        }
+        val flagged = ratios.filter(_._2 > ScaleFlagRatio).map(_._1)
+        def js(m: Seq[(String, Double)]): String =
+          m.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")
+        val skipped = worst.filterNot(names.contains)
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+        println(s"""{"metric":"big_probe","scale":"10x sf0.1 (sf1-equivalent)","scaled_tables":["documents","embeddings","events"],"flag_threshold":$ScaleFlagRatio,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"skipped_tpch_side":$skipped,"times_sec":${js(times)},"ratio_vs_sf01":${js(ratios)}}""")
+        Some(flagged)
+      }
+    } catch { case _: Throwable => None }).getOrElse(Seq.empty)
 
     val all = results ++ streaming
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -203,6 +319,9 @@ object Bench {
     // per-query maps (r7 lost all 111 measured ratios exactly that way).
     val stAppend = streaming.getOrElse("st_append_trigger_mean", -1.0)
     val stUpdate = streaming.getOrElse("st_update_earliest_trigger_mean", -1.0)
+    val stAppendSd = streaming.getOrElse("st_append_trigger_stddev", -1.0)
+    val stUpdateSd = streaming.getOrElse("st_update_earliest_trigger_stddev", -1.0)
+    val stN = streaming.getOrElse("st_trigger_runs", 0.0).toInt
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     if (bigMidRatios.nonEmpty)
       println(s"""{"metric":"scale_ratio","small_sf":"$midDir","big_sf":"$sfDir","flag_threshold":$ScaleFlagRatio,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"ratios":${ratioJson(bigMidRatios)}}""")
@@ -212,7 +331,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val flJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ptJson = passTotals.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","st_append_trigger_mean":$stAppend,"st_update_earliest_trigger_mean":$stUpdate,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"pass_totals_big_sf":$ptJson,"codegen_compiles_total":${compiles()}}""")
+    val pbJson = probeFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"pass_totals_big_sf":$ptJson,"codegen_compiles_total":${compiles()}}""")
     spark.stop()
   }
 }
