@@ -455,11 +455,24 @@ object DedupOps {
     * and consumers' final plans scan documents once (pinned in
     * PlanAuditSpec).
     */
-  private def ccLabels(spark: SparkSession, sfDir: String): DataFrame = {
+  private def ccLabels(spark: SparkSession, sfDir: String): DataFrame =
     // localCheckpoint: the edge set is rescanned every propagation
     // round — without this each round re-runs the whole LSH pipeline
-    val pairs = dedupMinhashLsh(spark, sfDir).select("da", "db")
-      .localCheckpoint()
+    propagateMinLabels(
+      dedupMinhashLsh(spark, sfDir).select("da", "db").localCheckpoint())
+
+  /** Min-label propagation with POINTER JUMPING over a (da, db) edge
+    * set: each round folds the neighborhood minimum AND adopts the
+    * label of one's own label (path shortcutting), so convergence
+    * takes O(log diameter) rounds, not O(diameter) — a 130-node
+    * near-dup chain (sliding boilerplate drift, each adjacent pair
+    * similar but distant ones not) converges in a handful of rounds
+    * where one-hop propagation alone would need 130 and trip the
+    * round cap (unit-tested in DedupSpec). The cap is a convergence
+    * invariant: 64 shortcutting rounds cover components of diameter
+    * 2^64. Exposed package-private for the synthetic-graph test.
+    */
+  private[dedup] def propagateMinLabels(pairs: DataFrame): DataFrame = {
     val e2 = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .localCheckpoint()
@@ -472,12 +485,22 @@ object DedupOps {
     while (!converged) {
       rounds += 1
       require(rounds <= 64, s"CC min-label propagation did not converge")
-      // one edge-sized join + one agg per round: neighbor labels and
-      // own label union into a single min fold
-      labels = e2.join(labels, e2("b") === labels("id"))
+      // one edge-sized join + one agg: neighbor labels and own label
+      // union into a single min fold (checkpointed — the shortcut step
+      // reads it twice)
+      val hop = e2.join(labels, e2("b") === labels("id"))
         .select(col("a").as("id"), col("lbl"))
         .unionByName(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      // pointer jumping: adopt the label of one's label (the label is
+      // itself a node id in the same component, so this is exact and
+      // halves the remaining distance to the component minimum)
+      labels = hop.join(
+          hop.select(col("id").as("pid"), col("lbl").as("plbl")),
+          col("lbl") === col("pid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       val s2 = labels.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
       converged = s2 == lblSum

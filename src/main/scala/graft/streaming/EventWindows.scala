@@ -499,9 +499,9 @@ object EventWindows {
     * type's dense grid must extend to, per [[denseHourly]]: that is
     * what makes a terminally-dead producer emit trailing zeros) and
     * the per-batch two-scalar fold that advances it. State lineage is
-    * cut each batch by persisting the merged RDD and explicitly
-    * freeing the previous one — plan depth and storage stay
-    * O(types × span), never O(batches).
+    * TRUNCATED each batch (RDD localCheckpoint) and the previous
+    * state's blocks are explicitly freed — plan depth, RDD dependency
+    * depth, and storage all stay O(types × span), never O(batches).
     *
     * Emission contract (unchanged from round 8): each batch re-emits
     * the full densified, re-flagged series of every CHANGED type —
@@ -537,15 +537,26 @@ object EventWindows {
     val spark = cells.sparkSession
     import spark.implicits._
     // driver-held monitor state: the clock scalar and the HANDLE to the
-    // distributed cell table (data never collects to the driver)
+    // distributed cell table (data never collects to the driver). The
+    // returned writer encapsulates ONE monitor instance — start it
+    // once; the batchId-regression guard below resets the state if the
+    // writer is (re)started as a fresh query in the same process.
     var gmax = Long.MinValue
     var state: Option[(DataFrame, org.apache.spark.rdd.RDD[_])] = None
+    var lastBatch = Long.MinValue
     cells
       .select(col("event_type").cast("string").as("event_type"),
         col("hour_us").cast("long").as("hour_us"),
         col("n").cast("long").as("n"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId <= lastBatch) {
+          // a fresh query run reuses this closure: drop the stale state
+          gmax = Long.MinValue
+          state.foreach(_._2.unpersist(blocking = false))
+          state = None
+        }
+        lastBatch = batchId
         // a finalized window is emitted once; on an at-least-once replay
         // the same (type, hour, n) collapses here — idempotent
         val b = batch.dropDuplicates("event_type", "hour_us").persist()
@@ -563,8 +574,11 @@ object EventWindows {
                 st.join(b, Seq("event_type", "hour_us"), "left_anti")
                   .unionByName(b)
             }
-            val rdd = merged.as[(String, Long, Long)].rdd
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // localCheckpoint (not just persist): TRUNCATES the RDD
+            // lineage, so the state's dependency chain stays one deep
+            // instead of growing per batch back through long-dead
+            // micro-batch sources
+            val rdd = merged.as[(String, Long, Long)].rdd.localCheckpoint()
             rdd.count() // materialize before freeing the previous state
             val stDf = rdd.toDF("event_type", "hour_us", "n")
             state.foreach(_._2.unpersist(blocking = false))
@@ -590,7 +604,11 @@ object EventWindows {
                   AnomCell(et, h, c, f, seq)
                 }
               }
-            sink(out)
+            // materialize BEFORE handing off: the lazy plan references
+            // this batch's dataset and the current state handle, both
+            // invalid once the batch ends — a sink that defers its
+            // action must not compute against a dead micro-batch
+            sink(out.localCheckpoint())
           }
         } finally b.unpersist(blocking = false)
       }

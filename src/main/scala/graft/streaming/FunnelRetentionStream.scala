@@ -193,6 +193,16 @@ object FunnelRetentionStream {
     * no maxTs/TTL advance, one [[RejectOffset]] marker cell emitted so
     * the breach is observable downstream. The bitmap is therefore
     * bounded by `maxWeekOffset / 64 + 1` longs (~82) per user.
+    *
+    * A corrupt timestamp that is a user's FIRST event opens a bogus
+    * far-future cohort instead (nothing to clamp against yet); it is
+    * detected retroactively when a sane event arrives more than
+    * `maxWeekOffset` weeks BEFORE the cohort: the state re-opens at
+    * the sane event's week (re-arming the TTL reachably) and the
+    * phantom cohort is tombstoned with a [[RejectOffset]] marker.
+    * Residual: a user whose ONLY events are corrupt keeps one bogus
+    * state entry until its (far-future) TTL — bounded at one row per
+    * corrupt-only user, with the marker trail making it observable.
     */
   def retentionCells(events: DataFrame,
       weekUs: Long = 7L * 86400L * 1000000L,
@@ -234,6 +244,18 @@ object FunnelRetentionStream {
                     // corrupt far-future ts: reject (see doc) — state
                     // and TTL untouched, breach made visible
                     out += RetCell(st.cohortWeek, RejectOffset, uid)
+                  } else if (off < -maxWeekOffset) {
+                    // the COHORT itself was corrupt: a sane event this
+                    // far BEFORE the first-seen week can only mean the
+                    // first event carried a far-future timestamp and
+                    // opened a bogus cohort (which also pinned the TTL
+                    // out of reach). Re-open at this event's week —
+                    // maxTs and the TTL re-arm sanely below — and
+                    // tombstone the phantom cohort with a marker so
+                    // downstream can drop its cell
+                    out += RetCell(st.cohortWeek, RejectOffset, uid)
+                    s = Some(RetState(w, withBit(Array(0L), 0L), ts))
+                    out += RetCell(w, 0L, uid)
                   } else {
                     val st2 = st.copy(maxTs = math.max(st.maxTs, ts))
                     // a pre-cohort week (off < 0) is a late arrival from

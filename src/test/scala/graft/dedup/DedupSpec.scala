@@ -59,6 +59,28 @@ class DedupSpec extends SparkSuite {
       s"missed ${truth -- got}; spurious ${got -- truth}")
   }
 
+  test("min-label propagation converges on a long path (pointer jumping)") {
+    import spark.implicits._
+    // a 130-node chain: diameter 129 ≫ the 64-round cap, so this only
+    // converges because each round also shortcuts label-of-label —
+    // the shape one-hop propagation alone would abort on (the near-dup
+    // analogue: sliding boilerplate drift, adjacent docs similar,
+    // distant ones not)
+    val pairs = (0L until 129L).map(i => (i, i + 1)).toDF("da", "db")
+    val labels = DedupOps.propagateMinLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 130)
+    assert(labels.values.forall(_ == 0L),
+      s"chain not fully collapsed: ${labels.filter(_._2 != 0L)}")
+    // and a forest of two components keeps them separate
+    val two = (0L until 10L).map(i => (i, i + 1)) ++
+      (100L until 110L).map(i => (i, i + 1))
+    val lbl2 = DedupOps.propagateMinLabels(two.toDF("da", "db")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 10L).forall(lbl2(_) == 0L))
+    assert((100L to 110L).forall(lbl2(_) == 100L))
+  }
+
   test("cc clustering equals union-find transitive closure of the pairs") {
     val pairs = DedupOps.dedupMinhashLsh(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

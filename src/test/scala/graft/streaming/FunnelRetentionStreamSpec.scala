@@ -219,6 +219,38 @@ class FunnelRetentionStreamSpec extends SparkSuite {
       (w0, 1L)), s"unexpected cells: $cells")
   }
 
+  test("retention re-opens a cohort poisoned by a corrupt first event") {
+    def msg(u: Long, tsUs: Long): String =
+      s"""{"user_id": $u, "ts_us": $tsUs, "event_type": "view"}"""
+    val weekUs = 7L * 86400L * 1000000L
+    val src = new MemorySource(spark)
+    val q = FunnelRetentionStream.retentionCells(parsed(src))
+      .writeStream.format("memory").queryName("ret_reopen")
+      .outputMode("append").start()
+    // the user's FIRST event is the corrupt one: a bogus far-future
+    // cohort opens (nothing to clamp against yet); the sane events
+    // that follow are millions of weeks BEFORE it, which triggers the
+    // retroactive reset
+    val w0 = 2950L
+    val corrupt = w0 * weekUs * 1000L
+    src.add(Seq(msg(7L, corrupt)))
+    q.processAllAvailable()
+    src.add(Seq(msg(7L, w0 * weekUs)))
+    q.processAllAvailable()
+    src.add(Seq(msg(7L, (w0 + 1L) * weekUs)))
+    q.processAllAvailable()
+    q.stop()
+    val wCorrupt = corrupt / weekUs
+    val cells = spark.sql(
+      "select cohort_week, week_offset from ret_reopen where user_id = 7")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // phantom cohort cell + its tombstone marker, then the re-opened
+    // sane cohort with normal credits
+    assert(cells == Set(
+      (wCorrupt, 0L), (wCorrupt, FunnelRetentionStream.RejectOffset),
+      (w0, 0L), (w0, 1L)), s"unexpected cells: $cells")
+  }
+
   test("streaming retention cells aggregate to the batch retention matrix") {
     val src = new MemorySource(spark)
     val q = FunnelRetentionStream.retentionCells(parsed(src))
