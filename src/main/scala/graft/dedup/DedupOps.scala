@@ -611,6 +611,68 @@ object DedupOps {
        |WHERE rk = 1
        |ORDER BY cluster""".stripMargin
 
+  /** Incremental ingest dedup: screen a NEW BATCH of documents against
+    * the EXISTING CORPUS and keep only genuinely-new ones. The batch is
+    * `doc_id % 4 == 0` (a deterministic 25% slice), the corpus is the
+    * rest — standing in for "yesterday's 100 TB" vs "today's delivery".
+    *
+    * Scale design: the corpus is reduced to a Bloom SKETCH in one pass
+    * (mergeable partial aggregation; the driver holds only the filter's
+    * bit array — ~1.2 MB per 10^6 keys at 1% fpp). The sketch screens
+    * the batch: bloom-NEGATIVE rows are *definitely* new (no false
+    * negatives) and skip the join entirely; only bloom-POSITIVE rows —
+    * true duplicates plus ~fpp false positives — reach the exact
+    * anti-join, so the shuffled probe side shrinks from |batch| to
+    * |dups| + fpp·|batch|. Results are EXACT: the bloom only prunes
+    * work, never changes the answer, which is why the DuckDB oracle is
+    * a plain NOT EXISTS. At 100 TB the corpus side of the verify join
+    * reads a bucketed fingerprint table (h-bucketed, see
+    * q26_bucketed_join) rather than rescanning raw text, and a corpus
+    * beyond ~10^10 keys shards the bloom by hash prefix into a
+    * partition-local sketch per shard; the screen semantics are
+    * unchanged.
+    *
+    * The dedup key is the CANONICAL FINGERPRINT (md5 of the sorted
+    * distinct lowercase token set, as [[dedupFingerprint]]) rather than
+    * the raw text hash — the synthetic corpus contains token-order
+    * near-dups, not byte dups, and an ingest screen keyed on raw bytes
+    * would pass every reshuffled copy through. Hashing is the repo's
+    * engine-portable 60-bit md5 prefix, so the oracle reproduces `h`
+    * bit-for-bit.
+    */
+  def dedupBloomIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = "array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')"
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"cast(conv(substr(md5($fp), 1, 15), 16, 10) as bigint)").as("h"))
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    // one corpus pass -> mergeable bloom sketch on the driver (bounded:
+    // bit-array bytes, not rows); expectedNumItems from a pruned count
+    // (table stats at scale)
+    val bf = corpus.stat.bloomFilter("h", math.max(corpus.count(), 1L), 0.01)
+    val mightContain = udf((x: Long) => bf.mightContainLong(x))
+    val definitelyNew = batch.filter(!mightContain(col("h")))
+    val needsVerify = batch.filter(mightContain(col("h")))
+    val verifiedNew =
+      needsVerify.join(corpus.select("h"), Seq("h"), "left_anti")
+    definitelyNew.select("doc_id", "h")
+      .unionByName(verifiedNew.select("doc_id", "h"))
+      .orderBy("doc_id")
+  }
+
+  val dedupBloomIncrementalSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    (('0x' || substr(md5(array_to_string(list_sort(list_distinct(
+      |       string_split(lower(text), ' '))), ' ')), 1, 15))::BIGINT) AS h
+      |  FROM documents)
+      |SELECT doc_id, h FROM d b
+      |WHERE b.doc_id % 4 = 0
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM d c WHERE c.doc_id % 4 <> 0 AND c.h = b.h)
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("dedup_exact", dedupExact _, dedupExactSql),
     ("dedup_fingerprint", dedupFingerprint _, dedupFingerprintSql),
@@ -619,5 +681,6 @@ object DedupOps {
     ("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     ("dedup_simhash_pairs", dedupSimhashPairs _, dedupSimhashPairsSql),
     ("dedup_cluster_cc", dedupClusterCc _, dedupClusterCcSql),
-    ("dedup_keep_best", dedupKeepBest _, dedupKeepBestSql))
+    ("dedup_keep_best", dedupKeepBest _, dedupKeepBestSql),
+    ("dedup_bloom_incremental", dedupBloomIncremental _, dedupBloomIncrementalSql))
 }

@@ -158,4 +158,26 @@ class DedupSpec extends SparkSuite {
     val recall = (got & strong).size.toDouble / strong.size
     assert(recall >= 0.8, s"LSH recall $recall of ${strong.size} pairs")
   }
+
+  test("bloom incremental dedup equals the exact anti-join (no false drops)") {
+    // independent ground truth on the FULL 128-bit md5 of the canonical
+    // fingerprint (the operator uses a 60-bit prefix + bloom screen)
+    val fp = "md5(array_join(array_sort(array_distinct(" +
+      "split(lower(text), ' '))), ' '))"
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), expr(fp).as("k"))
+    val truth = docs.filter(col("doc_id") % 4 === 0)
+      .join(docs.filter(col("doc_id") % 4 =!= 0).select("k"),
+        Seq("k"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotIds = DedupOps.dedupBloomIncremental(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotIds == truth,
+      s"missed ${truth -- gotIds}; spurious ${gotIds -- truth}")
+    // the fixture must exercise the screen: some batch docs ARE dups
+    // of corpus docs (dropped), and some are new (kept)
+    val batch = docs.filter(col("doc_id") % 4 === 0).count()
+    assert(gotIds.nonEmpty && gotIds.size < batch,
+      s"${gotIds.size} of $batch new — screen untested by fixture")
+  }
 }
