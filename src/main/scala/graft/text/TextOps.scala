@@ -557,8 +557,149 @@ object TextOps {
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Per-domain ADAPTIVE quality gate: keep each document iff its
+    * length reaches its own source's exact lower median — threshold
+    * calibration per domain, the way production quality pruning sets
+    * per-source cutoffs instead of one global number (a global cutoff
+    * silently empties short-form domains and passes everything in
+    * long-form ones). `n_chars` is the gating metric here because it is
+    * a stored column: the whole gate runs off a 3-column pruned scan
+    * with NO text parsing; any scored metric (e.g. [[textQuality]]'s
+    * quality_e4) drops into the same plan.
+    *
+    * The exact median never touches data-sized shuffles: documents are
+    * pre-aggregated to (source, n_chars) counts (map-side combine; the
+    * output is |distinct lengths per domain|, not |docs|), a window
+    * over that TINY aggregate finds the smallest value whose cumulative
+    * count reaches ceil(n/2) — the lower median, integer-exact in both
+    * engines — and the per-source thresholds broadcast back onto the
+    * unshuffled scan as a join + filter. At 100 TB the gate is a
+    * broadcast hash join projection; domain skew is irrelevant because
+    * only counts, never rows, partition by source.
+    */
+  def textDomainGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars")
+    val counts = docs.groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("c"))
+    val bySource = Window.partitionBy("source")
+    val cum = counts
+      .withColumn("cum", sum("c").over(bySource.orderBy("n_chars")))
+      .withColumn("tot", sum("c").over(bySource))
+    val med = cum.filter(col("cum") >= expr("(tot + 1) div 2"))
+      .groupBy("source").agg(min("n_chars").as("med"))
+    docs.join(broadcast(med), "source")
+      .filter(col("n_chars") >= col("med"))
+      .select("doc_id", "source", "n_chars", "med")
+      .orderBy("doc_id")
+  }
+
+  val textDomainGateSql: String =
+    """WITH counts AS (
+      |  SELECT source, n_chars, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY source, n_chars),
+      |cum AS (
+      |  SELECT source, n_chars,
+      |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS tot
+      |  FROM counts),
+      |med AS (
+      |  SELECT source, min(n_chars) AS med
+      |  FROM cum WHERE cum >= (tot + 1) // 2
+      |  GROUP BY source)
+      |SELECT d.doc_id, d.source, d.n_chars, m.med
+      |FROM documents d JOIN med m ON m.source = d.source
+      |WHERE d.n_chars >= m.med
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Fixed query terms + result size for [[textBm25TopK]] — chosen from
+    * the synthetic vocabulary so every SF has matches. */
+  val bm25Terms: Seq[String] = Seq("spark", "join", "window")
+  val bm25K = 20
+
+  /** BM25 top-k retrieval (k1 = 1.2, b = 0.75) in EXACT int64
+    * fixed-point — the sparse-retrieval half of a training-data search
+    * stack (the dense half is the ann_* family). The scoring recipe is
+    * the spec: with N docs, total token count L, per-doc length `len`,
+    * term frequency `tf` and document frequency `df`,
+    *
+    *   idf_e6   = ((2N − 2df + 1)·10^6) div (2df + 1)      -- Robertson
+    *              idf (N−df+0.5)/(df+0.5), halves cleared
+    *   r_e6     = (len·N·10^6) div L                        -- len/avgdl
+    *   denom_e6 = tf·10^6 + 3·10^5 + (9·r_e6) div 10        -- tf +
+    *              k1(1 − b + b·len/avgdl) with k1=6/5, b=3/4
+    *   sq_e4    = (tf·idf_e6·11·10^4) div (5·denom_e6)      -- (k1+1)=11/5
+    *
+    * and score_e4 = Σ over matched query terms of sq_e4. Every step is
+    * integer arithmetic on positive operands, so Spark `div` and DuckDB
+    * `//` agree bit-for-bit (transcendental-free: the same reason
+    * [[textIdfRarity]] uses digit-count IDF). Truncation error vs
+    * real-valued BM25 is < 10^-3 per term — rank-irrelevant here, and
+    * the spec's differential pins the recipe itself.
+    *
+    * Scale shape: one scan builds (doc, term, tf) via a 3-term literal
+    * explode (output is |matches|, not |docs|×|terms|, after the tf>0
+    * filter); df is a 3-row aggregate joined back by broadcast; the
+    * global (N, L) scalar rides a broadcast cross join; top-k is
+    * TakeOrderedAndProject (per-partition heads, no global sort).
+    */
+  def textBm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .withColumn("len", size(col("tk")).cast("long"))
+    val totals = docs.agg(
+      count(lit(1)).cast("long").as("N"), sum("len").as("L"))
+    val matched = docs
+      .select(col("doc_id"), col("len"), col("tk"),
+        explode(array(bm25Terms.map(lit): _*)).as("term"))
+      .withColumn("tf",
+        expr("cast(size(filter(tk, x -> x = term)) as bigint)"))
+      .filter(col("tf") > 0)
+      .drop("tk")
+    val dfCounts = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    matched
+      .join(broadcast(dfCounts), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("sq_e4", expr(
+        "(tf * (((2*N - 2*df + 1) * 1000000L) div (2*df + 1)) * 110000L)" +
+          " div (5L * (tf * 1000000L + 300000L" +
+          " + (9L * ((len * N * 1000000L) div L)) div 10L))"))
+      .groupBy("doc_id").agg(sum("sq_e4").as("score_e4"))
+      .orderBy(desc("score_e4"), asc("doc_id"))
+      .limit(bm25K)
+  }
+
+  val textBm25TopKSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk,
+      |    len(string_split(lower(text), ' '))::BIGINT AS len
+      |  FROM documents),
+      |g AS (SELECT count(*)::BIGINT AS N, sum(len)::BIGINT AS L FROM d),
+      |t(term) AS (VALUES ('spark'), ('join'), ('window')),
+      |m AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, len, term,
+      |      len(list_filter(tk, x -> x = term))::BIGINT AS tf
+      |    FROM d CROSS JOIN t)
+      |  WHERE tf > 0),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
+      |s AS (
+      |  SELECT m.doc_id,
+      |    ((m.tf * (((2*g.N - 2*df.df + 1) * 1000000) // (2*df.df + 1))
+      |        * 110000)
+      |     // (5 * (m.tf * 1000000 + 300000
+      |        + (9 * ((m.len * g.N * 1000000) // g.L)) // 10))) AS sq_e4
+      |  FROM m CROSS JOIN g JOIN df ON df.term = m.term)
+      |SELECT doc_id, sum(sq_e4)::BIGINT AS score_e4
+      |FROM s GROUP BY doc_id
+      |ORDER BY score_e4 DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("text_idf_rarity", textIdfRarity _, textIdfRaritySql),
+    ("text_bm25_topk", textBm25TopK _, textBm25TopKSql),
+    ("text_domain_gate", textDomainGate _, textDomainGateSql),
     ("text_tokens", textTokens _, textTokensSql),
     ("text_quality", textQuality _, textQualitySql),
     ("text_langid", textLangId _, textLangIdSql),
