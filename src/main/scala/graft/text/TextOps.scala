@@ -629,7 +629,8 @@ object TextOps {
     *   r_e6     = (len·N·10^6) div L                        -- len/avgdl
     *   denom_e6 = tf·10^6 + 3·10^5 + (9·r_e6) div 10        -- tf +
     *              k1(1 − b + b·len/avgdl) with k1=6/5, b=3/4
-    *   sq_e4    = (tf·idf_e6·11·10^4) div (5·denom_e6)      -- (k1+1)=11/5
+    *   dpt_e6   = denom_e6 div tf                           -- per-tf-unit
+    *   sq_e4    = (idf_e6·11·10^4) div (5·dpt_e6)           -- (k1+1)=11/5
     *
     * and score_e4 = Σ over matched query terms of sq_e4. Every step is
     * integer arithmetic on positive operands, so Spark `div` and DuckDB
@@ -637,6 +638,16 @@ object TextOps {
     * [[textIdfRarity]] uses digit-count IDF). Truncation error vs
     * real-valued BM25 is < 10^-3 per term — rank-irrelevant here, and
     * the spec's differential pins the recipe itself.
+    *
+    * OVERFLOW DOMAIN (property-tested in TextBm25Spec against BigInt):
+    * dividing by tf BEFORE the idf product caps every intermediate at
+    * max(idf_e6·110000, len·N·10^6), int64-safe for N ≤ 10^7 docs with
+    * len ≤ 10^4 tokens — the naive (tf·idf_e6·110000) ordering
+    * overflows at df=1 already for tf·N > ~8·10^7. Beyond 10^7 docs
+    * (a 100 TB corpus is ~10^10) the same recipe runs with idf_e6 as
+    * DECIMAL(38,0) — Spark decimals and DuckDB HUGEINT agree on
+    * truncating division — or with per-shard N; the plan shape is
+    * unchanged either way.
     *
     * Scale shape: one scan builds (doc, term, tf) via a 3-term literal
     * explode (output is |matches|, not |docs|×|terms|, after the tf>0
@@ -662,9 +673,9 @@ object TextOps {
       .join(broadcast(dfCounts), "term")
       .crossJoin(broadcast(totals))
       .withColumn("sq_e4", expr(
-        "(tf * (((2*N - 2*df + 1) * 1000000L) div (2*df + 1)) * 110000L)" +
-          " div (5L * (tf * 1000000L + 300000L" +
-          " + (9L * ((len * N * 1000000L) div L)) div 10L))"))
+        "((((2*N - 2*df + 1) * 1000000L) div (2*df + 1)) * 110000L)" +
+          " div (5L * ((tf * 1000000L + 300000L" +
+          " + (9L * ((len * N * 1000000L) div L)) div 10L) div tf))"))
       .groupBy("doc_id").agg(sum("sq_e4").as("score_e4"))
       .orderBy(desc("score_e4"), asc("doc_id"))
       .limit(bm25K)
@@ -686,10 +697,11 @@ object TextOps {
       |df AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
       |s AS (
       |  SELECT m.doc_id,
-      |    ((m.tf * (((2*g.N - 2*df.df + 1) * 1000000) // (2*df.df + 1))
+      |    (((((2*g.N - 2*df.df + 1) * 1000000) // (2*df.df + 1))
       |        * 110000)
-      |     // (5 * (m.tf * 1000000 + 300000
-      |        + (9 * ((m.len * g.N * 1000000) // g.L)) // 10))) AS sq_e4
+      |     // (5 * ((m.tf * 1000000 + 300000
+      |        + (9 * ((m.len * g.N * 1000000) // g.L)) // 10) // m.tf)))
+      |      AS sq_e4
       |  FROM m CROSS JOIN g JOIN df ON df.term = m.term)
       |SELECT doc_id, sum(sq_e4)::BIGINT AS score_e4
       |FROM s GROUP BY doc_id
