@@ -96,19 +96,23 @@ object Bench {
     layoutSetup(sfDir)
     println(s"""{"metric":"warmup_done","codegen_compiles":${compiles()}}""")
 
-    // ONE untimed warmup pass at the TARGET SF (round-8 item: pass 1
+    // TWO untimed warmup passes at the TARGET SF (round-8 item: pass 1
     // ran ~53% above steady state — sf-sized shuffle buffers, page
     // cache, and deeper JIT tiers were being measured inside the first
-    // timed window; the sf0.001 warmup above cannot absorb those).
-    // With this pass the three timed totals should be flat within
+    // timed window; the sf0.001 warmup above cannot absorb those.
+    // Round-9 showed ONE pass still left 46.9 → 31.92 s decay across the
+    // timed passes, so a second warmup pass absorbs the remaining JIT
+    // ramp). With these the three timed totals should be flat within
     // ~10%, making the per-pass log a real regression guard.
-    val w0 = compiles()
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      dropCheckpoints()
+    (1 to 2).foreach { w =>
+      val w0 = compiles()
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        dropCheckpoints()
+      }
+      println(s"""{"metric":"warmup_target_sf_done","idx":$w,"codegen_compile_delta":${compiles() - w0}}""")
     }
-    println(s"""{"metric":"warmup_target_sf_done","codegen_compile_delta":${compiles() - w0}}""")
 
     // Three timed passes at the target SF, reporting the per-query MIN:
     // steady-state throughput. A single pass is hostage to whatever else
@@ -153,8 +157,24 @@ object Bench {
         val good = passes.map(_(k)).filter(_ >= 0)
         k -> (if (good.nonEmpty) good.min else -1.0)
       }.toMap
+    // per-query MEDIAN across passes (r9 item: the sum-of-minima headline
+    // sat ~5× below its own best pass total, so minima alone were not an
+    // honest throughput figure; the median is robust to one noisy pass
+    // while staying comparable to a real pass total)
+    def medianOf(passes: Seq[Map[String, Double]]): Map[String, Double] =
+      passes.head.keys.map { k =>
+        val good = passes.map(_(k)).filter(_ >= 0).sorted
+        k -> (if (good.isEmpty) -1.0
+              else if (good.size % 2 == 1) good(good.size / 2)
+              else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0)
+      }.toMap
     val bigPasses = (1 to 3).map(i => timedPass(sfDir, i))
     val results = minOf(bigPasses)
+    val medians = medianOf(bigPasses)
+    // a query that failed EVERY pass keeps -1 in the min map; it must be
+    // reported by name, never summed (r9: 24 silently-erroring queries
+    // subtracted 24 s from the headline total and read as a speedup)
+    val failedQueries = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val passTotals = bigPasses.map(p => math.round(p.values.filter(_ >= 0).sum * 100) / 100.0)
 
     // THREE-point scale check: rerun the catalog at 10× and 100× smaller
@@ -257,7 +277,14 @@ object Bench {
       val prefixes = Seq("text_", "dedup_", "emb_", "embedding_", "ann_",
         "pipe_", "mm_", "ev_", "graph_event_")
       val worst = bigMidRatios.toSeq.sortBy(-_._2).take(10).map(_._1)
-      val names = worst.filter(n => prefixes.exists(n.startsWith))
+      // the stateful events family never surfaces in the worst-ratio set
+      // (its sf0.1 times are small), so it would otherwise NEVER get a
+      // measured 10× point — force one funnel and one sessionize probe
+      // (r9 advice #7) alongside whatever the ratios flag
+      val forced = Seq("ev_funnel", "ev_sessionize")
+        .filter(SparkEntry.queries.contains)
+      val names =
+        (worst.filter(n => prefixes.exists(n.startsWith)) ++ forced).distinct
       if (names.isEmpty || !sfDir.endsWith("sf0.1")) None
       else {
         val dir = java.nio.file.Files
@@ -331,7 +358,11 @@ object Bench {
     val all = results ++ streaming
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // totals sum SUCCESSFUL queries only — a failed query's -1 sentinel
+    // must not subtract from the headline (see failedQueries above)
+    val total = results.values.filter(_ >= 0).sum
+    val medianTotal =
+      math.round(medians.values.filter(_ >= 0).sum * 100) / 100.0
     def ratioJson(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -356,7 +387,19 @@ object Bench {
     val flJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ptJson = passTotals.mkString("[", ",", "]")
     val pbJson = probeFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"pass_totals_big_sf":$ptJson,"codegen_compiles_total":${compiles()}}""")
+    // per-query medians on their own line (ahead of the headline so the
+    // headline stays LAST; if stdout-tail truncation eats this line the
+    // median_total on the headline still survives)
+    val medJson = medians.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"medians","unit":"sec","median_total":$medianTotal,"queries_median":$medJson}""")
+    // r9 item: the headline must carry failure loudly — "failed" names
+    // every query whose ALL timed passes errored, and catalog_size vs
+    // bench_ok makes a silently-shrunk catalog visible from this line
+    // alone (r9's 24-query events outage read as a 25% speedup).
+    val fqJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"pass_totals_big_sf":$ptJson,"codegen_compiles_total":${compiles()}}""")
     spark.stop()
   }
 }

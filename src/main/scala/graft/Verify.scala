@@ -16,11 +16,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // r9 postmortem: a query that crashed here produced NO parquet, and
+    // the driver's compare silently omitted it — 24 erroring queries
+    // vanished from CORRECTNESS_r09 and the round read as green. Now a
+    // crash writes an explicit one-row {err} parquet in the query's
+    // place: any downstream compare sees a named schema/row mismatch
+    // with the exception text, never an omission.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("err").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // drop localCheckpoint blocks left by multi-branch queries
       spark.sparkContext.getPersistentRDDs.values
@@ -41,6 +55,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable error manifest + a LAST stdout line carrying the
+    // registered-vs-dumped counts, so a shrunk catalog is visible from
+    // the artifact tail alone (catalog hygiene, r9 advice #2/#6)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    val errNames = errors.keys.map(q).mkString("[", ",", "]")
+    println(s"""{"metric":"verify_done","catalog_size":${SparkEntry.queries.size},"oracle_sql_size":${SparkEntry.oracleSql.size},"dumped_ok":${SparkEntry.queries.size - errors.size},"failed_count":${errors.size},"failed":$errNames}""")
     spark.stop()
   }
 }

@@ -20,21 +20,38 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to microseconds
-    * (matching what DuckDB/the oracle sees for the same file).
+  /** `events.parquet`'s `ts` encoding has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * accepts as a long via `nanosAsLong`) and TIMESTAMP(MICROS) (read
+    * natively, as TIMESTAMP_NTZ when the file is not UTC-adjusted). Branch
+    * on the type the scan actually yields so either generation loads with
+    * identical UTC semantics — DuckDB/the oracle sees the same instants.
     *
     * nanosAsLong is a session-wide flag (the parquet schema converter
-    * reads SQLConf, not per-scan options). [[GraftSession]] and the
-    * engine mains set it at session construction; the guarded set here
-    * only covers foreign sessions and fires at most once, so it never
-    * flips behavior mid-session for other nanos-timestamp reads.
+    * reads SQLConf, not per-scan options) and is a no-op for non-nanos
+    * files, so setting it up front is safe for both encodings.
+    * [[GraftSession]] and the engine mains set it at session construction;
+    * the guarded set here only covers foreign sessions and fires at most
+    * once, so it never flips behavior mid-session for other reads.
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long generation: truncate to micros
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // micros generation, not UTC-adjusted: interpret the wall-clock in
+        // the session TZ (pinned UTC engine-wide) to keep the old instants.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other; expected " +
+            "LongType (nanos-as-long), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

@@ -651,7 +651,22 @@ object DedupOps {
     // bit-array bytes, not rows); expectedNumItems from a pruned count
     // (table stats at scale)
     val bf = corpus.stat.bloomFilter("h", math.max(corpus.count(), 1L), 0.01)
-    val mightContain = udf((x: Long) => bf.mightContainLong(x))
+    // Probe via the native BloomFilterMightContain expression (the one
+    // Spark's own runtime row-level filtering injects) rather than a
+    // Scala udf: the probe stays inside whole-stage codegen and the
+    // serialized sketch ships as a binary literal — same bytes an
+    // injected runtime filter would carry.
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    def mightContain(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(BloomFilterMightContain(
+        Literal(bfBytes, BinaryType), ColumnBridge.expression(c)))
     val definitelyNew = batch.filter(!mightContain(col("h")))
     val needsVerify = batch.filter(mightContain(col("h")))
     val verifiedNew =

@@ -180,4 +180,11 @@ class DedupSpec extends SparkSuite {
     assert(gotIds.nonEmpty && gotIds.size < batch,
       s"${gotIds.size} of $batch new — screen untested by fixture")
   }
+
+  test("bloom probe is the native might_contain expression, not a udf") {
+    val exec = DedupOps.dedupBloomIncremental(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("might_contain"), "native bloom probe missing")
+    assert(!exec.contains("UDF"), "ScalaUDF found in bloom-screen plan")
+  }
 }
