@@ -18,7 +18,43 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else {
+      // a nanos-encoded regen fails at scan time unless the flag is on;
+      // no-op for micros files (see eventsRaw's doc on session scope)
+      ensureNanosFlag(spark)
+      normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"), name)
+    }
+
+  private def ensureNanosFlag(spark: SparkSession): Unit = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+  }
+
+  /** Timestamp columns whose parquet encoding has drifted across
+    * testdata regenerations (see [[eventsRaw]]). Each is normalized to
+    * the type the engine (and its green oracle runs) has always seen:
+    * TIMESTAMP_NTZ for the TPC-H date columns. A nanos regen arrives as
+    * LongType (via the session-wide `nanosAsLong` flag) and would
+    * otherwise fail analysis in every reader of the column.
+    */
+  private val ntzColumns: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  private def normalizeTs(df: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    ntzColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case TimestampNTZType => d
+        case LongType => // nanos-as-long: micros → UTC instant → NTZ wall-clock
+          d.withColumn(c,
+            timestamp_micros(expr(s"$c div 1000")).cast(TimestampNTZType))
+        case TimestampType => d.withColumn(c, col(c).cast(TimestampNTZType))
+        case other => throw new IllegalStateException(
+          s"$name.$c arrived as unsupported type $other")
+      }
+    }
+  }
 
   /** `events.parquet`'s `ts` encoding has varied across testdata
     * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
@@ -36,8 +72,7 @@ object Tables {
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+    ensureNanosFlag(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => // nanos-as-long generation: truncate to micros
