@@ -1416,7 +1416,79 @@ object SimilarityOps {
       |WHERE rk = 1
       |ORDER BY train_id""".stripMargin
 
+  /** Range search: ALL neighbors with cosine >= 0.3 of each query
+    * (vec_id < 20), not a fixed top-k — the retrieval mode dedup and
+    * decontamination screens actually want ("everything this close",
+    * unbounded result size). Exact, queries broadcast, one scan of the
+    * corpus; the scale path swaps the broadcast scan for the LSH/IVF
+    * bucketed candidate sets (same as the top-k family) since a range
+    * predicate prunes buckets exactly like a top-k bound does.
+    */
+  def annRangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val c = e.select(col("vec_id").as("nid"), col("vec").as("nvec"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine("qvec", "nvec"), 4))
+      .filter(col("cos") >= 0.3)
+      .select("qid", "nid", "cos")
+      .orderBy("qid", "nid")
+  }
+
+  val annRangeSearchSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+      |      AS norm
+      |  FROM embeddings)
+      |SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |  round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm), 4) AS cos
+      |FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id != q.vec_id
+      |WHERE round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm), 4)
+      |  >= 0.3
+      |ORDER BY qid, nid""".stripMargin
+
+  /** Maximum-inner-product top-5 (MIPS) — retrieval over embeddings
+    * whose MAGNITUDE carries signal (e.g. un-normalized two-tower
+    * scores), where cosine ranking is wrong. Brute force here; the
+    * scale path is the standard norm-augmentation reduction (append
+    * sqrt(M² − |x|²) so inner product order becomes cosine order on the
+    * augmented vectors), after which every cosine index in this file
+    * (LSH, IVF, PQ) serves MIPS unchanged.
+    */
+  def embMipsTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val c = e.select(col("vec_id").as("nid"), col("vec").as("nvec"))
+    val w = Window.partitionBy("qid").orderBy(desc("ip"), asc("nid"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("ip", round(dot("qvec", "nvec"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "nid", "rank", "ip")
+      .orderBy("qid", "rank")
+  }
+
+  val embMipsTopKSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |    round(list_dot_product(q.vec, c.vec), 4) AS ip
+      |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id != q.vec_id)
+      |SELECT qid, nid, rank, ip FROM (
+      |  SELECT qid, nid, ip,
+      |    row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid ASC)
+      |      AS rank
+      |  FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ann_range_search", annRangeSearch _, annRangeSearchSql),
+    ("emb_mips_topk", embMipsTopK _, embMipsTopKSql),
     ("ann_brute_topk", annBruteTopK _, annBruteTopKSql),
     ("emb_int8_quant", embInt8Quant _, embInt8QuantSql),
     ("emb_decontaminate",

@@ -614,7 +614,64 @@ object EventWindows {
       }
   }
 
+  /** As-of join: each click picks up the MOST RECENT prior-or-equal
+    * purchase by the same user (the classic "enrich fact with latest
+    * state" operator Spark has no built-in for; reference has no
+    * equivalent — engine extension).
+    *
+    * Implemented as a single-shuffle union-window rather than a range
+    * join: tag both sides, union, and run one `last(..., ignoreNulls)`
+    * window per user ordered by (ts, side, event_id) — purchases sort
+    * before clicks at equal timestamps, so `<=` semantics fall out of
+    * the ordering. At 100 TB this shuffles each side ONCE on user_id
+    * (AQE handles skewed users) where a naive range join would
+    * re-shuffle per bucket or explode candidate pairs; ties on ts
+    * resolve to the highest purchase event_id, which the oracle's
+    * LATERAL replays exactly.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+        col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(1).as("side"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_purchase_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("last_purchase_value",
+        last(when(col("side") === 0, col("value")), ignoreNulls = true)
+          .over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("click_ts_us"), col("last_purchase_id"),
+        col("last_purchase_value"))
+      .orderBy("click_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT c.event_id AS click_id, c.user_id,
+      |  epoch_us(c.ts) AS click_ts_us,
+      |  p.event_id AS last_purchase_id, p.value AS last_purchase_value
+      |FROM events c
+      |LEFT JOIN LATERAL (
+      |  SELECT event_id, value FROM events p
+      |  WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+      |    AND p.ts <= c.ts
+      |  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+      |) p ON TRUE
+      |WHERE c.event_type = 'click'
+      |ORDER BY click_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_asof_join", asofJoin _, asofJoinSql),
     ("ev_hourly_window", hourlyWindow _, hourlyWindowSql),
     ("ev_anomaly_hours", anomalyHours _, anomalyHoursSql),
     ("ev_anomaly_mad", anomalyHoursMad _, anomalyHoursMadSql),

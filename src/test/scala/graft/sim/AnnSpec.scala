@@ -32,6 +32,50 @@ class AnnSpec extends SparkSuite {
       s"LSH recall ${(brute & lsh).size}/100 != pinned 73/100")
   }
 
+  test("range search agrees with brute-force top-k where they overlap") {
+    // every brute top-5 hit whose cosine clears the 0.3 range threshold
+    // must appear in the range result (both are exact; range has no k
+    // bound, so it is a superset on the thresholded region)
+    val bruteHits = SimilarityOps.annBruteTopK(spark, sf0001)
+      .filter("cos >= 0.3").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val range = SimilarityOps.annRangeSearch(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bruteHits.nonEmpty, "threshold fixture produced no brute hits")
+    val missing = bruteHits -- range
+    assert(missing.isEmpty, s"range search missed exact hits: $missing")
+    // and everything in the range result actually clears the threshold
+    val below = SimilarityOps.annRangeSearch(spark, sf0001)
+      .filter("cos < 0.3").count()
+    assert(below == 0, s"$below results below the cosine threshold")
+  }
+
+  test("MIPS ranks by inner product, not cosine") {
+    val mips = SimilarityOps.embMipsTopK(spark, sf0001).collect()
+    assert(mips.length == 100, s"${mips.length} rows != 20 queries x 5")
+    // per query: ip non-increasing with rank (tiebreak by nid asc)
+    mips.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_.getInt(2))
+      assert(byRank.map(_.getInt(2)).toSeq == (1 to 5),
+        s"q$qid ranks ${byRank.map(_.getInt(2)).toSeq}")
+      val ips = byRank.map(_.getDouble(3)).toSeq
+      assert(ips == ips.sorted.reverse, s"q$qid ip not sorted: $ips")
+    }
+    // value differential: recompute the inner products driver-side from
+    // the raw vectors. (The fixture's embeddings are exactly unit-norm,
+    // so MIPS ordering coincides with cosine here — asserting the IP
+    // VALUES is the check that actually distinguishes the op.)
+    val vecs = graft.core.Tables.embeddings(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    mips.foreach { r =>
+      val want = vecs(r.getLong(0)).zip(vecs(r.getLong(1)))
+        .foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      assert(math.abs(r.getDouble(3) - math.round(want * 1e4) / 1e4) < 1e-9,
+        s"ip mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("IVF top-k achieves reasonable recall against brute force") {
     val brute = SimilarityOps.annBruteTopK(spark, sf0001)
       .collect()
