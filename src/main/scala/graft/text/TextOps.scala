@@ -708,7 +708,56 @@ object TextOps {
       |ORDER BY score_e4 DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** Token-level Shannon entropy per document — the information-density
+    * quality signal (low entropy = repetitive/boilerplate text, a
+    * standard pre-training filter alongside [[textRepetition]]'s
+    * ngram-ratio view; they catch different degeneracies: entropy sees
+    * skewed unigram DISTRIBUTIONS, repetition sees exact span copies).
+    *
+    * Cross-engine float parity via the fixed-point trick
+    * ([[textBm25TopK]]): each distinct count c contributes
+    * `c * round(ln(c)·1e6)` — the rounding happens per VALUE (same
+    * integer in, same 1e-6-quantized term out in any engine), so the
+    * per-doc sums are order-free int64 arithmetic and immune to the
+    * double-summation association trap. Entropy follows exactly:
+    * H = ln(n) − (Σ c·ln c)/n, all in integer µnats, emitted in 1e-4
+    * nats. Two map-side-combining shuffles (doc×token, then doc) — the
+    * inverted-index shape that scales linearly.
+    */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n"),
+        sum(expr("c * cast(round(ln(c) * 1000000) as bigint)"))
+          .as("clnc_e6"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr("greatest(cast(round(ln(n) * 1000000) as bigint)" +
+          " - clnc_e6 div n, 0L) div 100").as("entropy_e4"))
+      .orderBy("doc_id")
+
+  val textEntropySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok, count(*)::BIGINT AS c
+      |  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+      |a AS (
+      |  SELECT doc_id, sum(c)::BIGINT AS n,
+      |    sum(c * round(ln(c) * 1000000)::BIGINT)::BIGINT AS clnc_e6
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id, n AS n_tokens,
+      |  greatest(round(ln(n) * 1000000)::BIGINT - clnc_e6 // n, 0) // 100
+      |    AS entropy_e4
+      |FROM a
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("text_entropy", textEntropy _, textEntropySql),
     ("text_idf_rarity", textIdfRarity _, textIdfRaritySql),
     ("text_bm25_topk", textBm25TopK _, textBm25TopKSql),
     ("text_domain_gate", textDomainGate _, textDomainGateSql),
