@@ -756,7 +756,159 @@ object TextOps {
       |FROM a
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact substring DEDUPLICATION (the remove pass): strip every token
+    * span of length ≥ k that appears verbatim in more than one document,
+    * and rebuild the cleaned text. [[textDupSpans]] is the detector twin
+    * (it profiles how much of a doc is duplicated); this operator
+    * actually produces the deduplicated corpus — the standard
+    * exact-substring pass run over pre-training data, where verbatim
+    * cross-document boilerplate is cut out of every copy.
+    *
+    * Semantics: token i is removed iff some k-window containing it
+    * (start p ∈ [i−k+1, i]) hashes to a k-gram seen in ≥2 distinct
+    * docs. Runs of overlapping dup windows therefore merge into one
+    * removed span with no island bookkeeping: the membership test is a
+    * per-token running `max(dup)` over the previous k−1 window starts —
+    * token rows are CONSECUTIVE per doc, so a ROWS frame of k−1
+    * PRECEDING is exactly the span union.
+    *
+    * Scale shape: tokens ship as (doc_id, i, tok, 16-byte window md5).
+    * One hash agg by window hash emits ONLY the cross-doc-duplicated
+    * hashes (tiny vs corpus; AQE broadcasts it), the token rows
+    * left-join it, one window + final agg by doc_id share a single
+    * doc_id exchange. Kept text is re-joined inside the per-doc agg
+    * (doc-bounded state) and emitted as md5 so the output row stays
+    * narrow at any document size.
+    */
+  def textSubstringDedup(spark: SparkSession, sfDir: String, k: Int = 8)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokRows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(tk, (x, i) -> named_struct(
+           |  'tok', x,
+           |  'h', if(i + $k <= size(tk),
+           |          md5(concat_ws(' ', slice(tk, i + 1, $k))), null)))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos").as("i"),
+        col("col.tok").as("tok"), col("col.h").as("h"))
+    val dupH = tokRows.filter(col("h").isNotNull)
+      .groupBy("h").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"), lit(true).as("isdup"))
+    val cover = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(-(k - 1), Window.currentRow)
+    tokRows.join(dupH, Seq("h"), "left_outer")
+      .withColumn("covered",
+        max(when(col("isdup"), 1).otherwise(0)).over(cover) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_removed"),
+        expr("""md5(array_join(transform(array_sort(
+               |  collect_list(if(covered, null, named_struct('i', i, 'tok', tok)))),
+               |  s -> s.tok), ' '))""".stripMargin).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  val textSubstringDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |tr AS (
+      |  SELECT doc_id, s.i AS i, s.tok AS tok, s.h AS h FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+      |      i -> {'i': i - 1, 'tok': tk[i],
+      |            'h': CASE WHEN i + 7 <= len(tk)
+      |                 THEN md5(array_to_string(tk[i:i+7], ' ')) END})) AS s
+      |    FROM t)),
+      |d AS (
+      |  SELECT h FROM tr WHERE h IS NOT NULL
+      |  GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+      |f AS (
+      |  SELECT tr.doc_id, tr.i, tr.tok,
+      |    max(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY tr.doc_id ORDER BY tr.i
+      |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 1 AS covered
+      |  FROM tr LEFT JOIN d ON d.h = tr.h)
+      |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |  sum(CASE WHEN covered THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+      |  md5(coalesce(
+      |    string_agg(tok, ' ' ORDER BY i) FILTER (WHERE NOT covered), ''))
+      |    AS kept_md5
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Bigram-LM surprisal scoring — the KenLM-perplexity quality filter
+    * re-expressed as exact integer arithmetic. A 2-gram model is fit on
+    * the corpus itself (counts c(w1 w2) and prefix totals c(w1 ·)); each
+    * document is scored by its mean conditional surprisal
+    * −ln P(w2|w1) = ln c(w1·) − ln c(w1w2), in µnats. Unlike the
+    * order-free unigram views ([[textEntropy]], [[textIdfRarity]]) this
+    * is CONTEXT-SENSITIVE: scrambled or stitched text scores high even
+    * when its unigram profile is normal — the signal perplexity filters
+    * actually use.
+    *
+    * Float parity by the per-value rounding trick ([[textEntropy]]):
+    * both logs are `round(ln(integer count)·1e6)` — same integer in,
+    * same quantized term out in any engine — so per-doc sums are exact
+    * int64 and association-order-free.
+    *
+    * Scale shape: bigram explode → one hash agg builds c2 (vocab²-bounded,
+    * map-side combined), c1 derives from c2 (no second corpus pass), the
+    * scored bigram dim joins back on (w1, w2) — AQE broadcasts it when
+    * small, plain hash join otherwise — and one doc_id agg folds scores.
+    */
+  def textBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(tk) - 2),
+          |  i -> named_struct('w1', tk[i], 'w2', tk[i + 1]))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val scored = c2.join(c1, "w1").select(col("w1"), col("w2"),
+      expr("""cast(round(ln(c1) * 1000000) as bigint)
+             | - cast(round(ln(c2) * 1000000) as bigint)""".stripMargin)
+        .as("nll"))
+    bi.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("((s + n_bigrams div 2) div n_bigrams) div 100").as("nll_e4"))
+      .orderBy("doc_id")
+  }
+
+  val textBigramLmSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (
+      |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+      |      i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS s
+      |    FROM t)),
+      |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1),
+      |lp AS (
+      |  SELECT c2.w1, c2.w2,
+      |    round(ln(c1) * 1000000)::BIGINT - round(ln(c2) * 1000000)::BIGINT
+      |      AS nll
+      |  FROM c2 JOIN c1 ON c1.w1 = c2.w1),
+      |a AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(nll)::BIGINT AS s
+      |  FROM bi JOIN lp ON lp.w1 = bi.w1 AND lp.w2 = bi.w2
+      |  GROUP BY 1)
+      |SELECT doc_id, n_bigrams,
+      |  ((s + n_bigrams // 2) // n_bigrams) // 100 AS nll_e4
+      |FROM a ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("text_substring_dedup",
+      (s: SparkSession, d: String) => textSubstringDedup(s, d),
+      textSubstringDedupSql),
+    ("text_bigram_lm", textBigramLm _, textBigramLmSql),
     ("text_entropy", textEntropy _, textEntropySql),
     ("text_idf_rarity", textIdfRarity _, textIdfRaritySql),
     ("text_bm25_topk", textBm25TopK _, textBm25TopKSql),
