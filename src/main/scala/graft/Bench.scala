@@ -399,7 +399,16 @@ object Bench {
     // bench_ok makes a silently-shrunk catalog visible from this line
     // alone (r9's 24-query events outage read as a 25% speedup).
     val fqJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"pass_totals_big_sf":$ptJson,"codegen_compiles_total":${compiles()}}""")
+    // pass_spread_pct makes run-to-run reproducibility a FIRST-CLASS
+    // reading: (max−min)/min over the timed target-SF pass totals. A
+    // quiet host lands ≲10%; ambient driver load shows up here instead
+    // of silently inflating whichever pass it hit (the r9 verdict's
+    // 46.9→31.9 "warmup" was mostly this).
+    val spreadPct =
+      if (passTotals.size < 2 || passTotals.min <= 0) -1.0
+      else math.round((passTotals.max - passTotals.min) / passTotals.min
+        * 1000) / 10.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,"codegen_compiles_total":${compiles()}}""")
     spark.stop()
   }
 }

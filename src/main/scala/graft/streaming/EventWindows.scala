@@ -434,8 +434,102 @@ object EventWindows {
       |FROM dev d JOIN mad md ON md.event_type = d.event_type
       |ORDER BY d.event_type, d.hour_us""".stripMargin
 
+  /** Truncated-EWMA taps: round(α·(1−α)^j · 1e6) for α = 0.3, j < 12.
+    * Twelve taps carry 98.6% of the exponential mass; truncating makes
+    * the smoother a FINITE window (a 12-lag FIR filter), which is what
+    * turns the inherently sequential EWMA recurrence into an order-free,
+    * shuffle-parallel window expression — and makes it exactly
+    * replayable: the integer taps are literals in BOTH engines' SQL, so
+    * there is no float recurrence to drift.
+    */
+  private val ewmaTapsE6: Seq[Long] =
+    (0 until 12).map(j => math.round(0.3 * math.pow(0.7, j) * 1e6))
+
+  /** EWMA-smoothed hourly throughput per event type — the trend line a
+    * monitoring dashboard draws under the raw counts (and the baseline
+    * fed to drift alerts: `n` far from its own smoothed history).
+    * Complements the level-based monitors ([[anomalyHours]] 3-sigma,
+    * [[anomalyHoursMad]] robust z): those flag against the WHOLE
+    * series; the EWMA tracks local level, so slow ramps stay unflagged
+    * while the smoothed curve shows them.
+    *
+    * Exact integers throughout: with the [[ewmaTapsE6]] µ-weights,
+    * ewma_e2 = (Σ_j c_j·n_{t−j}) · 100 / (Σ_j c_j over taps in range),
+    * half-up — the leading-edge hours (fewer than 12 predecessors)
+    * renormalize over the taps that exist rather than decaying toward
+    * a fake zero history. The dense grid guarantees lag(j) exists iff
+    * the series is ≥ j+1 hours old, so "tap in range" is exactly
+    * "lag IS NOT NULL".
+    *
+    * Scale shape: one events scan + the (window, type) rollup shuffle
+    * shared with the whole monitor family; the 23 lag expressions
+    * collapse into ONE Window node (single sort, single pass) over the
+    * dashboard-sized hourly series — never O(events) state.
+    */
+  def ewmaHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val over = "over (partition by event_type order by hour_us)"
+    def tap(j: Int): String = if (j == 0) "n" else s"lag(n, $j) $over"
+    val num = ewmaTapsE6.zipWithIndex.map { case (c, j) =>
+      s"${c}L * coalesce(${tap(j)}, 0L)"
+    }.mkString(" + ")
+    val den = ewmaTapsE6.zipWithIndex.map { case (c, j) =>
+      if (j == 0) s"${c}L"
+      else s"if(${tap(j)} is not null, ${c}L, 0L)"
+    }.mkString(" + ")
+    denseHourly(spark, sfDir)
+      .selectExpr("event_type", "hour_us", "n",
+        s"(($num) * 100L + ($den) div 2) div ($den) as ewma_e2")
+      .orderBy("event_type", "hour_us")
+  }
+
+  val ewmaHourlySql: String = {
+    val over = "OVER w"
+    def tap(j: Int): String = if (j == 0) "n" else s"lag(n, $j) $over"
+    val num = ewmaTapsE6.zipWithIndex.map { case (c, j) =>
+      s"$c * coalesce(${tap(j)}, 0)"
+    }.mkString(" + ")
+    val den = ewmaTapsE6.zipWithIndex.map { case (c, j) =>
+      if (j == 0) s"$c"
+      else s"CASE WHEN ${tap(j)} IS NOT NULL THEN $c ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH $denseHourlySqlPrefix,
+       |f AS (
+       |  SELECT event_type, hour_us, n,
+       |    ($num)::BIGINT AS num, ($den)::BIGINT AS den
+       |  FROM hourly
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us))
+       |SELECT event_type, hour_us, n,
+       |  (num * 100 + den // 2) // den AS ewma_e2
+       |FROM f
+       |ORDER BY event_type, hour_us""".stripMargin
+  }
+
   final case class AnomCell(event_type: String, hour_us: Long, n: Long,
       is_anomaly: Boolean, emit_seq: Long)
+
+  final case class EwmaCell(event_type: String, hour_us: Long, n: Long,
+      ewma_e2: Long, emit_seq: Long)
+
+  /** Streaming twin of [[ewmaHourly]] — the live trend line under the
+    * counter board, sharing the monitor family's distributed state
+    * harness ([[monitorCells]]) and emission contract: the latest
+    * emit_seq snapshot per type equals the batch operator over the
+    * cells seen so far (asserted in EwmaHourlySpec). Same integer FIR
+    * taps and leading-edge renormalization as the batch/oracle pair,
+    * so the three agree bit-for-bit.
+    */
+  def ewmaStreaming(cells: DataFrame)(
+      sink: org.apache.spark.sql.Dataset[EwmaCell] => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    monitorCells[EwmaCell](cells, { (et, dense, seq) =>
+      dense.indices.iterator.map { t =>
+        val (h, c) = dense(t)
+        val inRange = ewmaTapsE6.zipWithIndex.filter(_._2 <= t)
+        val num = inRange.map { case (cj, j) => cj * dense(t - j)._2 }.sum
+        val den = inRange.map(_._1).sum
+        EwmaCell(et, h, c, (num * 100L + den / 2) / den, seq)
+      }
+    }, sink)(org.apache.spark.sql.Encoders.product[EwmaCell])
 
   /** Streaming twin of [[anomalyHours]] — the live-dashboard member of
     * the monitor family (the reference's surface is exactly this kind
@@ -532,6 +626,21 @@ object EventWindows {
   private def monitorStream(cells: DataFrame,
       flag: IndexedSeq[(Long, Long)] => Seq[(Long, Long, Boolean)],
       sink: org.apache.spark.sql.Dataset[AnomCell] => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    monitorCells[AnomCell](cells,
+      (et, dense, seq) => flag(dense).iterator.map { case (h, c, f) =>
+        AnomCell(et, h, c, f, seq)
+      }, sink)(org.apache.spark.sql.Encoders.product[AnomCell])
+
+  /** Typed core of the monitor harness: everything in [[monitorStream]]'s
+    * doc applies; `emit` maps (event_type, densified series, emit_seq)
+    * to this monitor's output cells, so flag-shaped (AnomCell) and
+    * value-shaped ([[EwmaCell]]) monitors share one state machine.
+    */
+  private def monitorCells[T](cells: DataFrame,
+      emit: (String, IndexedSeq[(Long, Long)], Long) => Iterator[T],
+      sink: org.apache.spark.sql.Dataset[T] => Unit)(
+      implicit enc: org.apache.spark.sql.Encoder[T])
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val hourUs = 3600L * 1000000L
     val spark = cells.sparkSession
@@ -600,9 +709,7 @@ object EventWindows {
                 val byHour = it.map(r => r._2 -> r._3).toMap
                 val dense = (byHour.keys.min to g by hourUs)
                   .map(h => h -> byHour.getOrElse(h, 0L))
-                flag(dense).iterator.map { case (h, c, f) =>
-                  AnomCell(et, h, c, f, seq)
-                }
+                emit(et, dense, seq)
               }
             // materialize BEFORE handing off: the lazy plan references
             // this batch's dataset and the current state handle, both
@@ -675,6 +782,7 @@ object EventWindows {
     ("ev_hourly_window", hourlyWindow _, hourlyWindowSql),
     ("ev_anomaly_hours", anomalyHours _, anomalyHoursSql),
     ("ev_anomaly_mad", anomalyHoursMad _, anomalyHoursMadSql),
+    ("ev_ewma_hourly", ewmaHourly _, ewmaHourlySql),
     ("ev_funnel", funnel _, funnelSql),
     ("ev_retention", retention _, retentionSql),
     ("ev_sessionize",
