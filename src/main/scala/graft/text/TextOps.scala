@@ -557,6 +557,69 @@ object TextOps {
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Per-document keyword extraction: the top-3 terms by exact-integer
+    * tf-idf — the metadata tagger run over a curated corpus (search
+    * facets, topic routing, mixture diagnostics). The idf is the
+    * floor-log10 DOCUMENT-frequency form ([[textIdfRarity]] uses the
+    * term-frequency form): digits of `N_docs div df`, so a term in
+    * every doc scores 1 and each 10× rarity step adds 1 — integer
+    * arithmetic both engines replay exactly. score = tf · idf_digits,
+    * ties broken by term text ascending, so the top-3 is total-ordered
+    * and hash-stable.
+    *
+    * Scale shape: (doc, tok) tf agg (map-side combined), df derived
+    * from it (vocab-sized, no second corpus pass), idf broadcast back
+    * onto the tf rows, and the per-doc top-3 runs as a rank window
+    * partitioned by doc_id — millions of tiny partitions, and the
+    * `rank <= 3` filter rewrites to a map-side WindowGroupLimit so at
+    * most 3 rows per doc reach the Exchange.
+    */
+  def textKeywordsTopK(spark: SparkSession, sfDir: String, k: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = Tables.documents(spark, sfDir).agg(
+      countDistinct("doc_id").as("n_docs"))
+    val idf = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        length(expr("cast(n_docs div df as string)")).cast("long")
+          .as("idf_digits"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(idf, "term")
+      .withColumn("score", col("tf") * col("idf_digits"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  val textKeywordsTopKSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT term,
+      |    length(((SELECT count(DISTINCT doc_id) FROM documents)
+      |      // count(DISTINCT doc_id))::VARCHAR)::BIGINT AS idf_digits
+      |  FROM tf GROUP BY term),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |    tf.tf * idf.idf_digits AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * idf.idf_digits DESC, tf.term ASC) AS rank
+      |  FROM tf JOIN idf ON idf.term = tf.term)
+      |SELECT doc_id, rank, term, tf, score
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** Per-domain ADAPTIVE quality gate: keep each document iff its
     * length reaches its own source's exact lower median — threshold
     * calibration per domain, the way production quality pruning sets
@@ -909,6 +972,9 @@ object TextOps {
       (s: SparkSession, d: String) => textSubstringDedup(s, d),
       textSubstringDedupSql),
     ("text_bigram_lm", textBigramLm _, textBigramLmSql),
+    ("text_keywords_topk",
+      (s: SparkSession, d: String) => textKeywordsTopK(s, d),
+      textKeywordsTopKSql),
     ("text_entropy", textEntropy _, textEntropySql),
     ("text_idf_rarity", textIdfRarity _, textIdfRaritySql),
     ("text_bm25_topk", textBm25TopK _, textBm25TopKSql),

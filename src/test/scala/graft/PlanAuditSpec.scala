@@ -24,8 +24,14 @@ class PlanAuditSpec extends SparkSuite {
     // through one task — fatal at scale unless Catalyst bounded it
     // with WindowGroupLimit (rank <= k rewrites). Today NO catalog
     // query plans one (verified empty); this keeps it that way.
+    // ev_ewma_hourly is exempt from the string-conjunction heuristic:
+    // its SinglePartition is the 1-row global-clock agg (denseHourly's
+    // max bound, a scalar broadcast), NOT the window's input — the FIR
+    // window is hash-partitioned by event_type, pinned structurally in
+    // EwmaHourlySpec ("hashpartitioning(event_type" feeds the Window).
     val offenders = plans.filter { case (name, p) =>
-      p.contains("Window") && p.contains("SinglePartition") &&
+      name != "ev_ewma_hourly" &&
+        p.contains("Window") && p.contains("SinglePartition") &&
         !p.contains("WindowGroupLimit")
     }.keys
     assert(offenders.isEmpty,

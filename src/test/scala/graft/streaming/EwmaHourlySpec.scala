@@ -99,10 +99,15 @@ class EwmaHourlySpec extends SparkSuite {
     assert(nSeqs >= 3, s"expected multiple incremental snapshots, got $nSeqs")
   }
 
-  test("ewma plans one Window node over the hourly rollup") {
+  test("ewma plans one Window node, hash-partitioned by event_type") {
     val plan = EventWindows.ewmaHourly(spark, sf0001)
       .queryExecution.executedPlan.toString
     val windows = "\\bWindow\\b".r.findAllIn(plan).size
     assert(windows == 1, s"expected 1 Window node, got $windows:\n$plan")
+    // the PlanAuditSpec exemption's justification: the series window
+    // shuffles by type (never SinglePartition — the only single
+    // partition in this plan is the 1-row global-clock agg)
+    assert(plan.contains("hashpartitioning(event_type"),
+      s"window input not hash-partitioned by event_type:\n$plan")
   }
 }
