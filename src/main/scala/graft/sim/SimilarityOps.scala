@@ -1486,7 +1486,111 @@ object SimilarityOps {
       |WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
 
+  /** Hybrid retrieval by reciprocal-rank fusion — the standard way a
+    * search stack combines its sparse (BM25) and dense (embedding)
+    * arms: each arm ranks independently, and a document's fused score
+    * is Σ 1/(60 + rank), so agreement near the top of EITHER list
+    * dominates and the two arms' incomparable score scales never mix.
+    * Fixture query: the [[graft.text.TextOps.bm25Terms]] lexical query
+    * paired with doc 0's embedding as the dense query (vec_id = doc_id
+    * is the corpus's document-embedding link).
+    *
+    * Exact in both engines: ranks are total-ordered (score desc, id
+    * asc — BM25 scores are already int64; cosines round to 4 decimals
+    * first, the proven ann_* recipe), and each RRF contribution is the
+    * TRUNCATING integer `10^6 div (60 + rank)` — no transcendentals,
+    * no float sums.
+    *
+    * Scale shape: each arm ends in a `rank <= 100` row_number over an
+    * unpartitioned window — safe because InferWindowGroupLimit bounds
+    * it map-side (each task forwards ≤ 100 rows to the single merge
+    * task; plan-asserted in HybridRrfSpec). The two 100-row arms then
+    * full-outer join and TakeOrderedAndProject emits the fused top-20;
+    * nothing downstream of the arms is corpus-sized.
+    */
+  def hybridRrfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val armK = 100
+    val lex = graft.text.TextOps.bm25Scores(spark, sfDir)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(desc("score_e4"), asc("doc_id"))))
+      .filter(col("lex_rank") <= armK)
+      .select(col("doc_id"), col("lex_rank"))
+    val e = withVec(Tables.embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("vec").as("qvec"))
+    val sem = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(cosine("qvec", "vec"), 4))
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("sem_rank") <= armK)
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    // rank 0 = "not retrieved by this arm" — the full-outer nulls are
+    // materialized away so the output carries no nullable ints (the
+    // cross-engine None/NaN stringification trap)
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        expr("coalesce(1000000L div (60L + lex_rank), 0L)" +
+          " + coalesce(1000000L div (60L + sem_rank), 0L)"))
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0)).cast("long"))
+      .withColumn("sem_rank", coalesce(col("sem_rank"), lit(0)).cast("long"))
+      .orderBy(desc("rrf_e6"), asc("doc_id"))
+      .limit(20)
+      .select("doc_id", "lex_rank", "sem_rank", "rrf_e6")
+  }
+
+  val hybridRrfTopKSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk,
+      |    len(string_split(lower(text), ' '))::BIGINT AS len
+      |  FROM documents),
+      |g AS (SELECT count(*)::BIGINT AS N, sum(len)::BIGINT AS L FROM d),
+      |t(term) AS (VALUES ('spark'), ('join'), ('window')),
+      |m AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, len, term,
+      |      len(list_filter(tk, x -> x = term))::BIGINT AS tf
+      |    FROM d CROSS JOIN t)
+      |  WHERE tf > 0),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
+      |s AS (
+      |  SELECT m.doc_id,
+      |    sum((((((2*g.N - 2*df.df + 1) * 1000000) // (2*df.df + 1))
+      |        * 110000)
+      |     // (5 * ((m.tf * 1000000 + 300000
+      |        + (9 * ((m.len * g.N * 1000000) // g.L)) // 10) // m.tf))))
+      |      ::BIGINT AS score_e4
+      |  FROM m CROSS JOIN g JOIN df ON df.term = m.term
+      |  GROUP BY m.doc_id),
+      |lex AS (
+      |  SELECT doc_id, lex_rank FROM (
+      |    SELECT doc_id, row_number()
+      |      OVER (ORDER BY score_e4 DESC, doc_id ASC) AS lex_rank
+      |    FROM s)
+      |  WHERE lex_rank <= 100),
+      |e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+      |      AS norm
+      |  FROM embeddings),
+      |sem AS (
+      |  SELECT doc_id, sem_rank FROM (
+      |    SELECT c.vec_id AS doc_id, row_number() OVER (ORDER BY
+      |      round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm), 4)
+      |        DESC, c.vec_id ASC) AS sem_rank
+      |    FROM e c JOIN e q ON q.vec_id = 0 AND c.vec_id != 0)
+      |  WHERE sem_rank <= 100)
+      |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+      |  coalesce(lex_rank, 0)::BIGINT AS lex_rank,
+      |  coalesce(sem_rank, 0)::BIGINT AS sem_rank,
+      |  (coalesce(1000000 // (60 + lex_rank), 0)
+      |    + coalesce(1000000 // (60 + sem_rank), 0))::BIGINT AS rrf_e6
+      |FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
+      |ORDER BY rrf_e6 DESC, doc_id ASC
+      |LIMIT 20""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("hybrid_rrf_topk", hybridRrfTopK _, hybridRrfTopKSql),
     ("ann_range_search", annRangeSearch _, annRangeSearchSql),
     ("emb_mips_topk", embMipsTopK _, embMipsTopKSql),
     ("ann_brute_topk", annBruteTopK _, annBruteTopKSql),

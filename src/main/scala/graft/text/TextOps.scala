@@ -718,7 +718,11 @@ object TextOps {
     * global (N, L) scalar rides a broadcast cross join; top-k is
     * TakeOrderedAndProject (per-partition heads, no global sort).
     */
-  def textBm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The scoring stage of [[textBm25TopK]] — every matched doc's
+    * integer score, no rank cut — shared with the hybrid-retrieval
+    * fusion ([[graft.sim.SimilarityOps.hybridRrfTopK]]).
+    */
+  def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
       .withColumn("len", size(col("tk")).cast("long"))
@@ -740,9 +744,12 @@ object TextOps {
           " div (5L * ((tf * 1000000L + 300000L" +
           " + (9L * ((len * N * 1000000L) div L)) div 10L) div tf))"))
       .groupBy("doc_id").agg(sum("sq_e4").as("score_e4"))
+  }
+
+  def textBm25TopK(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Scores(spark, sfDir)
       .orderBy(desc("score_e4"), asc("doc_id"))
       .limit(bm25K)
-  }
 
   val textBm25TopKSql: String =
     """WITH d AS (

@@ -24,13 +24,19 @@ class PlanAuditSpec extends SparkSuite {
     // through one task — fatal at scale unless Catalyst bounded it
     // with WindowGroupLimit (rank <= k rewrites). Today NO catalog
     // query plans one (verified empty); this keeps it that way.
-    // ev_ewma_hourly is exempt from the string-conjunction heuristic:
-    // its SinglePartition is the 1-row global-clock agg (denseHourly's
-    // max bound, a scalar broadcast), NOT the window's input — the FIR
-    // window is hash-partitioned by event_type, pinned structurally in
-    // EwmaHourlySpec ("hashpartitioning(event_type" feeds the Window).
+    // Named exemptions from the string-conjunction heuristic — each
+    // one's real bound is pinned structurally in its own spec:
+    //  - ev_ewma_hourly: the SinglePartition is the 1-row global-clock
+    //    agg (denseHourly's max, a scalar broadcast), NOT the window's
+    //    input; the FIR window is hash-partitioned by event_type
+    //    (EwmaHourlySpec pins "hashpartitioning(event_type").
+    //  - hybrid_rrf_topk: both rank windows sit ABOVE a limit-pushed
+    //    TakeOrderedAndProject(limit=100) — bounded before the window,
+    //    better than WindowGroupLimit (HybridRrfSpec pins both heads);
+    //    its SinglePartition is the BM25 N/L scalar agg.
+    val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk")
     val offenders = plans.filter { case (name, p) =>
-      name != "ev_ewma_hourly" &&
+      !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
         !p.contains("WindowGroupLimit")
     }.keys
