@@ -321,13 +321,28 @@ object Bench {
             "props")
         }.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
-        val times = names.map { n =>
+        def probeOnce(n: String): Double = {
           val t0 = System.nanoTime()
           val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
           catch { case _: Throwable => false }
           val dt = (System.nanoTime() - t0) / 1e9
           dropCheckpoints()
-          n -> (if (ok) math.round(dt * 1000) / 1000.0 else -1.0)
+          if (ok) math.round(dt * 1000) / 1000.0 else -1.0
+        }
+        val firstPass = names.map(n => n -> probeOnce(n))
+        // a query can only be FLAGGED on agreeing evidence: one probe
+        // run is GC/spill-noisy (the same build measured
+        // text_repetition at 5.7× and 22.6× an hour apart), so
+        // first-pass exceeders re-run once and keep their min — a
+        // genuinely superlinear query exceeds both times, a one-off
+        // pause doesn't. Non-exceeders keep their single measurement.
+        val times = firstPass.map { case (n, t) =>
+          val over = t >= 0 && results.getOrElse(n, -1.0) > 0.0 &&
+            t / results(n) > ScaleFlagRatio && t >= 1.0
+          n -> (if (over) {
+            val t2 = probeOnce(n)
+            if (t2 >= 0) math.min(t, t2) else t
+          } else t)
         }
         rmrf(java.nio.file.Paths.get(dir))
         // ratio vs the min-of-three steady-state sf0.1 time; 10× data,

@@ -456,10 +456,19 @@ object TextOps {
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
+    // grams flow through the count agg as int64 multi-arg xxhash64, not
+    // concatenated strings: no per-gram string build, 8-byte group keys
+    // in the (doc_id, gram) shuffle/hashmap (the same hashed-key shape
+    // that fixed dedup_ngram_jaccard's probe blowup). Token-boundary
+    // safe — XxHash64 chains per-field (each field hashed with the
+    // previous hash as seed), so ("ab","c") and ("a","bc") differ. The
+    // oracle groups by its own gram strings; only counts leave the agg,
+    // so representations never need to match across engines.
     def gramStats(n: Int): DataFrame = base
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, size(tk) - $n),
-           |  i -> concat_ws(' ', slice(tk, i + 1, $n)))""".stripMargin))
+           |  i -> xxhash64(${(0 until n).map(j => s"tk[i + $j]")
+                    .mkString(", ")}))""".stripMargin))
         .as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
@@ -974,7 +983,98 @@ object TextOps {
       |  ((s + n_bigrams // 2) // n_bigrams) // 100 AS nll_e4
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Corpus drift detection via the Population Stability Index — the
+    * monitor a data pipeline runs when a new crawl/source lands: bin a
+    * cheap feature (token count here), compare the candidate
+    * population's bin mass against the baseline's, and alarm when
+    * PSI = Σ (p−q)·ln(p/q) crosses ~0.2. Baseline = `src0` documents,
+    * candidate = every other source; six fixed token-count bins;
+    * add-one smoothing keeps empty bins defined (and is part of the
+    * spec — both engines smooth identically).
+    *
+    * Exact integers: bin masses are e6 fixed-point via truncating
+    * division, the log-ratio uses the per-value trick
+    * ([[textEntropy]]) — ln of each INTEGER mass rounds to µnats
+    * independently, so the difference is exact int64 — and each bin's
+    * contribution divides back to e6. Max |term|: 10⁶ · ~14·10⁶
+    * fits int64 with 2 decades to spare.
+    *
+    * Scale shape: one scan → (bin, population) counts via hash agg
+    * with map-side combine (12 groups), a 6-row static bin spine
+    * left-joins the counts, and everything after the first agg is
+    * constant-size. The binning projection is pure codegen.
+    */
+  def textDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val binExpr =
+      """case when n < 50 then 0 when n < 100 then 1 when n < 150 then 2
+        |     when n < 200 then 3 when n < 300 then 4 else 5 end"""
+        .stripMargin
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).as("n"))
+      .withColumn("bin", expr(binExpr))
+      .withColumn("pop",
+        when(col("source") === "src0", lit("base")).otherwise(lit("cand")))
+      .groupBy("bin", "pop").agg(count(lit(1)).as("c"))
+    val spine = spark.range(0, 6).select(col("id").cast("int").as("bin"))
+    val wide = spine
+      .join(counts.filter(col("pop") === "base")
+        .select(col("bin"), col("c").as("cb")), Seq("bin"), "left_outer")
+      .join(counts.filter(col("pop") === "cand")
+        .select(col("bin"), col("c").as("cc")), Seq("bin"), "left_outer")
+      .withColumn("base_n", coalesce(col("cb"), lit(0L)))
+      .withColumn("cand_n", coalesce(col("cc"), lit(0L)))
+    wide
+      .crossJoin(broadcast(wide.agg(
+        sum("base_n").as("tb"), sum("cand_n").as("tc"))))
+      // greatest(·, 1): a bin mass that truncates to 0 e6 (possible
+      // only past 10^6 docs per population) must not reach ln()
+      .withColumn("pb",
+        expr("greatest(((base_n + 1L) * 1000000L) div (tb + 6L), 1L)"))
+      .withColumn("qc",
+        expr("greatest(((cand_n + 1L) * 1000000L) div (tc + 6L), 1L)"))
+      .select(col("bin"), col("base_n"), col("cand_n"),
+        expr("""(pb - qc)
+               | * (cast(round(ln(pb) * 1000000) as bigint)
+               |    - cast(round(ln(qc) * 1000000) as bigint))
+               | div 1000000L""".stripMargin).as("psi_e6"))
+      .orderBy("bin")
+  }
+
+  val textDriftPsiSql: String =
+    """WITH d AS (
+      |  SELECT source, len(string_split(text, ' ')) AS n FROM documents),
+      |b AS (
+      |  SELECT CASE WHEN n < 50 THEN 0 WHEN n < 100 THEN 1
+      |              WHEN n < 150 THEN 2 WHEN n < 200 THEN 3
+      |              WHEN n < 300 THEN 4 ELSE 5 END AS bin,
+      |    CASE WHEN source = 'src0' THEN 'base' ELSE 'cand' END AS pop
+      |  FROM d),
+      |c AS (SELECT bin, pop, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(0, 5)) AS bin),
+      |wide AS (
+      |  SELECT s.bin,
+      |    coalesce(cb.c, 0)::BIGINT AS base_n,
+      |    coalesce(cc.c, 0)::BIGINT AS cand_n
+      |  FROM spine s
+      |  LEFT JOIN c cb ON cb.bin = s.bin AND cb.pop = 'base'
+      |  LEFT JOIN c cc ON cc.bin = s.bin AND cc.pop = 'cand'),
+      |t AS (SELECT sum(base_n)::BIGINT AS tb, sum(cand_n)::BIGINT AS tc
+      |      FROM wide),
+      |m AS (
+      |  SELECT bin, base_n, cand_n,
+      |    greatest(((base_n + 1) * 1000000) // (tb + 6), 1) AS pb,
+      |    greatest(((cand_n + 1) * 1000000) // (tc + 6), 1) AS qc
+      |  FROM wide CROSS JOIN t)
+      |SELECT bin, base_n, cand_n,
+      |  ((pb - qc)
+      |   * (round(ln(pb) * 1000000)::BIGINT
+      |      - round(ln(qc) * 1000000)::BIGINT))
+      |  // 1000000 AS psi_e6
+      |FROM m
+      |ORDER BY bin""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("text_drift_psi", textDriftPsi _, textDriftPsiSql),
     ("text_substring_dedup",
       (s: SparkSession, d: String) => textSubstringDedup(s, d),
       textSubstringDedupSql),
