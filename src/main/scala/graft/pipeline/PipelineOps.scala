@@ -852,8 +852,77 @@ object PipelineOps {
        |ORDER BY source""".stripMargin
   }
 
+  /** The dataset card: the per-source summary profile a curated corpus
+    * ships with — document and token volumes, language spread with the
+    * dominant language, and the mean heuristic quality score. One query
+    * produces the table a release README embeds, and a scheduled run
+    * of it is the cheap regression sentinel over the whole curation
+    * pipeline (any upstream change moves one of these aggregates).
+    *
+    * Composes [[graft.text.TextOps.textQuality]]'s integer score so
+    * card and filter can never disagree; the mean is the half-up
+    * integer mean of the per-doc e4 scores. The dominant language is
+    * an exact mode with lexicographic tiebreak (total order → hash-
+    * stable). Scale shape: the quality projection is pure codegen over
+    * one scan, the (source, lang) mode table and per-source rollup are
+    * two tiny hash aggs, and the mode join is broadcast-sized (sources
+    * × langs).
+    */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val q = graft.text.TextOps.textQuality(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_e4"))
+    val joined = docs.join(q, "doc_id")
+    val topLang = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(Window.partitionBy("source")
+        .orderBy(desc("c"), asc("lang"))))
+      .filter(col("r") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    joined.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        sum("quality_e4").as("qsum"))
+      .join(broadcast(topLang), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_langs"), col("top_lang"),
+        expr("(qsum + n_docs div 2) div n_docs").as("mean_quality_e4"))
+      .orderBy("source")
+  }
+
+  val datasetCardSql: String = {
+    // the quality CTE is textQualitySql minus its ORDER BY, verbatim
+    val qualityCte = graft.text.TextOps.textQualitySql
+      .replace("ORDER BY doc_id", "")
+    s"""WITH q AS (
+       |$qualityCte),
+       |d AS (SELECT doc_id, source, lang FROM documents),
+       |top AS (
+       |  SELECT source, lang AS top_lang FROM (
+       |    SELECT source, lang, row_number() OVER (PARTITION BY source
+       |      ORDER BY count(*) DESC, lang ASC) AS r
+       |    FROM d GROUP BY source, lang)
+       |  WHERE r = 1),
+       |agg AS (
+       |  SELECT d.source,
+       |    count(*)::BIGINT AS n_docs,
+       |    sum(q.n_tokens)::BIGINT AS n_tokens,
+       |    count(DISTINCT d.lang)::BIGINT AS n_langs,
+       |    sum(q.quality_e4)::BIGINT AS qsum
+       |  FROM d JOIN q ON q.doc_id = d.doc_id
+       |  GROUP BY d.source)
+       |SELECT a.source, a.n_docs, a.n_tokens, a.n_langs, t.top_lang,
+       |  (a.qsum + a.n_docs // 2) // a.n_docs AS mean_quality_e4
+       |FROM agg a JOIN top t ON t.source = a.source
+       |ORDER BY a.source""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
+      ("pipe_dataset_card", datasetCard _, datasetCardSql),
       ("pipe_pack_chunks", packChunks _, packChunksSql),
       ("pipe_pack_nextfit", packNextFit _, packNextFitSql),
       ("pipe_pack_nextfit_sharded",
