@@ -22,8 +22,71 @@ object Tables {
       // a nanos-encoded regen fails at scan time unless the flag is on;
       // no-op for micros files (see eventsRaw's doc on session scope)
       ensureNanosFlag(spark)
-      normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"), name)
+      conform(
+        normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"), name), name)
     }
+
+  /** The engine's pinned schema per table — what every reader of these
+    * loaders has been built and oracle-verified against. The testdata
+    * regenerates between rounds and its physical types have drifted
+    * before (the round-9 events outage); [[conform]] absorbs the SAFE
+    * drift class (numeric width changes, e.g. an id re-encoded int32)
+    * by casting back to the pinned type, and fails LOUDLY at load time
+    * for anything else — one clear error at the scan beats 24 queries
+    * dying downstream with analysis errors. TablesSpec pins the same
+    * shapes independently.
+    */
+  private val pinned: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampNTZType),
+      "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+  }
+
+  private def conform(df: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    pinned.get(name).fold(df) { cols =>
+      cols.foldLeft(df) { case (d, (c, want)) =>
+        if (!d.columns.contains(c))
+          throw new IllegalStateException(
+            s"$name.$c is missing from the scanned testdata — " +
+              "regen dropped or renamed a pinned column")
+        else d.schema(c).dataType match {
+          case got if got == want => d
+          case got: NumericType if want.isInstanceOf[NumericType] =>
+            d.withColumn(c, col(c).cast(want)) // safe width drift
+          case got => throw new IllegalStateException(
+            s"$name.$c arrived as $got, pinned $want — non-numeric " +
+              "drift needs an explicit loader branch (see eventsRaw)")
+        }
+      }
+    }
+  }
 
   private def ensureNanosFlag(spark: SparkSession): Unit = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
@@ -96,7 +159,8 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = eventsRaw(s, d)
+  def events(s: SparkSession, d: String): DataFrame =
+    conform(eventsRaw(s, d), "events")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -126,4 +126,31 @@ class TablesSpec extends SparkSuite {
         s"$name drifted: got $got, expected ${expectedSchemas(name)}")
     }
   }
+
+  test("numeric width drift conforms back to the pinned schema") {
+    // a regen that re-encodes ids as int32 (the next plausible drift
+    // after r9's timestamp-unit switch) must load transparently
+    val dir = Files.createTempDirectory("graft_events_narrow").toString
+    Tables.events(spark, sf0001)
+      .selectExpr("cast(event_id as int) as event_id", "ts",
+        "cast(user_id as int) as user_id", "event_type",
+        "cast(value as float) as value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("event_id").dataType == LongType)
+    assert(ev.schema("user_id").dataType == LongType)
+    assert(ev.schema("value").dataType == DoubleType)
+    assert(ev.count() == Tables.events(spark, sf0001).count())
+  }
+
+  test("non-numeric drift fails loudly at load, not downstream") {
+    val dir = Files.createTempDirectory("graft_events_bad").toString
+    Tables.events(spark, sf0001)
+      .selectExpr("cast(event_id as string) as event_id", "ts", "user_id",
+        "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("event_id"),
+      s"error should name the drifted column: ${e.getMessage}")
+  }
 }
