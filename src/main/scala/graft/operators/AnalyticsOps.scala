@@ -502,6 +502,114 @@ object AnalyticsOps {
     s"$per\nORDER BY col"
   }
 
+  /** Exact correlation / covariance / stddev per return flag, computed
+    * from co-moment sums rather than the built-in `corr`/`covar_samp`
+    * aggregates. The inputs are fixed-point (2-decimal) doubles, so
+    * casting to DECIMAL(18,2) first makes every sum EXACT — the final
+    * double combination is then bit-identical across engines (same
+    * IEEE ops on identical inputs), which the streaming-style
+    * one-pass `corr` implementations (Welford co-moments, whose
+    * accumulation order is engine- and partition-count-dependent)
+    * cannot guarantee. Scale: one hash-agg pass, 6 decimal
+    * accumulators per group — the same shuffle cost as a plain sum;
+    * nothing here is O(n) on the driver.
+    */
+  def q58CorrStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val q = col("l_quantity").cast("decimal(18,2)")
+    val p = col("l_extendedprice").cast("decimal(18,2)")
+    val m = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(q).as("sq"), sum(p).as("sp"),
+      sum(q * p).as("sqp"), sum(q * q).as("sqq"), sum(p * p).as("spp"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covQQ = nD * d("sqq") - d("sq") * d("sq")
+    val covPP = nD * d("spp") - d("sp") * d("sp")
+    val covQP = nD * d("sqp") - d("sq") * d("sp")
+    m.select(col("l_returnflag"), col("n"),
+        round(covQP / sqrt(covQQ * covPP), 4).as("corr_qty_price_e4"),
+        round((d("sqp") - d("sq") * d("sp") / col("n")) / (col("n") - 1), 2)
+          .as("covar_qty_price"),
+        round(sqrt(covQQ / (nD * (col("n") - 1))), 4).as("stddev_qty"),
+        round(sqrt(covPP / (nD * (col("n") - 1))), 4).as("stddev_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q58Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |        CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |        CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        CAST(l_extendedprice AS DECIMAL(18,2))) AS spp
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+      |      - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+      |    sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+      |        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+      |      (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+      |        - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 4)
+      |    AS corr_qty_price_e4,
+      |  round((CAST(sqp AS DOUBLE)
+      |      - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n) / (n - 1), 2)
+      |    AS covar_qty_price,
+      |  round(sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+      |      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * (n - 1))), 4) AS stddev_qty,
+      |  round(sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+      |      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * (n - 1))), 4) AS stddev_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Explicit GROUPING SETS with per-column `grouping()` flags — the
+    * one grouping-analytics shape q16 (ROLLUP) and q35 (CUBE) don't
+    * cover: an arbitrary, non-hierarchical set list. Uses the
+    * Dataset.groupingSets API (Spark 4.0+) rather than SQL text, so
+    * the set list is first-class in the plan; Catalyst lowers it to
+    * the same single-scan Expand as CUBE. `o_orderstatus` and
+    * `o_orderpriority` are non-null by construction, so the
+    * `coalesce` sentinel is unambiguous. total_price sums exactly in
+    * DECIMAL and converts to double once at the end (identical
+    * nearest-double on both engines).
+    */
+  def q59GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val s = col("o_orderstatus")
+    val p = col("o_orderpriority")
+    o.groupingSets(Seq(Seq(s, p), Seq(s), Seq(p), Seq()), s, p)
+      .agg(
+        grouping(s).cast("int").as("g_status"),
+        grouping(p).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .select(
+        coalesce(s, lit("<all>")).as("status"),
+        coalesce(p, lit("<all>")).as("priority"),
+        col("g_status"), col("g_priority"), col("n_orders"),
+        col("total_price"))
+      .orderBy("g_status", "g_priority", "status", "priority")
+  }
+
+  val q59Sql: String =
+    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+      |  coalesce(o_orderpriority, '<all>') AS priority,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("q33_window_analytics", q33WindowAnalytics _, q33Sql),
@@ -519,5 +627,7 @@ object AnalyticsOps {
       ("q45_posexplode", q45Posexplode _, q45Sql),
       ("q47_profile", q47Profile _, q47Sql),
       ("q48_json_roundtrip", q48JsonRoundtrip _, q48Sql),
-      ("q49_orc_roundtrip", q49OrcRoundtrip _, q49Sql))
+      ("q49_orc_roundtrip", q49OrcRoundtrip _, q49Sql),
+      ("q58_corr_stats", q58CorrStats _, q58Sql),
+      ("q59_grouping_sets", q59GroupingSets _, q59Sql))
 }

@@ -920,8 +920,53 @@ object PipelineOps {
        |ORDER BY a.source""".stripMargin
   }
 
+  /** Power-of-two sequence-length buckets with exact padding waste —
+    * the batching-efficiency audit run before choosing packing
+    * strategy (the pad_tokens column IS the cost a naive
+    * pad-to-bucket collator would pay, which [[packNextFit]]'s
+    * bin-packing avoids). The bucket ladder is a branch-pruned CASE
+    * chain (pure codegen) rather than `pow(2, ceil(log2 n))`:
+    * floating log2 mis-rounds at exact powers of two, and the CASE
+    * keeps the whole computation in integer arithmetic so every
+    * output column is exact in both engines. Scale: projection +
+    * 10-group hash agg; one shuffle of 10 partial rows per task.
+    */
+  def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val ladder = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+    val nTok = size(split(col("text"), " "))
+    val bucket = ladder.foldRight(lit(8192): Column) { (b, acc) =>
+      when(nTok <= b, b).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .select(nTok.as("n_tok"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("bucket") * col("n_docs") - col("sum_tokens"))
+          .as("pad_tokens"))
+      .orderBy("bucket")
+  }
+
+  val lengthBucketsSql: String =
+    """WITH d AS (
+      |  SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+      |b AS (
+      |  SELECT n_tok, CASE
+      |    WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+      |    WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+      |    WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+      |    WHEN n_tok <= 1024 THEN 1024 WHEN n_tok <= 2048 THEN 2048
+      |    WHEN n_tok <= 4096 THEN 4096 ELSE 8192 END AS bucket FROM d)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+      |  CAST(bucket * count(*) - sum(n_tok) AS BIGINT) AS pad_tokens
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
+      ("pipe_length_buckets", lengthBuckets _, lengthBucketsSql),
       ("pipe_dataset_card", datasetCard _, datasetCardSql),
       ("pipe_pack_chunks", packChunks _, packChunksSql),
       ("pipe_pack_nextfit", packNextFit _, packNextFitSql),

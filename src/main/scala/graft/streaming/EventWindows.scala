@@ -777,7 +777,57 @@ object EventWindows {
       |WHERE c.event_type = 'click'
       |ORDER BY click_id""".stripMargin
 
+  /** Inter-event gap distribution per event type: lag() the per-user
+    * event stream, then aggregate the gaps of each (later-event) type.
+    * The quantile uses the med2 convention established by
+    * [[anomalyHoursMad]]: 2×quantile_cont(·, 0.5) is exact in the
+    * integer micros domain (odd n hits an element; even n yields
+    * (a+b)/2, and ×2 restores the exact integer sum), so the BIGINT
+    * cast is engine-independent — unlike a p90, whose 0.1-weighted
+    * interpolation is not exactly representable in binary. min/max/sum
+    * stay in exact integer arithmetic throughout.
+    *
+    * Scale: the window is partitioned by user_id (millions of small
+    * partitions, never a global sort) and the follow-up agg is a
+    * 5-group hash agg — the same one-shuffle shape as [[sessionize]].
+    */
+  def gapStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .withColumn("gap_us", col("ts_us") - col("prev_us"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        (percentile(col("gap_us"), lit(0.5)) * 2).cast("long")
+          .as("med2_gap_us"),
+        min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"),
+        sum("gap_us").as("sum_gap_us"))
+      .orderBy("event_type")
+  }
+
+  val gapStatsSql: String =
+    """WITH g AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      AS prev_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  CAST(2 * quantile_cont(ts_us - prev_us, 0.5) AS BIGINT)
+      |    AS med2_gap_us,
+      |  min(ts_us - prev_us) AS min_gap_us,
+      |  max(ts_us - prev_us) AS max_gap_us,
+      |  CAST(sum(ts_us - prev_us) AS BIGINT) AS sum_gap_us
+      |FROM g WHERE prev_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_gap_stats", gapStats _, gapStatsSql),
     ("ev_asof_join", asofJoin _, asofJoinSql),
     ("ev_hourly_window", hourlyWindow _, hourlyWindowSql),
     ("ev_anomaly_hours", anomalyHours _, anomalyHoursSql),

@@ -1073,7 +1073,46 @@ object TextOps {
       |FROM m
       |ORDER BY bin""".stripMargin
 
+  /** Corpus-wide top-K bigrams by DOCUMENT frequency (not raw token
+    * count — df is the vocabulary-building statistic: a bigram pasted
+    * 500× into one doc counts once). Complements [[textBigramLm]],
+    * which scores each doc's surprisal under the corpus bigram LM but
+    * never surfaces the n-grams themselves.
+    *
+    * Shape: HOF-generated bigrams (pure codegen, no UDF) → explode →
+    * two-phase countDistinct(doc_id) → top-K. Scale: the final
+    * `orderBy.limit` lowers to TakeOrderedAndProject — per-partition
+    * heaps of K rows, never a global sort of the bigram vocabulary
+    * (plan-asserted in TextSpec). Deterministic cut: (df DESC, bigram)
+    * is a total order because bigram is the group key.
+    */
+  def textNgramTopK(spark: SparkSession, sfDir: String,
+      k: Int = 20): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(slice(tk, 1, size(tk) - 1), " +
+            "(t, i) -> concat(t, ' ', element_at(tk, i + 2)))"))
+          .as("bigram"))
+      .groupBy("bigram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("df"), asc("bigram"))
+      .limit(k)
+
+  val textNgramTopKSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+      |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r)
+      |SELECT bigram, count(*) AS df FROM bg
+      |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 20""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("text_ngram_topk",
+      (s: SparkSession, d: String) => textNgramTopK(s, d),
+      textNgramTopKSql),
     ("text_drift_psi", textDriftPsi _, textDriftPsiSql),
     ("text_substring_dedup",
       (s: SparkSession, d: String) => textSubstringDedup(s, d),

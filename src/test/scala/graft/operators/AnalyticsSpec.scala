@@ -35,6 +35,53 @@ class AnalyticsSpec extends SparkSuite {
     assert(byGrain((1, 0)) == byGrain((1, 1)))
   }
 
+  test("q58: co-moment corr/covar/stddev match the builtin aggregates") {
+    // the catalog computes these from exact decimal co-moment sums (for
+    // cross-engine determinism); Spark's builtin corr/covar_samp/stddev
+    // are the independent reference — agreement within 1e-6 on every
+    // group proves the algebra, not just the plumbing
+    val mine = AnalyticsOps.q58CorrStats(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val ref = graft.core.Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag")
+      .agg(corr("l_quantity", "l_extendedprice").as("c"),
+        covar_samp("l_quantity", "l_extendedprice").as("cv"),
+        stddev_samp("l_quantity").as("sq"),
+        stddev_samp("l_extendedprice").as("sp"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(mine.keySet == ref.keySet && mine.nonEmpty)
+    mine.foreach { case (k, (c, cv, sq, sp)) =>
+      val (rc, rcv, rsq, rsp) = ref(k)
+      assert(math.abs(c - rc) < 1e-4 + 1e-6 * math.abs(rc), s"corr $k")
+      assert(math.abs(cv - rcv) < 5e-3 + 1e-6 * math.abs(rcv), s"covar $k")
+      assert(math.abs(sq - rsq) < 1e-4 + 1e-6 * math.abs(rsq), s"stddev_q $k")
+      assert(math.abs(sp - rsp) < 1e-4 + 1e-6 * math.abs(rsp), s"stddev_p $k")
+    }
+  }
+
+  test("q59 grouping sets: every grain's counts sum to the grand total") {
+    val rows = AnalyticsOps.q59GroupingSets(spark, sf0001).collect()
+      .map(r => ((r.getInt(2), r.getInt(3)), r.getLong(4)))
+    val byGrain = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // the four requested sets, nothing else: (s,p), (s), (p), ()
+    assert(byGrain.keySet == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    val total = byGrain((1, 1))
+    assert(total > 0)
+    assert(byGrain((0, 0)) == total && byGrain((0, 1)) == total &&
+      byGrain((1, 0)) == total)
+    // grouping-set lowering must stay a single-scan Expand, like CUBE
+    val plan = AnalyticsOps.q59GroupingSets(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no Expand in plan:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"grouping sets re-scanned the table:\n$plan")
+  }
+
   test("q36 full outer: both null-extension directions materialize") {
     val rows = AnalyticsOps.q36FullOuter(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(3)))

@@ -17,6 +17,29 @@ class PipelineSpec extends SparkSuite {
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
 
+  test("length buckets census matches a driver recompute, waste exact") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .selectExpr("text").collect().map(_.getString(0))
+    val ladder = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+    def bucketOf(n: Int): Int =
+      ladder.find(n <= _).getOrElse(8192)
+    val expect = docs.map(t => t.split(" ", -1).length)
+      .groupBy(bucketOf)
+      .view.mapValues { ns =>
+        (ns.length.toLong, ns.map(_.toLong).sum)
+      }.toMap
+    val got = PipelineOps.lengthBuckets(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    got.foreach { case (b, (n, tok, pad)) =>
+      val (en, etok) = expect(b)
+      assert(n == en && tok == etok, s"census mismatch at bucket $b")
+      assert(pad == b * n - tok, s"pad not exact at bucket $b")
+      assert(pad >= 0 && pad < b * n, s"pad out of range at bucket $b")
+    }
+  }
+
   test("packChunks start offsets equal an independent driver cumsum") {
     val out = PipelineOps.packChunks(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
