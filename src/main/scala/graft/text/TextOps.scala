@@ -1109,7 +1109,153 @@ object TextOps {
       |SELECT bigram, count(*) AS df FROM bg
       |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 20""".stripMargin
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * by how much more likely its hashed-bigram features are under a
+    * TARGET distribution (here the src1-3 slice, standing in for the
+    * curated domain) than under the full-corpus SOURCE distribution.
+    * weight(d) = Σ_occurrences [ln p_target(b) − ln p_source(b)] with
+    * add-one smoothing over the B=1024 feature buckets; `selected`
+    * marks docs whose mean log-ratio is positive (more target-like
+    * than the corpus).
+    *
+    * Exactness: bucket ids are the md5-60-bit convention (identical in
+    * both engines); each ln(integer count) quantizes to µnats
+    * independently ([[textBigramLm]]'s trick), so all sums are exact
+    * int64 and the output needs no float tolerance. The sum is
+    * exported raw (dsir_sum_e6) rather than divided by n_bigrams:
+    * integer division of NEGATIVE sums truncates in Spark but floors
+    * in DuckDB, so the mean stays a consumer-side op; the `selected`
+    * flag needs only the sign.
+    *
+    * Scale: the feature table is ≤ B+? rows regardless of corpus size
+    * → broadcast; the per-doc score is one projection + one hash agg.
+    * The target slice would be its own table at 100 TB; same plan.
+    */
+  def textDsirWeight(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 1024
+    val docs = Tables.documents(spark, sfDir)
+    val bi = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, size(tk) - 2),
+          |  i -> concat(tk[i], ' ', tk[i + 1]))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("source"),
+        expr(s"cast(conv(substr(md5(bg), 1, 15), 16, 10) as bigint) % $B")
+          .as("bucket"))
+    val sc = bi.groupBy("bucket").agg(count(lit(1)).as("sc"))
+    val tc = bi.filter(col("source").isin("src1", "src2", "src3"))
+      .groupBy("bucket").agg(count(lit(1)).as("tc"))
+    // ≤ B rows joined to ≤ B rows plus the two scalar totals: the whole
+    // log-ratio table broadcasts at any corpus size
+    val lr = sc.join(tc, Seq("bucket"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(
+        sc.agg(sum("sc").as("ts_tot")).crossJoin(
+          tc.agg(sum("tc").as("tt_tot")))))
+      .select(col("bucket"), expr(
+        s"""(cast(round(ln(tc + 1) * 1000000) as bigint)
+           |  - cast(round(ln(tt_tot + $B) * 1000000) as bigint))
+           |- (cast(round(ln(sc + 1) * 1000000) as bigint)
+           |  - cast(round(ln(ts_tot + $B) * 1000000) as bigint))"""
+          .stripMargin).as("lr"))
+    bi.join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lr").as("dsir_sum_e6"))
+      .select(col("doc_id"), col("n_bigrams"), col("dsir_sum_e6"),
+        (col("dsir_sum_e6") > 0L).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  val textDsirWeightSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS tk
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (
+      |  SELECT doc_id, source,
+      |    (('0x' || substr(md5(bg), 1, 15))::BIGINT) % 1024 AS bucket
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      unnest(list_transform(generate_series(1, len(tk) - 1),
+      |        i -> tk[i] || ' ' || tk[i + 1])) AS bg
+      |    FROM t)),
+      |sc AS (SELECT bucket, count(*)::BIGINT AS sc FROM bi GROUP BY 1),
+      |tc AS (SELECT bucket, count(*)::BIGINT AS tc FROM bi
+      |  WHERE source IN ('src1', 'src2', 'src3') GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(sc) FROM sc) AS ts_tot,
+      |  (SELECT sum(tc) FROM tc) AS tt_tot),
+      |lr AS (
+      |  SELECT sc.bucket,
+      |    (round(ln(coalesce(tc.tc, 0) + 1) * 1000000)::BIGINT
+      |      - round(ln(tot.tt_tot + 1024) * 1000000)::BIGINT)
+      |    - (round(ln(sc.sc + 1) * 1000000)::BIGINT
+      |      - round(ln(tot.ts_tot + 1024) * 1000000)::BIGINT) AS lr
+      |  FROM sc LEFT JOIN tc ON tc.bucket = sc.bucket, tot)
+      |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |  sum(lr)::BIGINT AS dsir_sum_e6,
+      |  sum(lr)::BIGINT > 0 AS selected
+      |FROM bi JOIN lr ON lr.bucket = bi.bucket
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Perplexity-decile bucketing (the CCNet head/middle/tail split,
+    * generalized to 10 bins): partition the corpus by the bigram-LM
+    * surprisal score of [[textBigramLm]] and report each decile's
+    * census — the standard quality-stratification step before
+    * sampling training data by perplexity band.
+    *
+    * Deciles WITHOUT a global window: per-score counts (the score
+    * domain is bounded by construction — nll_e4 is a quantized mean,
+    * so the distinct-score table stays ~1e5 rows at ANY corpus size)
+    * → cumulative rank below each score via the same triangular
+    * broadcast join as packChunks' two-level scan → decile =
+    * (10·cum_lt) div n + 1. Ties share a decile; every step is
+    * integer-exact, so both engines agree bit-for-bit.
+    */
+  def textPplBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = textBigramLm(spark, sfDir)
+    val cnt = scored.groupBy("nll_e4").agg(
+      count(lit(1)).as("cnt"), sum("n_bigrams").as("tok"))
+    val ranked = cnt.as("a")
+      .join(broadcast(cnt.as("b")),
+        col("b.nll_e4") < col("a.nll_e4"), "left")
+      .groupBy(col("a.nll_e4").as("nll_e4"), col("a.cnt").as("cnt"),
+        col("a.tok").as("tok"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("cum_lt"))
+      .crossJoin(broadcast(cnt.agg(sum("cnt").as("n"))))
+      .withColumn("decile", expr("(cum_lt * 10) div n + 1"))
+    ranked.groupBy("decile")
+      .agg(sum("cnt").as("n_docs"),
+        min("nll_e4").as("min_nll_e4"),
+        max("nll_e4").as("max_nll_e4"),
+        sum("tok").as("sum_bigrams"))
+      .orderBy("decile")
+  }
+
+  val textPplBucketSql: String = {
+    val lm = textBigramLmSql.replace("ORDER BY doc_id", "")
+    s"""WITH scored AS ($lm),
+       |cnt AS (
+       |  SELECT nll_e4, count(*)::BIGINT AS cnt,
+       |    sum(n_bigrams)::BIGINT AS tok
+       |  FROM scored GROUP BY nll_e4),
+       |ranked AS (
+       |  SELECT nll_e4, cnt, tok,
+       |    coalesce(sum(cnt) OVER (ORDER BY nll_e4
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS cum_lt,
+       |    (SELECT sum(cnt) FROM cnt) AS n
+       |  FROM cnt)
+       |SELECT ((cum_lt * 10) // n + 1)::BIGINT AS decile,
+       |  sum(cnt)::BIGINT AS n_docs,
+       |  min(nll_e4) AS min_nll_e4, max(nll_e4) AS max_nll_e4,
+       |  sum(tok)::BIGINT AS sum_bigrams
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("text_dsir_weight", textDsirWeight _, textDsirWeightSql),
+    ("text_ppl_bucket", textPplBucket _, textPplBucketSql),
     ("text_ngram_topk",
       (s: SparkSession, d: String) => textNgramTopK(s, d),
       textNgramTopKSql),
