@@ -1132,24 +1132,34 @@ object TextOps {
     * → broadcast; the per-doc score is one projection + one hash agg.
     * The target slice would be its own table at 100 TB; same plan.
     */
-  def textDsirWeight(spark: SparkSession, sfDir: String): DataFrame = {
-    val B = 1024
-    val docs = Tables.documents(spark, sfDir)
-    val bi = docs
+  val DsirBuckets = 1024
+
+  /** (doc_id, source, bucket) — one row per bigram OCCURRENCE, bucketed
+    * by the md5-60-bit convention. Shared by the batch weight query and
+    * the feature-table build so the two can't disagree. */
+  private def dsirBigrams(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
       .select(col("doc_id"), col("source"), explode(expr(
         """transform(sequence(0, size(tk) - 2),
           |  i -> concat(tk[i], ' ', tk[i + 1]))""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("source"),
-        expr(s"cast(conv(substr(md5(bg), 1, 15), 16, 10) as bigint) % $B")
-          .as("bucket"))
+        expr(s"cast(conv(substr(md5(bg), 1, 15), 16, 10) as bigint)" +
+          s" % $DsirBuckets").as("bucket"))
+
+  /** The per-bucket µnat log-ratio table (≤ [[DsirBuckets]] rows at any
+    * corpus size — broadcastable, or collectible as a scoring map for
+    * the streaming twin [[graft.streaming.DsirStream]]). */
+  def dsirLogRatioTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = DsirBuckets
+    val bi = dsirBigrams(spark, sfDir)
     val sc = bi.groupBy("bucket").agg(count(lit(1)).as("sc"))
     val tc = bi.filter(col("source").isin("src1", "src2", "src3"))
       .groupBy("bucket").agg(count(lit(1)).as("tc"))
     // ≤ B rows joined to ≤ B rows plus the two scalar totals: the whole
     // log-ratio table broadcasts at any corpus size
-    val lr = sc.join(tc, Seq("bucket"), "left")
+    sc.join(tc, Seq("bucket"), "left")
       .na.fill(0L, Seq("tc"))
       .crossJoin(broadcast(
         sc.agg(sum("sc").as("ts_tot")).crossJoin(
@@ -1160,6 +1170,17 @@ object TextOps {
            |- (cast(round(ln(sc + 1) * 1000000) as bigint)
            |  - cast(round(ln(ts_tot + $B) * 1000000) as bigint))"""
           .stripMargin).as("lr"))
+  }
+
+  /** The (bucket → lr) scoring map: ≤ [[DsirBuckets]] longs, the
+    * model artifact a serving/streaming layer ships around. */
+  def dsirLogRatios(spark: SparkSession, sfDir: String): Map[Long, Long] =
+    dsirLogRatioTable(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  def textDsirWeight(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = dsirBigrams(spark, sfDir)
+    val lr = dsirLogRatioTable(spark, sfDir)
     bi.join(broadcast(lr), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("lr").as("dsir_sum_e6"))
