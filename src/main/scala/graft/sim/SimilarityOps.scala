@@ -1589,7 +1589,83 @@ object SimilarityOps {
       |ORDER BY rrf_e6 DESC, doc_id ASC
       |LIMIT 20""".stripMargin
 
+  /** Per-label MEDOID selection: the actual corpus vector closest to
+    * its label's integer-grid centroid — coreset/representative
+    * picking (the "one exemplar per cluster" step of dataset
+    * distillation and of human-review sampling), where
+    * [[embLabelCentroid]]'s mean is synthetic and may sit far from
+    * any real point.
+    *
+    * Same exactness machinery as [[embCentroidAssign]]: distances are
+    * int64 on the ×10⁴ grid, and the per-label argmin is
+    * `min(struct(dist, vec_id))` — one shuffle on label, O(labels)
+    * output. Each row also carries the label's mean quantized
+    * distance so the medoid's centrality is readable against its
+    * cluster's spread.
+    */
+  def embMedoid(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents: Array[(Int, Array[Long])] =
+      embLabelCentroid(spark, sfDir)
+        .select("label", "dim", "centroid_e4").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).toArray
+        .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3)) }
+        .sortBy(_._1)
+    val centDf = spark.createDataFrame(cents.toIndexedSeq)
+      .toDF("label", "cvec")
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), expr(
+        "transform(cast(embedding as array<double>), " +
+          "x -> cast(floor(x * 10000d + 0.5d) as bigint))").as("qvec"))
+      .join(broadcast(centDf), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        aggregate(zip_with(col("qvec"), col("cvec"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("dist_q"))
+      .groupBy("label")
+      .agg(
+        min(struct(col("dist_q"), col("vec_id"))).as("best"),
+        count(lit(1)).as("n_vecs"),
+        sum("dist_q").as("sum_dist"))
+      .select(col("label"), col("best.vec_id").as("medoid_vec_id"),
+        col("best.dist_q").as("medoid_dist_q"), col("n_vecs"),
+        expr("sum_dist div n_vecs").as("mean_dist_q"))
+      .orderBy("label")
+  }
+
+  val embMedoidSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+      |comp AS (
+      |  SELECT e.label, d.d AS dim,
+      |    floor(e.vec[d.d + 1] * 10000 + 0.5)::BIGINT AS q
+      |  FROM e, (SELECT unnest(range(64)) AS d) d),
+      |cent_rows AS (
+      |  SELECT label, dim, $centroidE4Sql AS centroid_e4
+      |  FROM comp GROUP BY label, dim),
+      |cents AS (
+      |  SELECT label, list(centroid_e4 ORDER BY dim) AS cvec
+      |  FROM cent_rows GROUP BY label),
+      |d AS (
+      |  SELECT e.label, e.vec_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (floor(e.vec[i] * 10000 + 0.5)::BIGINT - c.cvec[i])
+      |        * (floor(e.vec[i] * 10000 + 0.5)::BIGINT - c.cvec[i])))::BIGINT
+      |      AS dist_q
+      |  FROM e JOIN cents c ON c.label = e.label),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY label
+      |    ORDER BY dist_q, vec_id) AS rk
+      |  FROM d)
+      |SELECT label,
+      |  min(CASE WHEN rk = 1 THEN vec_id END) AS medoid_vec_id,
+      |  min(CASE WHEN rk = 1 THEN dist_q END) AS medoid_dist_q,
+      |  count(*)::BIGINT AS n_vecs,
+      |  sum(dist_q)::BIGINT // count(*)::BIGINT AS mean_dist_q
+      |FROM r GROUP BY label ORDER BY label""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("emb_medoid", embMedoid _, embMedoidSql),
     ("hybrid_rrf_topk", hybridRrfTopK _, hybridRrfTopKSql),
     ("ann_range_search", annRangeSearch _, annRangeSearchSql),
     ("emb_mips_topk", embMipsTopK _, embMipsTopKSql),
