@@ -1274,7 +1274,64 @@ object TextOps {
        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Ensemble quality gate — the "classifier committee" stand-in real
+    * pipelines build from fastText/logistic scores: three independent
+    * integer signals, each ALREADY a catalog entry (so the ensemble
+    * can never disagree with its members), combined with fixed
+    * weights into one 0..10⁴ score:
+    *
+    *   ens = (4·quality + 3·entropyNorm + 3·(10⁴ − dup₂)) div 10
+    *
+    * quality ([[textQuality]]) rewards length/stopword shape, entropy
+    * ([[textEntropy]], capped at 2 nats and rescaled) rewards lexical
+    * diversity, and the bigram duplication ratio ([[textRepetition]])
+    * penalizes boilerplate loops. Docs too short for trigram stats
+    * (< 3 tokens) carry no repetition evidence — dup₂ defaults to 0.
+    *
+    * Scale note: reusing the member queries verbatim costs three scans
+    * of `documents`; a 100 TB deployment computes the three signal
+    * branches over one checkpointed base scan exactly like
+    * [[graft.pipeline.PipelineOps.e2eCuration]] — the agg/join
+    * topology (doc_id-keyed, co-partitioned after each signal's own
+    * agg) is unchanged.
+    */
+  def textQualityEnsemble(spark: SparkSession, sfDir: String): DataFrame =
+    textQuality(spark, sfDir)
+      .select(col("doc_id"), col("quality_e4"))
+      .join(textEntropy(spark, sfDir).select(col("doc_id"),
+        col("entropy_e4")), Seq("doc_id"))
+      .join(textRepetition(spark, sfDir).select(col("doc_id"),
+        col("dup2_e4")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup2_e4"))
+      .select(col("doc_id"), col("quality_e4"), col("entropy_e4"),
+        col("dup2_e4"),
+        expr("""(4 * quality_e4 + 3 * (least(entropy_e4, 20000L) div 2)
+               | + 3 * (10000L - least(dup2_e4, 10000L))) div 10"""
+          .stripMargin).as("ens_e4"))
+      .withColumn("keep", col("ens_e4") >= 7000L)
+      .orderBy("doc_id")
+
+  val textQualityEnsembleSql: String = {
+    def strip(sql: String): String = sql.replace("ORDER BY doc_id", "")
+    s"""WITH q AS (${strip(textQualitySql)}),
+       |e AS (${strip(textEntropySql)}),
+       |r AS (${strip(textRepetitionSql)})
+       |SELECT q.doc_id, q.quality_e4, e.entropy_e4,
+       |  coalesce(r.dup2_e4, 0) AS dup2_e4,
+       |  (4 * q.quality_e4 + 3 * (least(e.entropy_e4, 20000) // 2)
+       |    + 3 * (10000 - least(coalesce(r.dup2_e4, 0), 10000))) // 10
+       |    AS ens_e4,
+       |  (4 * q.quality_e4 + 3 * (least(e.entropy_e4, 20000) // 2)
+       |    + 3 * (10000 - least(coalesce(r.dup2_e4, 0), 10000))) // 10
+       |    >= 7000 AS keep
+       |FROM q
+       |JOIN e ON e.doc_id = q.doc_id
+       |LEFT JOIN r ON r.doc_id = q.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("text_quality_ensemble", textQualityEnsemble _, textQualityEnsembleSql),
     ("text_dsir_weight", textDsirWeight _, textDsirWeightSql),
     ("text_ppl_bucket", textPplBucket _, textPplBucketSql),
     ("text_ngram_topk",

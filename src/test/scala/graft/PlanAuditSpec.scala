@@ -81,7 +81,14 @@ class PlanAuditSpec extends SparkSuite {
       // doubles as the join base (keep_best). 2+ means the cluster
       // stage is being recomputed downstream (the round-8 audit item)
       "dedup_cluster_cc" -> 1,
-      "dedup_keep_best" -> 1)
+      "dedup_keep_best" -> 1,
+      // round-10 one-pass claims (each docstring says "one hash-agg
+      // pass" / "one scan"): a second FileScan means a branch started
+      // re-reading the base table
+      "q58_corr_stats" -> 1, // co-moment sums in a single agg
+      "pipe_length_buckets" -> 1, // projection + 10-group agg
+      "ev_gap_stats" -> 1, // lag window + agg over one scan
+      "text_ngram_topk" -> 1) // explode + countDistinct + TakeOrdered
     val offenders = pinnedScans.toSeq.sortBy(_._1).flatMap {
       case (name, want) =>
         val scans = "FileScan".r.findAllIn(plans(name)).size
