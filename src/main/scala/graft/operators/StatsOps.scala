@@ -272,7 +272,63 @@ object StatsOps {
       |  ON a.event_type < b.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** Poisson-bootstrap distribution of mean(`n_chars`) over documents —
+    * the cluster-friendly bootstrap (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012): instead of
+    * resampling n rows WITH replacement per replicate (which needs a
+    * global index and random access — impossible at 100 TB), each row
+    * draws an independent pseudo-Poisson(1) weight per replicate. One
+    * scan, R weighted partial sums, map-side combine; the explode is a
+    * constant R× blowup that the combiner collapses to partitions×R
+    * rows before the single shuffle.
+    *
+    * Determinism: the weight is a pure integer hash of (doc_id, r) —
+    * h mod 1000 thresholded at the Poisson(1) pmf (368/368/184/80‰ for
+    * w=0,1,2,3+) — so the oracle replays the identical arithmetic and
+    * the result hashes exactly. Means are emitted in half-up integer
+    * basis points ([[graft.text.TextOps.textQuality]] rationale). The
+    * R output rows ARE the bootstrap distribution; any CI is a
+    * percentile read over them.
+    */
+  def statBootstrapCi(spark: SparkSession, sfDir: String,
+      replicates: Int = 100): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .select(col("doc_id"), col("n_chars"),
+        // long like the oracle's generate_series (DuckDB yields BIGINT)
+        explode(expr(s"sequence(0L, ${replicates - 1}L)")).as("r"))
+      .select(col("r"), col("n_chars"),
+        expr("(doc_id * 2654435761 + r * 40503) % 1000").as("h"))
+      .select(col("r"), col("n_chars"),
+        expr("case when h < 368 then 0 when h < 736 then 1 " +
+          "when h < 920 then 2 else 3 end").cast("long").as("w"))
+      .groupBy("r")
+      .agg(sum("w").as("n_eff"),
+        expr("(sum(w * n_chars) * 10000 + sum(w) div 2) div sum(w)")
+          .as("mean_e4"))
+      .orderBy("r")
+
+  def statBootstrapCiSql(replicates: Int = 100): String =
+    s"""SELECT r, sum(w)::BIGINT AS n_eff,
+       |  ((sum(w * n_chars)::BIGINT) * 10000 + (sum(w)::BIGINT) // 2)
+       |    // (sum(w)::BIGINT) AS mean_e4
+       |FROM (
+       |  SELECT r, n_chars,
+       |    CASE WHEN (doc_id * 2654435761 + r * 40503) % 1000 < 368 THEN 0
+       |         WHEN (doc_id * 2654435761 + r * 40503) % 1000 < 736 THEN 1
+       |         WHEN (doc_id * 2654435761 + r * 40503) % 1000 < 920 THEN 2
+       |         ELSE 3 END::BIGINT AS w
+       |  FROM (
+       |    SELECT doc_id, n_chars,
+       |      unnest(generate_series(0, ${replicates - 1})) AS r
+       |    FROM documents))
+       |GROUP BY r
+       |ORDER BY r""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("stat_bootstrap_ci",
+      (s: SparkSession, d: String) => statBootstrapCi(s, d),
+      statBootstrapCiSql()),
     ("stat_approx_distinct", statApproxDistinct _, statApproxDistinctSql),
     ("stat_approx_quantiles", statApproxQuantiles _, statApproxQuantilesSql),
     ("stat_hll_union", statHllUnion _, statHllUnionSql),

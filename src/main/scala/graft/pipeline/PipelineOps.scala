@@ -964,8 +964,79 @@ object PipelineOps {
       |  CAST(bucket * count(*) - sum(n_tok) AS BIGINT) AS pad_tokens
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Curriculum ordering: assign each document a difficulty stage
+    * (token-count quartile) and a deterministic within-stage shuffle
+    * position — the "easy examples first, shuffled within stage"
+    * schedule curriculum-learning pipelines feed the trainer.
+    *
+    * Scale shape: quartile cut points come from ONE scalar aggregate
+    * (4 longs, broadcast — never a global sort); stage membership is a
+    * pure comparison; the within-stage position uses the same
+    * two-level md5-rank trick as [[md5ShufflePositions]], windowing on
+    * (stage, 256-way md5 bucket) so no task ever ranks more than
+    * ~1/1024 of the corpus, then reconstructs the stage-global
+    * position from broadcast per-bucket offsets. Cut points are ×4
+    * integers (quartile interpolation weights are quarters, so
+    * `percentile·4` is exact in both engines — same trick as
+    * [[graft.streaming.EventWindows.gapStats]]'s ×2 median).
+    */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val thresholds = base.agg(
+      (percentile(col("n_tok"), lit(0.25)) * 4).cast("long").as("q1_4"),
+      (percentile(col("n_tok"), lit(0.5)) * 4).cast("long").as("q2_4"),
+      (percentile(col("n_tok"), lit(0.75)) * 4).cast("long").as("q3_4"))
+    val staged = base.crossJoin(broadcast(thresholds))
+      .withColumn("stage",
+        when(col("n_tok") * 4 <= col("q1_4"), 0)
+          .when(col("n_tok") * 4 <= col("q2_4"), 1)
+          .when(col("n_tok") * 4 <= col("q3_4"), 2)
+          .otherwise(3))
+      .withColumn("h",
+        md5(concat(lit("cur42:"), col("doc_id").cast("string"))))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val localW = Window.partitionBy("stage", "bucket").orderBy("h", "doc_id")
+    val withLocal = staged.withColumn("local_rank",
+      row_number().over(localW).cast("long"))
+    val counts = staged.groupBy("stage", "bucket").agg(count(lit(1)).as("n"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")),
+        col("a.stage") === col("b.stage") &&
+          col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.stage").as("stage"), col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("offset"))
+    withLocal.join(broadcast(offsets), Seq("stage", "bucket"))
+      .select(col("doc_id"), col("n_tok"), col("stage"),
+        (col("offset") + col("local_rank") - 1L).as("stage_pos"))
+      .orderBy("doc_id")
+  }
+
+  val curriculumSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+      |  FROM documents),
+      |t AS (
+      |  SELECT CAST(quantile_cont(n_tok, 0.25) * 4 AS BIGINT) AS q1_4,
+      |         CAST(quantile_cont(n_tok, 0.5)  * 4 AS BIGINT) AS q2_4,
+      |         CAST(quantile_cont(n_tok, 0.75) * 4 AS BIGINT) AS q3_4
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN n_tok * 4 <= q1_4 THEN 0
+      |         WHEN n_tok * 4 <= q2_4 THEN 1
+      |         WHEN n_tok * 4 <= q3_4 THEN 2 ELSE 3 END AS stage
+      |  FROM d CROSS JOIN t)
+      |SELECT doc_id, n_tok, stage,
+      |  row_number() OVER (PARTITION BY stage
+      |    ORDER BY md5('cur42:' || doc_id::VARCHAR), doc_id) - 1
+      |    AS stage_pos
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
+      ("pipe_curriculum", curriculum _, curriculumSql),
       ("pipe_length_buckets", lengthBuckets _, lengthBucketsSql),
       ("pipe_dataset_card", datasetCard _, datasetCardSql),
       ("pipe_pack_chunks", packChunks _, packChunksSql),

@@ -826,7 +826,45 @@ object EventWindows {
       |FROM g WHERE prev_us IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Sliding-window distinct users: a 3-hour window advancing hourly,
+    * counting distinct `user_id` plus raw events per window. The
+    * scale pattern is explode-into-buckets: each event lands in the
+    * three hour-starts whose window covers it (`sequence(h-2, h)`),
+    * then ONE hash aggregation on (window-start, user) feeds a second
+    * on window-start — never a self-join of the table against its own
+    * hour range, and never per-window re-scans. The 3× row blowup is
+    * the sliding factor, constant in data size, so the whole operator
+    * stays two map-side-combining shuffles at any scale.
+    *
+    * Windows that start before the first event hour are kept (they are
+    * real windows whose trailing edge covers early events) — same
+    * semantics as Spark's own `window(ts, '3 hours', '1 hour')`.
+    */
+  def slidingDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts")).as("ts_us"), col("user_id"))
+      // `div`, not `/`: Spark's `/` is double division, and a double
+      // quotient 1 ulp above an hour boundary truncates into the wrong
+      // bucket; integer div is exact (and matches DuckDB's `//`)
+      .select(expr("ts_us div 3600000000").as("h"), col("user_id"))
+      .select(explode(expr("sequence(h - 2, h)")).as("win_start_hr"),
+        col("user_id"))
+      .groupBy("win_start_hr")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("win_start_hr")
+
+  val slidingDistinctSql: String =
+    """SELECT win_start_hr, count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events
+      |FROM (
+      |  SELECT unnest(generate_series(h - 2, h)) AS win_start_hr, user_id
+      |  FROM (SELECT epoch_us(ts) // 3600000000 AS h, user_id FROM events))
+      |GROUP BY win_start_hr
+      |ORDER BY win_start_hr""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_sliding_distinct", slidingDistinct _, slidingDistinctSql),
     ("ev_gap_stats", gapStats _, gapStatsSql),
     ("ev_asof_join", asofJoin _, asofJoinSql),
     ("ev_hourly_window", hourlyWindow _, hourlyWindowSql),

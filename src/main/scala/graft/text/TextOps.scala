@@ -1330,7 +1330,68 @@ object TextOps {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  /** Gopher/C4-style heuristic rule bundle — the cheap structural
+    * filters (Rae et al. 2021 §A1.1; Raffel et al. 2020 C4 rules)
+    * applied before any model-based scoring in web-scale pipelines:
+    * word-count band, mean-word-length band, symbol-to-word ratio,
+    * alphabetic-word fraction, and a minimum stopword-hit count. Each
+    * rule is emitted as its own 0/1 flag plus the conjunction, so
+    * downstream curation can re-weight rules without re-scanning.
+    *
+    * All ratios are exact integer comparisons (cross-multiplied), so
+    * the oracle is bit-identical — same rationale as [[textQuality]].
+    * Pure projection, no shuffle: linear at any scale.
+    */
+  def textGopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n"),
+        expr("aggregate(tk, 0L, (acc, x) -> acc + length(x))").as("tl"),
+        expr("cast(size(filter(tk, x -> x rlike '[A-Za-z]')) as long)")
+          .as("aw"),
+        expr("cast(regexp_count(text, '#|\\\\.\\\\.\\\\.') as long)")
+          .as("sym"),
+        expr(s"cast(size(filter(tk, x -> x in ${inList(stopwords)})) as long)")
+          .as("sh"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_words"),
+        (col("n") >= 50 && col("n") <= 100000).cast("int").as("ok_nwords"),
+        (col("tl") >= col("n") * 3 && col("tl") <= col("n") * 10)
+          .cast("int").as("ok_wordlen"),
+        (col("sym") * 10 <= col("n")).cast("int").as("ok_symbol"),
+        (col("aw") * 10 >= col("n") * 8).cast("int").as("ok_alpha"),
+        (col("sh") >= 2).cast("int").as("ok_stop"))
+      .withColumn("gopher_pass",
+        col("ok_nwords") * col("ok_wordlen") * col("ok_symbol") *
+          col("ok_alpha") * col("ok_stop"))
+      .orderBy("doc_id")
+
+  val textGopherRulesSql: String =
+    s"""SELECT doc_id, n AS n_words,
+       |  (n BETWEEN 50 AND 100000)::INT AS ok_nwords,
+       |  (tl BETWEEN n*3 AND n*10)::INT AS ok_wordlen,
+       |  (sym*10 <= n)::INT AS ok_symbol,
+       |  (aw*10 >= n*8)::INT AS ok_alpha,
+       |  (sh >= 2)::INT AS ok_stop,
+       |  (n BETWEEN 50 AND 100000)::INT * (tl BETWEEN n*3 AND n*10)::INT
+       |    * (sym*10 <= n)::INT * (aw*10 >= n*8)::INT * (sh >= 2)::INT
+       |    AS gopher_pass
+       |FROM (
+       |  SELECT doc_id, len(tk)::BIGINT AS n,
+       |    list_sum(list_transform(tk, x -> len(x)))::BIGINT AS tl,
+       |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+       |      AS aw,
+       |    len(regexp_extract_all(text, '#|\\.\\.\\.'))::BIGINT AS sym,
+       |    len(list_filter(tk, x -> x IN ${inList(stopwords)}))::BIGINT AS sh
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("text_gopher_rules", textGopherRules _, textGopherRulesSql),
     ("text_quality_ensemble", textQualityEnsemble _, textQualityEnsembleSql),
     ("text_dsir_weight", textDsirWeight _, textDsirWeightSql),
     ("text_ppl_bucket", textPplBucket _, textPplBucketSql),

@@ -34,7 +34,11 @@ class PlanAuditSpec extends SparkSuite {
     //    TakeOrderedAndProject(limit=100) — bounded before the window,
     //    better than WindowGroupLimit (HybridRrfSpec pins both heads);
     //    its SinglePartition is the BM25 N/L scalar agg.
-    val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk")
+    //  - pipe_curriculum: the SinglePartition is the 3-value quartile
+    //    aggregate (a broadcast scalar); the rank window is partitioned
+    //    by (stage, md5 bucket) — CurriculumSpec pins the permutation
+    //    against a driver re-derivation.
+    val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk", "pipe_curriculum")
     val offenders = plans.filter { case (name, p) =>
       !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
