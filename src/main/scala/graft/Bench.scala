@@ -96,22 +96,33 @@ object Bench {
     layoutSetup(sfDir)
     println(s"""{"metric":"warmup_done","codegen_compiles":${compiles()}}""")
 
-    // TWO untimed warmup passes at the TARGET SF (round-8 item: pass 1
+    // ADAPTIVE untimed warmup at the TARGET SF (round-8 item: pass 1
     // ran ~53% above steady state — sf-sized shuffle buffers, page
     // cache, and deeper JIT tiers were being measured inside the first
     // timed window; the sf0.001 warmup above cannot absorb those.
-    // Round-9 showed ONE pass still left 46.9 → 31.92 s decay across the
-    // timed passes, so a second warmup pass absorbs the remaining JIT
-    // ramp). With these the three timed totals should be flat within
-    // ~10%, making the per-pass log a real regression guard.
-    (1 to 2).foreach { w =>
+    // Round-9 showed one pass still left 46.9 → 31.92 s decay across
+    // the timed passes, and round-10 local runs showed two FIXED passes
+    // still decaying ~7%/pass into the timed window). Warm until two
+    // consecutive warmup totals agree within 7% — i.e. until the JVM
+    // has demonstrably stopped getting faster — capped at 4 passes so a
+    // noisy host cannot stall the bench. Each warmup's own total is
+    // printed: the decay curve is evidence, not a guess.
+    var prevWarm = Double.MaxValue
+    var warmIdx = 0
+    var converged = false
+    while (warmIdx < 4 && !converged) {
+      warmIdx += 1
       val w0 = compiles()
+      val t0 = System.nanoTime()
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count()
         catch { case _: Throwable => () }
         dropCheckpoints()
       }
-      println(s"""{"metric":"warmup_target_sf_done","idx":$w,"codegen_compile_delta":${compiles() - w0}}""")
+      val wt = (System.nanoTime() - t0) / 1e9
+      converged = wt >= prevWarm * 0.93
+      println(s"""{"metric":"warmup_target_sf_done","idx":$warmIdx,"total":${math.round(wt * 100) / 100.0},"converged":$converged,"codegen_compile_delta":${compiles() - w0}}""")
+      prevWarm = wt
     }
 
     // Three timed passes at the target SF, reporting the per-query MIN:

@@ -104,22 +104,31 @@ object SqlSurfaceOps {
     * 100 TB this query is one scan + one 80-row broadcast join.
     */
   def q52RecursiveCalendar(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v52")
+    val orders = Tables.orders(spark, sfDir)
+    orders.createOrReplaceTempView("orders_v52")
+    // The recursion bound is a 2-value scalar. It must NOT stay a CTE:
+    // Spark inlines (not materializes) WITH clauses, so a `bounds` CTE
+    // referenced inside the recursive member re-runs the min/max scan
+    // of orders in EVERY UnionLoop iteration — ~8 redundant scans and
+    // aggregate jobs at any data size. One driver-side head() makes the
+    // spine a pure literal recursion; the orders table is then scanned
+    // exactly twice (this bound + the real monthly aggregate).
+    val b = orders.selectExpr(
+      "cast(cast(date_trunc('month', min(o_orderdate)) as date) as string)",
+      "cast(cast(date_trunc('month', max(o_orderdate)) as date) as string)")
+      .head()
+    val (lo, hi) = (b.getString(0), b.getString(1))
     spark.sql(
-      """WITH RECURSIVE bounds AS (
-        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
-        |         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
-        |  FROM orders_v52),
-        |strides(y) AS (
-        |  SELECT lo FROM bounds
+      s"""WITH RECURSIVE strides(y) AS (
+        |  SELECT DATE'$lo'
         |  UNION ALL
-        |  SELECT add_months(y, 12) FROM strides, bounds
-        |  WHERE add_months(y, 12) <= hi
+        |  SELECT add_months(y, 12) FROM strides
+        |  WHERE add_months(y, 12) <= DATE'$hi'
         |),
         |months AS (
         |  SELECT add_months(y, off) AS m
-        |  FROM strides, (SELECT explode(sequence(0, 11)) AS off), bounds
-        |  WHERE add_months(y, off) <= hi
+        |  FROM strides, (SELECT explode(sequence(0, 11)) AS off)
+        |  WHERE add_months(y, off) <= DATE'$hi'
         |)
         |SELECT date_format(m, 'yyyy-MM') AS month,
         |  coalesce(mo.n, 0) AS n_orders,

@@ -1153,17 +1153,20 @@ object TextOps {
     * the streaming twin [[graft.streaming.DsirStream]]). */
   def dsirLogRatioTable(spark: SparkSession, sfDir: String): DataFrame = {
     val B = DsirBuckets
-    val bi = dsirBigrams(spark, sfDir)
-    val sc = bi.groupBy("bucket").agg(count(lit(1)).as("sc"))
-    val tc = bi.filter(col("source").isin("src1", "src2", "src3"))
-      .groupBy("bucket").agg(count(lit(1)).as("tc"))
-    // ≤ B rows joined to ≤ B rows plus the two scalar totals: the whole
-    // log-ratio table broadcasts at any corpus size
-    sc.join(tc, Seq("bucket"), "left")
-      .na.fill(0L, Seq("tc"))
+    // BOTH distributions in one conditional-count aggregation over one
+    // bigram scan, checkpointed at ≤ B rows: the naive
+    // sc-join-tc-join-totals shape re-ran the explode+md5 scan once per
+    // branch (5× on the round-10 bench — it was the catalog's slowest
+    // query at 1.66 s/pass)
+    val counts = dsirBigrams(spark, sfDir)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("sc"),
+        count(when(col("source").isin("src1", "src2", "src3"), 1))
+          .as("tc"))
+      .localCheckpoint()
+    counts
       .crossJoin(broadcast(
-        sc.agg(sum("sc").as("ts_tot")).crossJoin(
-          tc.agg(sum("tc").as("tt_tot")))))
+        counts.agg(sum("sc").as("ts_tot"), sum("tc").as("tt_tot"))))
       .select(col("bucket"), expr(
         s"""(cast(round(ln(tc + 1) * 1000000) as bigint)
            |  - cast(round(ln(tt_tot + $B) * 1000000) as bigint))
@@ -1235,8 +1238,13 @@ object TextOps {
     */
   def textPplBucket(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = textBigramLm(spark, sfDir)
+    // checkpoint the per-score census (~1e5 rows bounded by the score
+    // domain): the triangular self-join + totals below reference it
+    // three times, and each reference otherwise re-runs the full
+    // bigram-LM corpus scan (3× on the round-10 bench)
     val cnt = scored.groupBy("nll_e4").agg(
       count(lit(1)).as("cnt"), sum("n_bigrams").as("tok"))
+      .localCheckpoint()
     val ranked = cnt.as("a")
       .join(broadcast(cnt.as("b")),
         col("b.nll_e4") < col("a.nll_e4"), "left")
