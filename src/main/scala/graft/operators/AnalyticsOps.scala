@@ -610,8 +610,53 @@ object AnalyticsOps {
       |  (o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_status, g_priority, status, priority""".stripMargin
 
+  /** Fuzzy entity matching: pairs of distinct part names within
+    * Levenshtein distance 2, with each name's row count — the
+    * edit-distance blocking step of entity resolution / record linkage.
+    *
+    * Scale shape: the quadratic candidate space is cut by LENGTH-BAND
+    * BLOCKING turned into an equi-join — `levenshtein(a,b) >= |len(a) -
+    * len(b)|`, so one side joins on its own length while the other
+    * explodes its length ±2 into probe keys. Every surviving candidate
+    * pair shares a band key, making the pairing a hash join on the
+    * DISTINCT-name aggregate (|names| rows, not |rows|) instead of an
+    * all-pairs cross. Each unordered pair arrives exactly once
+    * (`name_a < name_b` keeps the single left=a orientation).
+    * `levenshtein` runs only on banded candidates, inside codegen.
+    */
+  def q60FuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .groupBy("p_name").agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("p_name")))
+    val probes = names.select(col("p_name").as("name_b"),
+      col("cnt").as("cnt_b"),
+      explode(expr("sequence(len - 2, len + 2)")).as("lk"))
+    names.select(col("p_name").as("name_a"), col("cnt").as("cnt_a"),
+        col("len").as("lk"))
+      .join(probes, "lk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("cnt_a"), col("cnt_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val q60Sql: String =
+    """WITH n AS (
+      |  SELECT p_name, count(*) AS cnt, length(p_name) AS len
+      |  FROM part GROUP BY 1)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist,
+      |  a.cnt AS cnt_a, b.cnt AS cnt_b
+      |FROM n a JOIN n b
+      |  ON a.p_name < b.p_name AND abs(a.len - b.len) <= 2
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
+      ("q60_fuzzy_match", q60FuzzyMatch _, q60Sql),
       ("q33_window_analytics", q33WindowAnalytics _, q33Sql),
       ("q34_window_frames", q34WindowFrames _, q34Sql),
       ("q35_cube", q35Cube _, q35Sql),

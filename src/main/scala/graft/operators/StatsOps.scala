@@ -325,7 +325,109 @@ object StatsOps {
        |GROUP BY r
        |ORDER BY r""".stripMargin
 
+  /** Winsorized per-segment account-balance statistics: clamp each
+    * balance into its segment's [p05, p95] band, then report the band
+    * edges, clamp counts, and the exact winsorized sum — the outlier
+    * treatment robust pipelines apply before averaging skewed monetary
+    * columns.
+    *
+    * Cross-engine exactness: balances become integer cents first, and
+    * the band edges use `percentile_disc` (SQL-standard: the smallest
+    * actual value whose cume_dist ≥ p) — discrete percentiles pick real
+    * data values, so there is NO float interpolation to diverge between
+    * engines, and the winsorized sum stays a pure bigint.
+    *
+    * Scale shape: pass 1 is a per-segment percentile aggregate whose
+    * output is one row per segment (broadcast); pass 2 re-scans with a
+    * broadcast join and clamps in codegen. Two scans, one tiny shuffle
+    * each — the sort inside percentile_disc is per-group and Spark
+    * evaluates it as an aggregate, not a global sort.
+    */
+  def statWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("bal_c"))
+      .createOrReplaceTempView("cust_wins")
+    spark.sql(
+      """WITH p AS (
+        |  SELECT c_mktsegment,
+        |    -- Spark's percentile_disc returns DOUBLE even over bigints;
+        |    -- the value is an actual data point, so the cast is exact
+        |    cast(percentile_disc(0.05) WITHIN GROUP (ORDER BY bal_c)
+        |      AS BIGINT) AS p05_c,
+        |    cast(percentile_disc(0.95) WITHIN GROUP (ORDER BY bal_c)
+        |      AS BIGINT) AS p95_c
+        |  FROM cust_wins GROUP BY c_mktsegment)
+        |SELECT c.c_mktsegment, p05_c, p95_c, count(*) AS n,
+        |  sum(cast(bal_c < p05_c AS INT)) AS n_lo,
+        |  sum(cast(bal_c > p95_c AS INT)) AS n_hi,
+        |  sum(CASE WHEN bal_c < p05_c THEN p05_c
+        |           WHEN bal_c > p95_c THEN p95_c
+        |           ELSE bal_c END) AS sum_wins_c
+        |FROM cust_wins c JOIN p USING (c_mktsegment)
+        |GROUP BY c.c_mktsegment, p05_c, p95_c
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val statWinsorizeSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+      |p AS (
+      |  SELECT c_mktsegment,
+      |    percentile_disc(0.05) WITHIN GROUP (ORDER BY bal_c) AS p05_c,
+      |    percentile_disc(0.95) WITHIN GROUP (ORDER BY bal_c) AS p95_c
+      |  FROM c GROUP BY c_mktsegment)
+      |SELECT c.c_mktsegment, p05_c::BIGINT AS p05_c,
+      |  p95_c::BIGINT AS p95_c, count(*) AS n,
+      |  sum((bal_c < p05_c)::INT)::BIGINT AS n_lo,
+      |  sum((bal_c > p95_c)::INT)::BIGINT AS n_hi,
+      |  sum(CASE WHEN bal_c < p05_c THEN p05_c
+      |           WHEN bal_c > p95_c THEN p95_c
+      |           ELSE bal_c END)::BIGINT AS sum_wins_c
+      |FROM c JOIN p USING (c_mktsegment)
+      |GROUP BY c.c_mktsegment, p05_c, p95_c
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Join-key skew audit on `lineitem.l_partkey`: the heavy-hitter
+    * diagnostic run before choosing a join strategy — top-10 keys with
+    * their ppm share of all rows, plus global total/distinct/max-count
+    * columns on every row. A key above ~1/partitions of the total is
+    * the signal to salt (q28) or let AQE split it.
+    *
+    * Scale shape: one map-side-combining groupBy on the key; the global
+    * stats are a second tiny aggregate over the per-key counts (|keys|
+    * rows, not |rows|); the top-10 is TakeOrdered over the same — no
+    * global sort, no second scan of the fact table. All arithmetic is
+    * integer (ppm via bigint div), so the oracle matches exactly.
+    */
+  def statSkewAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("n_total"),
+      count(lit(1)).as("n_distinct"), max("cnt").as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+      .crossJoin(broadcast(totals))
+      .select(col("l_partkey"), col("cnt"),
+        expr("cnt * 1000000 div n_total").as("share_ppm"),
+        col("n_total"), col("n_distinct"), col("max_cnt"))
+      .orderBy(col("cnt").desc, col("l_partkey"))
+  }
+
+  val statSkewAuditSql: String =
+    """WITH k AS (
+      |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |t AS (
+      |  SELECT sum(cnt)::BIGINT AS n_total, count(*) AS n_distinct,
+      |    max(cnt) AS max_cnt FROM k)
+      |SELECT l_partkey, cnt, cnt * 1000000 // n_total AS share_ppm,
+      |  n_total, n_distinct, max_cnt
+      |FROM k CROSS JOIN t
+      |ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("stat_winsorize", statWinsorize _, statWinsorizeSql),
+    ("stat_skew_audit", statSkewAudit _, statSkewAuditSql),
     ("stat_bootstrap_ci",
       (s: SparkSession, d: String) => statBootstrapCi(s, d),
       statBootstrapCiSql()),

@@ -863,7 +863,63 @@ object EventWindows {
       |GROUP BY win_start_hr
       |ORDER BY win_start_hr""".stripMargin
 
+  /** Gap-fill + forward-fill: a dense hourly spine per event type with
+    * zero-filled counts and last-observation-carried-forward sums — the
+    * time-series regularization step that turns ragged event data into
+    * a trainable/plottable grid.
+    *
+    * Scale shape: the ONLY data-sized work is the first hourly
+    * aggregation (one map-side-combining shuffle). Everything after
+    * operates on its result, whose row count is hours × event-types —
+    * bounded by the time range, not the data volume. The spine comes
+    * from one 2-value scalar agg exploded into `sequence(lo, hi)`; the
+    * forward-fill window partitions by event_type with hour-count-sized
+    * partitions. At 100 TB of events the post-agg graph is unchanged.
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type"), col("value"))
+      .groupBy("h", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val spine = hourly.agg(min("h").as("h_lo"), max("h").as("h_hi"))
+      .select(explode(expr("sequence(h_lo, h_hi)")).as("h"))
+      .crossJoin(hourly.select("event_type").distinct())
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("h", "event_type"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.cast("int").as("is_gap"),
+        col("sum_value"))
+      .withColumn("filled_sum",
+        coalesce(last("sum_value", ignoreNulls = true).over(w), lit(0.0)))
+      .drop("sum_value")
+      .orderBy("event_type", "h")
+  }
+
+  val gapFillSql: String =
+    """WITH hourly AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+      |    count(*) AS n, round(sum(value), 2) AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(h) AS h_lo, max(h) AS h_hi FROM hourly),
+      |spine AS (
+      |  SELECT unnest(generate_series(h_lo, h_hi)) AS h, event_type
+      |  FROM b CROSS JOIN (SELECT DISTINCT event_type FROM hourly))
+      |SELECT s.event_type, s.h,
+      |  coalesce(hh.n, 0) AS n_events,
+      |  (hh.n IS NULL)::INT AS is_gap,
+      |  coalesce(last_value(hh.sum_value IGNORE NULLS) OVER (
+      |    PARTITION BY s.event_type ORDER BY s.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+      |    AS filled_sum
+      |FROM spine s LEFT JOIN hourly hh
+      |  ON s.h = hh.h AND s.event_type = hh.event_type
+      |ORDER BY s.event_type, s.h""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_gapfill", gapFill _, gapFillSql),
     ("ev_sliding_distinct", slidingDistinct _, slidingDistinctSql),
     ("ev_gap_stats", gapStats _, gapStatsSql),
     ("ev_asof_join", asofJoin _, asofJoinSql),

@@ -38,7 +38,12 @@ class PlanAuditSpec extends SparkSuite {
     //    aggregate (a broadcast scalar); the rank window is partitioned
     //    by (stage, md5 bucket) — CurriculumSpec pins the permutation
     //    against a driver re-derivation.
-    val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk", "pipe_curriculum")
+    //  - ev_gapfill: the SinglePartition is the 2-value min/max spine
+    //    bounds agg (a broadcast scalar); the LOCF window partitions by
+    //    event_type over the hours×types spine, whose size is bounded
+    //    by the time range — GapFillSpec re-derives every cell.
+    val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk", "pipe_curriculum",
+      "ev_gapfill")
     val offenders = plans.filter { case (name, p) =>
       !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
