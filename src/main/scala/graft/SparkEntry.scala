@@ -30,6 +30,7 @@ object SparkEntry {
       graft.sources.DatSourceQueries.catalog ++
       TextOps.catalog ++ DedupOps.catalog ++
       SimilarityOps.catalog ++ graft.sim.KMeansOps.catalog ++
+      graft.sim.PcaOps.catalog ++
       MultimodalOps.catalog ++
       graft.pipeline.PipelineOps.catalog ++
       EventWindows.catalog ++ GraphOps.catalog
