@@ -654,9 +654,44 @@ object AnalyticsOps {
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** Time-based rolling window: per customer, the trailing-7-day order
+    * count and spend at every order — a RANGE frame over event TIME
+    * (peers with the same date share one frame), not a ROWS frame over
+    * positions like q18/q34. The idiom behind rolling-retention and
+    * spend-velocity features.
+    *
+    * Cross-engine exactness: spend is summed in integer cents (frame
+    * sums of raw doubles re-associate differently per engine — the
+    * round-2 trap); the timestamp is emitted as epoch micros. One
+    * hash-partition shuffle on the window key at any scale.
+    */
+  def q61Rolling7d(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_r7")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  unix_micros(cast(o_orderdate as timestamp)) AS day_us,
+        |  count(*) OVER w AS n_7d,
+        |  sum(cast(round(o_totalprice * 100) as bigint)) OVER w AS sum_7d_c
+        |FROM orders_r7
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day_us, o_orderkey""".stripMargin)
+  }
+
+  val q61Sql: String =
+    """SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS day_us,
+      |  count(*) OVER w AS n_7d,
+      |  (sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w)::BIGINT
+      |    AS sum_7d_c
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, day_us, o_orderkey""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("q60_fuzzy_match", q60FuzzyMatch _, q60Sql),
+      ("q61_rolling_7d", q61Rolling7d _, q61Sql),
       ("q33_window_analytics", q33WindowAnalytics _, q33Sql),
       ("q34_window_frames", q34WindowFrames _, q34Sql),
       ("q35_cube", q35Cube _, q35Sql),

@@ -1664,7 +1664,143 @@ object SimilarityOps {
       |  sum(dist_q)::BIGINT // count(*)::BIGINT AS mean_dist_q
       |FROM r GROUP BY label ORDER BY label""".stripMargin
 
+  /** Two-class discriminant projection: score every vector along the
+    * axis between the label-0 and label-1 centroids (nearest-class-mean
+    * LDA, covariance-free) and flag which side of the midpoint it
+    * falls on — the cheap linear probe used to audit how separable two
+    * corpus slices are in embedding space.
+    *
+    * Fully oracle-replayed (unlike emb_pca_project's iterative eigen
+    * solve): the centroids use the shared half-up integer-grid
+    * arithmetic ([[centroidE4Expr]]/centroidE4Sql), the axis is their
+    * integer difference, and both the score `q·a` and the side test
+    * `2·q·a > (c0+c1)·a` are pure bigint — no division, no floats.
+    *
+    * Scale shape: one (label, dim) aggregation (≤ 2·dim output rows,
+    * collected to the driver), then ONE codegen'd dot-product scan
+    * with the axis inlined as literals. Same two-job shape as
+    * [[KMeansOps.kmeansAssign]].
+    */
+  def embLdaAxis(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = withVec(Tables.embeddings(spark, sfDir))
+      .filter(col("label").isin(0, 1))
+      .select(col("label"), posexplode(expr(
+        "transform(vec, x -> cast(floor(x * 10000d + 0.5d) as bigint))"))
+        .as(Seq("dim", "q")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum("q").as("s"))
+      .withColumn("c", expr(centroidE4Expr))
+      .select("label", "dim", "c")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val dim = cents.keys.map(_._2).max + 1
+    val c0 = Array.tabulate(dim)(d => cents((0, d)))
+    val c1 = Array.tabulate(dim)(d => cents((1, d)))
+    val axis = Array.tabulate(dim)(d => c1(d) - c0(d))
+    val thr2 = (0 until dim).foldLeft(0L)((a, d) =>
+      a + (c0(d) + c1(d)) * axis(d))
+    val axLit = array(axis.toIndexedSeq.map(lit(_)): _*)
+    withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label"), expr(
+        "transform(vec, x -> cast(floor(x * 10000d + 0.5d) as bigint))")
+        .as("qvec"))
+      .withColumn("score",
+        aggregate(zip_with(col("qvec"), axLit, (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v))
+      .select(col("vec_id"), col("label"), col("score"),
+        (col("score") * 2 > lit(thr2)).cast("int").as("side"))
+      .orderBy("vec_id")
+  }
+
+  val embLdaAxisSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, label,
+       |    list_transform(vec, x -> floor(x * 10000 + 0.5)::BIGINT) AS qvec
+       |  FROM e),
+       |comp AS (
+       |  SELECT e.label, d.d AS dim,
+       |    floor(e.vec[d.d + 1] * 10000 + 0.5)::BIGINT AS q
+       |  FROM e, (SELECT unnest(range(64)) AS d) d
+       |  WHERE e.label IN (0, 1)),
+       |cent AS (
+       |  SELECT label, dim,
+       |  $centroidE4Sql AS c
+       |  FROM comp GROUP BY label, dim),
+       |c0 AS (SELECT list(c ORDER BY dim) AS v FROM cent WHERE label = 0),
+       |c1 AS (SELECT list(c ORDER BY dim) AS v FROM cent WHERE label = 1),
+       |ax AS (
+       |  SELECT list_transform(range(1, 65), i -> c1.v[i] - c0.v[i]) AS a,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (c0.v[i] + c1.v[i]) * (c1.v[i] - c0.v[i])))::BIGINT AS thr2
+       |  FROM c0, c1)
+       |SELECT q.vec_id, q.label,
+       |  list_sum(list_transform(range(1, 65),
+       |    i -> q.qvec[i] * ax.a[i]))::BIGINT AS score,
+       |  (2 * list_sum(list_transform(range(1, 65),
+       |    i -> q.qvec[i] * ax.a[i]))::BIGINT > ax.thr2)::INT AS side
+       |FROM q CROSS JOIN ax
+       |ORDER BY vec_id""".stripMargin
+
+  /** k-NN graph: each vector's top-3 same-label cosine neighbors — the
+    * adjacency SemDeDup-style clustering, label propagation, and graph
+    * dedup walk over. Reuses the label-blocked pair tiling
+    * ([[pairsWithinKey]]: no task ever holds more than blockSize² pair
+    * state), mirrors each undirected pair into both directed
+    * orientations, and rank-limits per source with a (cos desc,
+    * neighbor id) window — partitioned by vec_id, so the window's
+    * input is each node's candidate list, never a global sort.
+    * Determinism: ranking uses the 4-dp rounded cosine with neighbor-id
+    * tiebreak, the same contract as [[annBruteTopK]].
+    */
+  def embKnnGraph(spark: SparkSession, sfDir: String,
+      k: Int = 3, blockSize: Int = 64): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label"), col("vec"), col("norm"))
+    val (_, pairs) = pairsWithinKey(e, "label", blockSize)
+    val und = pairs
+      .withColumn("cos", round(cosine("a.vec", "b.vec"), 4))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        col("a.label").as("label"), col("cos"))
+    val directed = und.unionByName(und.select(col("dst").as("src"),
+      col("src").as("dst"), col("label"), col("cos")))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    directed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src", "dst", "label", "rank", "cos")
+      .orderBy("src", "rank")
+  }
+
+  val embKnnGraphSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+      |      AS norm
+      |  FROM embeddings),
+      |und AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst, a.label AS label,
+      |    round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 4)
+      |      AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |dir AS (
+      |  SELECT src, dst, label, cos FROM und
+      |  UNION ALL
+      |  SELECT dst AS src, src AS dst, label, cos FROM und),
+      |ranked AS (
+      |  SELECT src, dst, label, cos,
+      |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst)
+      |      AS rank
+      |  FROM dir)
+      |SELECT src, dst, label, rank, cos FROM ranked
+      |WHERE rank <= 3
+      |ORDER BY src, rank""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("emb_knn_graph",
+      (s: SparkSession, d: String) => embKnnGraph(s, d),
+      embKnnGraphSql),
+    ("emb_lda_axis", embLdaAxis _, embLdaAxisSql),
     ("emb_medoid", embMedoid _, embMedoidSql),
     ("hybrid_rrf_topk", hybridRrfTopK _, hybridRrfTopKSql),
     ("ann_range_search", annRangeSearch _, annRangeSearchSql),
