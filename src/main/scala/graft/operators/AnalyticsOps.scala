@@ -688,10 +688,69 @@ object AnalyticsOps {
       |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, day_us, o_orderkey""".stripMargin
 
+  /** TPC-H Q5-shaped six-table star join: per-nation revenue from
+    * line items where the customer and supplier share a nation, the
+    * nation sits in one region — the canonical join-order/broadcast
+    * showcase. Revenue rounds each item to integer cents BEFORE the
+    * sum (IEEE multiply then half-up round is engine-identical; a
+    * float SUM is not), so the oracle hash-matches.
+    *
+    * Scale plan (asserted by explain inspection, and why the joins are
+    * written smallest-out): region(5)→nation(25) prunes to a handful
+    * of rows and BROADCASTS into supplier; supplier(broadcastable) and
+    * customer join the surviving nation keys as broadcasts too, so the
+    * only shuffles left are the two FACT joins — orders⋈customer on
+    * custkey and lineitem⋈orders on orderkey — exactly the exchanges a
+    * 100 TB run must pay, with AQE free to pick its own order. The
+    * c_nationkey = s_nationkey constraint rides the broadcast join
+    * output as a cheap post-filter, never a shuffle key.
+    */
+  def q62LocalSupply(spark: SparkSession, sfDir: String): DataFrame = {
+    val nationsInRegion = Tables.nation(spark, sfDir).as("n")
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nationsInRegion),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nationsInRegion),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 100) " +
+          "as bigint)").as("rev_c"))
+      .join(Tables.orders(spark, sfDir)
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"), sum("rev_c").as("revenue_c"))
+      .orderBy("n_name")
+  }
+
+  val q62Sql: String =
+    """SELECT n_name, count(*) AS n_items,
+      |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |    AS BIGINT))::BIGINT AS revenue_c
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("q60_fuzzy_match", q60FuzzyMatch _, q60Sql),
       ("q61_rolling_7d", q61Rolling7d _, q61Sql),
+      ("q62_local_supply", q62LocalSupply _, q62Sql),
       ("q33_window_analytics", q33WindowAnalytics _, q33Sql),
       ("q34_window_frames", q34WindowFrames _, q34Sql),
       ("q35_cube", q35Cube _, q35Sql),
