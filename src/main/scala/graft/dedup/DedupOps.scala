@@ -245,6 +245,107 @@ object DedupOps {
       |WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= $ngramJacThreshold
       |ORDER BY da, db""".stripMargin
 
+  /** Containment threshold for the one-sided near-dup join. */
+  val containThreshold = 0.8
+
+  /** Asymmetric CONTAINMENT near-dups: ordered pairs (da, db) where
+    * ≥ 80% of da's trigram shingles also appear in db — the case
+    * Jaccard structurally misses (a short doc embedded in a long one
+    * has tiny Jaccard but full containment; this is the
+    * quote/boilerplate/subsumption signal dedup pipelines act on).
+    *
+    * Same hashed-shingle pipeline as [[dedupNgramJaccard]], with the
+    * prefix filter applied ONE-SIDED: containment ≥ t bounds only the
+    * contained side's overlap (⌈t·na⌉ shared shingles), so da indexes
+    * its ⌊na−⌈t·na⌉⌋+1 globally rarest shingles while db must keep
+    * full postings (the container has no length bound — that asymmetry
+    * is inherent to containment, not a design choice). Two exact
+    * pre-verify filters: 5·nb ≥ 4·na (overlap can't exceed nb) and the
+    * one-sided positional bound 1 + min(na−ra, nb−rb) ≥ ⌈4·na/5⌉.
+    * Candidates verify with one array_intersect against the
+    * checkpointed full sets. DedupSpec holds the unfiltered
+    * brute-force differential.
+    */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("ng", array_distinct(expr(
+        "transform(sequence(1, size(tk) - 2), i -> " +
+          "cast(conv(substr(md5(concat_ws(' ', element_at(tk, i), " +
+          "element_at(tk, i + 1), element_at(tk, i + 2))), 1, 15), 16, 10) " +
+          "as bigint))")))
+      .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
+    val docsM = docs.localCheckpoint()
+    val ex = docsM.select(col("doc_id"), col("n"),
+      explode(col("ng")).as("ngram"))
+      .localCheckpoint()
+    val dfs = ex.groupBy("ngram").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "ngram")
+    val ranked = ex.join(dfs, Seq("ngram"))
+      .withColumn("rn", row_number().over(w))
+      .localCheckpoint() // feeds both the prefix side and full postings
+    val px = ranked.filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
+      .select(col("doc_id").as("da"), col("n").as("na"),
+        col("rn").as("ra"), col("ngram"))
+    val py = ranked.select(col("doc_id").as("db"), col("n").as("nb"),
+      col("rn").as("rb"), col("ngram"))
+    val cand = px.join(py, Seq("ngram"))
+      .filter(col("da") =!= col("db"))
+      .filter(expr("5 * nb >= 4 * na"))
+      .filter(expr("1 + least(na - ra, nb - rb) >= (4 * na + 4) div 5"))
+      .select("da", "db", "na")
+      .distinct()
+    cand
+      .join(broadcast(docsM.select(col("doc_id").as("da"),
+        col("ng").as("nga"))), Seq("da"))
+      .join(broadcast(docsM.select(col("doc_id").as("db"),
+        col("ng").as("ngb"))), Seq("db"))
+      .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
+      .withColumn("cont",
+        round(col("inter").cast("double") / col("na"), 4))
+      .filter(col("cont") >= containThreshold)
+      .select("da", "db", "cont")
+      .orderBy("da", "db")
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(tk) - 2),
+      |    i -> ('0x' || substr(md5(
+      |      concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])), 1, 15))::BIGINT))
+      |    AS ng
+      |  FROM t),
+      |e AS (SELECT doc_id, len(ng) AS n, unnest(ng) AS ngram FROM g),
+      |dfs AS (SELECT ngram, count(*) AS df FROM e GROUP BY ngram),
+      |ranked AS (
+      |  SELECT e.doc_id, e.n, e.ngram,
+      |    row_number() OVER (PARTITION BY e.doc_id
+      |      ORDER BY dfs.df, e.ngram) AS rn
+      |  FROM e JOIN dfs USING (ngram)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.n AS na
+      |  FROM (SELECT * FROM ranked
+      |        WHERE rn <= n - ((4 * n + 4) // 5) + 1) x
+      |  JOIN ranked y
+      |    ON x.ngram = y.ngram AND x.doc_id != y.doc_id
+      |    AND 5 * y.n >= 4 * x.n
+      |    AND 1 + least(x.n - x.rn, y.n - y.rn) >= (4 * x.n + 4) // 5)
+      |SELECT da, db,
+      |  round(len(list_intersect(ga.ng, gb.ng))::DOUBLE / na, 4) AS cont
+      |FROM cand
+      |JOIN g ga ON ga.doc_id = da
+      |JOIN g gb ON gb.doc_id = db
+      |WHERE round(len(list_intersect(ga.ng, gb.ng))::DOUBLE / na, 4)
+      |  >= $containThreshold
+      |ORDER BY da, db""".stripMargin
+
   /** MinHash + LSH near-dup detection: 16 minhashes over the distinct
     * word-trigram shingle set, banded 4×4; candidate pairs share at
     * least one band signature; candidates are then verified with exact
@@ -692,6 +793,7 @@ object DedupOps {
     ("dedup_exact", dedupExact _, dedupExactSql),
     ("dedup_fingerprint", dedupFingerprint _, dedupFingerprintSql),
     ("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),
+    ("dedup_containment", dedupContainment _, dedupContainmentSql),
     ("dedup_minhash_lsh", dedupMinhashLsh _, dedupMinhashLshSql),
     ("dedup_simhash", dedupSimhash _, dedupSimhashSql),
     ("dedup_simhash_pairs", dedupSimhashPairs _, dedupSimhashPairsSql),

@@ -46,6 +46,35 @@ class DedupSpec extends SparkSuite {
       s"missed ${truth -- got}; spurious ${got -- truth}")
   }
 
+  test("one-sided containment finds EXACTLY the all-ordered-pairs truth") {
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("ng", array_distinct(expr(
+        "transform(sequence(1, size(tk) - 2), i -> " +
+          "concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), " +
+          "element_at(tk, i + 2)))")))
+      .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
+    val truth = docs.as("x").crossJoin(docs.as("y"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("x.ng"), col("y.ng"))))
+      .withColumn("cont",
+        round(col("inter").cast("double") / col("x.n"), 4))
+      .filter(col("cont") >= DedupOps.containThreshold)
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = DedupOps.dedupContainment(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"missed ${truth -- got}; spurious ${got -- truth}")
+    // containment must be a superset of the symmetric jaccard pairs
+    val jac = DedupOps.dedupNgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.forall { case (a, b) => got((a, b)) || got((b, a)) },
+      "a Jaccard>=0.8 pair is missing from containment")
+  }
+
   test("simhash hamming-ball probe finds exactly the all-pairs matches") {
     val got = DedupOps.dedupSimhashPairs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
