@@ -223,8 +223,69 @@ object SqlSurfaceOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** SQL-defined scalar function (Spark 4 `CREATE TEMPORARY FUNCTION
+    * ... RETURN expr`): the charge formula packaged as a catalog
+    * function instead of a copy-pasted expression. A SQL UDF is pure
+    * Catalyst — the body INLINES into the plan at analysis, so the
+    * aggregate below whole-stage-codegens exactly like the literal
+    * expression (no ScalaUDF/BatchEvalPython island; SqlUdfSpec pins
+    * that). Charge rounds per item to integer cents, so the oracle,
+    * which inlines the same formula, hash-matches.
+    */
+  def q63SqlUdf(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_udf")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION charge_c(
+        |  p DOUBLE, d DOUBLE, t DOUBLE) RETURNS BIGINT
+        |RETURN cast(round(p * (1 - d) * (1 + t) * 100) as bigint)"""
+        .stripMargin)
+    spark.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |  sum(charge_c(l_extendedprice, l_discount, l_tax)) AS sum_charge_c
+        |FROM lineitem_udf
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q63Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      |    * 100) AS BIGINT))::BIGINT AS sum_charge_c
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Named-parameter SQL (`spark.sql(text, args)`): the injection-safe
+    * templating surface — parameter markers bind as literals at parse
+    * time, so the plan is identical to inlined constants (filters still
+    * push to the scan) with no string splicing. The oracle inlines the
+    * same values.
+    */
+  def q64ParamSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_param")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(cast(round(o_totalprice * 100) as bigint)) AS sum_price_c
+        |FROM orders_param
+        |WHERE o_totalprice > :minp AND o_orderstatus = :status
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      Map("minp" -> Int.box(150000), "status" -> "F"))
+  }
+
+  val q64Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+      |    AS sum_price_c
+      |FROM orders
+      |WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
+      ("q63_sql_udf", q63SqlUdf _, q63Sql),
+      ("q64_param_sql", q64ParamSql _, q64Sql),
       ("q50_xml_roundtrip", q50XmlRoundtrip _, q50Sql),
       ("q51_lateral_topn", q51LateralTopn _, q51Sql),
       ("q52_recursive_calendar", q52RecursiveCalendar _, q52Sql),

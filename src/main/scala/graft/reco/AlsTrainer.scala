@@ -69,6 +69,36 @@ object AlsTrainer {
   def topNForAllUsers(model: ALSModel, n: Int = 5): DataFrame =
     model.recommendForAllUsers(n)
 
+  /** IMPLICIT-feedback ALS (Hu/Koren/Volinsky 2008) — the M-family
+    * extension for interaction data with no explicit rating: the
+    * "rating" column becomes a confidence-weighted preference signal
+    * (c = 1 + alpha·r), and the model factorizes the binary
+    * preference matrix over ALL user-item cells, not just observed
+    * ones. Same distributed block factorization as the explicit
+    * path — the confidence weighting changes the per-block normal
+    * equations, not the shuffle shape.
+    */
+  def trainImplicit(trainDf: DataFrame, cfg: Config = Config(),
+      alpha: Double = 10.0): ALSModel =
+    als(cfg).setImplicitPrefs(true).setAlpha(alpha).fit(trainDf)
+
+  /** Precision@k of [[topNForAllUsers]] against a ground-truth
+    * positives table (userCol, itemCol) — the ranking metric implicit
+    * models are judged by (RMSE is meaningless on binary preference).
+    * Distributed shape: explode the k recommendations, one semi-join
+    * against the positives, two scalar counts.
+    */
+  def precisionAtK(model: ALSModel, positives: DataFrame, k: Int,
+      cfg: Config = Config()): Double = {
+    val recs = topNForAllUsers(model, k)
+      .select(col(cfg.userCol),
+        explode(col("recommendations")).as("rec"))
+      .select(col(cfg.userCol), col(s"rec.${cfg.itemCol}"))
+    val hits = recs.join(positives.select(cfg.userCol, cfg.itemCol),
+      Seq(cfg.userCol, cfg.itemCol), "left_semi").count()
+    hits.toDouble / recs.count()
+  }
+
   /** Hyperparameter search — M5: grid {rank}×{reg}×{maxIter} with
     * TrainValidationSplit(trainRatio=0.8, parallelism=2), mirroring
     * `Crear modelo.ipynb:595-607` (best there: 20 / 0.1 / 15).

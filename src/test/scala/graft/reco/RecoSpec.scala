@@ -81,6 +81,27 @@ class RecoSpec extends SparkSuite {
     assert(recs.head.title == "D")
   }
 
+  test("implicit ALS ranks in-group items first (M-extension)") {
+    // two user blocks, two item blocks: block-u users interact only
+    // with block-u items (counts 1..3). An implicit model must rank
+    // unseen IN-block items above out-of-block ones.
+    val interactions = (for {
+      u <- 0 until 20
+      i <- 0 until 20
+      if (u < 10) == (i < 10) // in-group cells only
+      if (u * 13 + i * 7) % 4 != 0 // ~3/4 observed
+    } yield (u, i, 1 + (u + i) % 3)).toDF("userId", "filmId", "rating")
+    val model = AlsTrainer.trainImplicit(
+      AlsTrainer.prepare(interactions),
+      AlsTrainer.Config(rank = 4, maxIter = 8), alpha = 10.0)
+    // ground truth = every in-group cell, observed or not
+    val positives = (for {
+      u <- 0 until 20; i <- 0 until 20 if (u < 10) == (i < 10)
+    } yield (u, i)).toDF("userId", "filmId")
+    val p5 = AlsTrainer.precisionAtK(model, positives, 5)
+    assert(p5 >= 0.9, s"precision@5 $p5 below band")
+  }
+
   test("fold-in aligns ratings by item id regardless of request order") {
     val m = FoldInRecommender.fromFactors(
       Array(10, 11, 12, 13),
