@@ -1034,9 +1034,101 @@ object PipelineOps {
       |    AS stage_pos
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Curation-funnel metrics: document and token counts after each
+    * stage of the [[e2eCuration]] pipeline (input → quality gate →
+    * fingerprint dedup → domain mix) — the per-run observability
+    * report every curation job ships next to its output, and the
+    * number that makes a silent over-filtering regression visible
+    * (stage retention dropping 40% between runs is an alarm even when
+    * every individual rule is "working").
+    *
+    * Scale shape: stage MEMBERSHIP is computed as boolean flags in one
+    * pass over the checkpointed quality+fingerprint table (the dedup
+    * flag needs the one fp-group join e2eCuration also pays), then ONE
+    * scalar aggregation produces all eight sums and explodes into the
+    * 4-row report — the funnel never re-scans the corpus per stage.
+    */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = graft.text.TextOps
+      .withQualityReason(Tables.documents(spark, sfDir))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("fp", md5(array_join(array_sort(array_distinct(
+        split(lower(col("text")), " "))), " ")))
+      .select("doc_id", "source", "reason", "n_tok", "fp")
+      .localCheckpoint()
+    val firstPerFp = q.filter(col("reason") === "keep")
+      .groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val flags = q.join(firstPerFp, Seq("fp"), "left")
+      .withColumn("s1", col("reason") === "keep")
+      .withColumn("s2", col("s1") && col("doc_id") === col("keep_id"))
+      .withColumn("s3", col("s2") &&
+        (substring(md5(concat(lit("mix42:"), col("doc_id").cast("string"))),
+          1, 4) < mixThreshold))
+    val one = flags.agg(
+      count(lit(1)).as("d0"), sum("n_tok").as("t0"),
+      count(when(col("s1"), 1)).as("d1"),
+      sum(when(col("s1"), col("n_tok")).otherwise(0L)).as("t1"),
+      count(when(col("s2"), 1)).as("d2"),
+      sum(when(col("s2"), col("n_tok")).otherwise(0L)).as("t2"),
+      count(when(col("s3"), 1)).as("d3"),
+      sum(when(col("s3"), col("n_tok")).otherwise(0L)).as("t3"))
+    one.select(explode(array(
+        struct(lit(0).as("stage"), lit("input").as("name"),
+          col("d0").as("n_docs"), col("t0").as("n_tokens")),
+        struct(lit(1).as("stage"), lit("quality").as("name"),
+          col("d1").as("n_docs"), col("t1").as("n_tokens")),
+        struct(lit(2).as("stage"), lit("dedup").as("name"),
+          col("d2").as("n_docs"), col("t2").as("n_tokens")),
+        struct(lit(3).as("stage"), lit("mix").as("name"),
+          col("d3").as("n_docs"), col("t3").as("n_tokens")))).as("r"))
+      .select("r.stage", "r.name", "r.n_docs", "r.n_tokens")
+      .orderBy("stage")
+  }
+
+  val curationFunnelSql: String = {
+    val thrCase = mixRate16.map { case (s, r) =>
+      s"WHEN '$s' THEN '${f"$r%04x"}'"
+    }.mkString("\n      ")
+    s"""WITH q0 AS (
+       |${graft.text.TextOps.qualityReasonSql}),
+       |q AS (
+       |  SELECT doc_id, source, reason,
+       |    len(string_split(text, ' '))::BIGINT AS n_tok,
+       |    md5(array_to_string(list_sort(list_distinct(
+       |      string_split(lower(text), ' '))), ' ')) AS fp
+       |  FROM q0),
+       |f AS (
+       |  SELECT fp, min(doc_id) AS keep_id FROM q
+       |  WHERE reason = 'keep' GROUP BY fp),
+       |flags AS (
+       |  SELECT q.n_tok,
+       |    (q.reason = 'keep') AS s1,
+       |    (q.reason = 'keep' AND q.doc_id = f.keep_id) AS s2,
+       |    (q.reason = 'keep' AND q.doc_id = f.keep_id AND
+       |      substr(md5('mix42:' || q.doc_id::VARCHAR), 1, 4) <
+       |        (CASE q.source $thrCase END)) AS s3
+       |  FROM q LEFT JOIN f USING (fp)),
+       |one AS (
+       |  SELECT count(*)::BIGINT AS d0, sum(n_tok)::BIGINT AS t0,
+       |    count(CASE WHEN s1 THEN 1 END)::BIGINT AS d1,
+       |    sum(CASE WHEN s1 THEN n_tok ELSE 0 END)::BIGINT AS t1,
+       |    count(CASE WHEN s2 THEN 1 END)::BIGINT AS d2,
+       |    sum(CASE WHEN s2 THEN n_tok ELSE 0 END)::BIGINT AS t2,
+       |    count(CASE WHEN s3 THEN 1 END)::BIGINT AS d3,
+       |    sum(CASE WHEN s3 THEN n_tok ELSE 0 END)::BIGINT AS t3
+       |  FROM flags)
+       |SELECT 0 AS stage, 'input' AS name, d0 AS n_docs, t0 AS n_tokens
+       |  FROM one
+       |UNION ALL SELECT 1, 'quality', d1, t1 FROM one
+       |UNION ALL SELECT 2, 'dedup', d2, t2 FROM one
+       |UNION ALL SELECT 3, 'mix', d3, t3 FROM one
+       |ORDER BY stage""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("pipe_curriculum", curriculum _, curriculumSql),
+      ("pipe_curation_funnel", curationFunnel _, curationFunnelSql),
       ("pipe_length_buckets", lengthBuckets _, lengthBucketsSql),
       ("pipe_dataset_card", datasetCard _, datasetCardSql),
       ("pipe_pack_chunks", packChunks _, packChunksSql),

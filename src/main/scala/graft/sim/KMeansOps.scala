@@ -147,6 +147,72 @@ object KMeansOps {
     cents.map { case (id, v) => (id, sizes.getOrElse(id, 0L), v) }
   }
 
+  /** D4-style DIVERSITY pruning (Tirumala et al. 2023): within each
+    * k-means cluster, keep only the 50% of vectors FARTHEST from their
+    * centroid — semantic dedup removes near-duplicates, this removes
+    * the prototypical core that adds little gradient signal, and the
+    * two together are the D4 recipe. Complements [[graft.sim
+    * .SimilarityOps.embSemDedup]] (which keeps near-centroid docs and
+    * drops redundant far pairs) with the opposite half of the
+    * curation toolbox.
+    *
+    * Exactness: assignment and distance reuse [[kmeansAssign]]'s
+    * integer grid, the keep threshold is a per-cluster rank over
+    * (dist_q DESC, vec_id), and the keep count is ⌈n/2⌉ in integer
+    * arithmetic — every step replays bit-identically in the oracle.
+    *
+    * Scale shape: one assignment projection (no shuffle), one
+    * window partitioned by cluster (K partitions of corpus/K rows),
+    * one presentation sort. The per-cluster count rides the same
+    * window as the rank (count over the unbounded frame), so no
+    * second aggregation pass.
+    */
+  def diversityPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = kmeansAssign(spark, sfDir)
+    val w = Window.partitionBy("cluster")
+    val ranked = assigned
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("dist_q").desc, col("vec_id"))))
+      .withColumn("n_cluster", count(lit(1)).over(w))
+    ranked
+      .filter(col("rk") * 2 <= col("n_cluster") + 1) // keep ceil(n/2)
+      .select(col("vec_id"), col("cluster"), col("dist_q"),
+        col("rk").as("div_rank"), col("n_cluster"))
+      .orderBy("vec_id")
+  }
+
+  val diversityPruneSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> floor(x * $Quant + 0.5)::BIGINT) AS qvec
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, qvec AS cvec FROM q WHERE vec_id < 4),
+       |d AS (
+       |  SELECT q.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, len(q.qvec) + 1),
+       |      i -> (q.qvec[i] - c.cvec[i]) * (q.qvec[i] - c.cvec[i])))::BIGINT
+       |      AS dist_q,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_sum(list_transform(range(1, len(q.qvec) + 1),
+       |        i -> (q.qvec[i] - c.cvec[i]) * (q.qvec[i] - c.cvec[i]))),
+       |        c.cid) AS rk
+       |  FROM q CROSS JOIN c),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cluster, dist_q FROM d WHERE rk = 1),
+       |ranked AS (
+       |  SELECT vec_id, cluster, dist_q,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY dist_q DESC, vec_id) AS div_rank,
+       |    count(*) OVER (PARTITION BY cluster) AS n_cluster
+       |  FROM assigned)
+       |SELECT vec_id, cluster, dist_q, div_rank, n_cluster
+       |FROM ranked
+       |WHERE div_rank * 2 <= n_cluster + 1
+       |ORDER BY vec_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    Seq(("emb_kmeans_assign", kmeansAssign _, kmeansAssignSql))
+    Seq(("emb_kmeans_assign", kmeansAssign _, kmeansAssignSql),
+      ("emb_diversity_prune", diversityPrune _, diversityPruneSql))
 }
