@@ -282,9 +282,44 @@ object SqlSurfaceOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Error-safe ANSI arithmetic surface: `try_divide` / `try_cast`
+    * return NULL instead of raising, so a single malformed row cannot
+    * kill a 100 TB job mid-shuffle — and the null COUNTS become the
+    * data-quality metric. The unit price sums per-row rounded cents
+    * (a float sum would re-associate differently per engine).
+    */
+  def q65TryFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_try")
+    spark.sql(
+      """SELECT l_linestatus, count(*) AS n,
+        |  sum(case when try_divide(l_extendedprice,
+        |    nullif(l_quantity, 0.0d)) is null then 1 else 0 end)
+        |    AS n_div_null,
+        |  sum(cast(round(try_divide(l_extendedprice,
+        |    nullif(l_quantity, 0.0d)) * 100) as bigint)) AS sum_unit_c,
+        |  sum(case when try_cast(l_returnflag as int) is null
+        |    then 1 else 0 end) AS n_badcast
+        |FROM lineitem_try
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)
+  }
+
+  val q65Sql: String =
+    """SELECT l_linestatus, count(*) AS n,
+      |  sum(CASE WHEN l_extendedprice / nullif(l_quantity, 0) IS NULL
+      |    THEN 1 ELSE 0 END)::BIGINT AS n_div_null,
+      |  sum(CAST(round(l_extendedprice / nullif(l_quantity, 0) * 100)
+      |    AS BIGINT))::BIGINT AS sum_unit_c,
+      |  sum(CASE WHEN TRY_CAST(l_returnflag AS INT) IS NULL
+      |    THEN 1 ELSE 0 END)::BIGINT AS n_badcast
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("q63_sql_udf", q63SqlUdf _, q63Sql),
+      ("q65_try_funcs", q65TryFuncs _, q65Sql),
       ("q64_param_sql", q64ParamSql _, q64Sql),
       ("q50_xml_roundtrip", q50XmlRoundtrip _, q50Sql),
       ("q51_lateral_topn", q51LateralTopn _, q51Sql),
