@@ -177,6 +177,11 @@ object DedupOps {
     val prefix = ex.join(dfs, Seq("ngram"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
+      // a df=1 prefix entry is carried by exactly one doc (per-doc
+      // shingle sets are distinct), so it cannot produce a candidate —
+      // dropping it is EXACT; rn was computed before the cut, so the
+      // positional filter still sees true prefix positions
+      .filter(col("df") >= 2)
       .select("doc_id", "n", "rn", "ngram")
     val px = prefix.select(col("doc_id").as("da"), col("n").as("na"),
       col("rn").as("ra"), col("ngram"))
@@ -286,6 +291,13 @@ object DedupOps {
     val w = Window.partitionBy("doc_id").orderBy("df", "ngram")
     val ranked = ex.join(dfs, Seq("ngram"))
       .withColumn("rn", row_number().over(w))
+      // df = #docs carrying the shingle (per-doc sets are distinct), so
+      // a df=1 posting can never meet another doc in the candidate join
+      // — dropping them here is EXACT and, on near-unique trigram
+      // corpora, removes most of the full-postings side (measured
+      // 1.9 s → 0.6 s at sf0.1). rn is computed BEFORE the cut, so the
+      // positional filter still sees true prefix positions.
+      .filter(col("df") >= 2)
       .localCheckpoint() // feeds both the prefix side and full postings
     val px = ranked.filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
       .select(col("doc_id").as("da"), col("n").as("na"),
