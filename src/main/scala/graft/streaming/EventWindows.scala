@@ -918,7 +918,74 @@ object EventWindows {
       |  ON s.h = hh.h AND s.event_type = hh.event_type
       |ORDER BY s.event_type, s.h""".stripMargin
 
+  /** U-shaped multi-touch attribution: every purchase distributes
+    * credit over the clicks of the same user in the 24 h before it —
+    * first and last touch get double weight, middle touches single —
+    * the standard position-based martech model, here in EXACT rational
+    * integers: per click, credit = num/den with den = k + 2 (k = path
+    * length; a single click gets num = den). No division anywhere, so
+    * the oracle hash-matches and downstream aggregation of fractional
+    * credit stays exact.
+    *
+    * Scale shape: clicks⋈purchases is a per-user equi-join (one
+    * shuffle on user_id — both sides arrive co-partitioned) with the
+    * 24 h band as a post-join filter; the position/path-length window
+    * partitions by purchase_id, whose partition is one purchase's path
+    * (bounded by user activity, not data volume).
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("c_us"))
+    val winUs = 24L * 3600L * 1000000L
+    val w = Window.partitionBy("purchase_id")
+    val paths = clicks.join(purchases, Seq("user_id"))
+      .filter(col("c_us") < col("p_us") &&
+        col("c_us") >= col("p_us") - winUs)
+      .withColumn("pos", row_number().over(
+        w.orderBy(col("c_us"), col("click_id"))))
+      .withColumn("k", count(lit(1)).over(w))
+    paths
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("pos"), col("k").cast("int").as("k"),
+        when(col("k") === 1, col("k") + 2)
+          .when(col("pos") === 1 || col("pos") === col("k"), 2)
+          .otherwise(1).cast("int").as("credit_num"),
+        (col("k") + 2).cast("int").as("credit_den"))
+      .orderBy("purchase_id", "pos")
+  }
+
+  val attributionSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+      |  FROM events WHERE event_type = 'click'),
+      |paths AS (
+      |  SELECT purchase_id, click_id, user_id,
+      |    row_number() OVER (PARTITION BY purchase_id
+      |      ORDER BY c_us, click_id) AS pos,
+      |    count(*) OVER (PARTITION BY purchase_id) AS k
+      |  FROM c JOIN p USING (user_id)
+      |  WHERE c_us < p_us AND c_us >= p_us - 86400000000)
+      |SELECT purchase_id, click_id, user_id, pos::INT AS pos,
+      |  k::INT AS k,
+      |  (CASE WHEN k = 1 THEN k + 2
+      |        WHEN pos = 1 OR pos = k THEN 2 ELSE 1 END)::INT
+      |    AS credit_num,
+      |  (k + 2)::INT AS credit_den
+      |FROM paths
+      |ORDER BY purchase_id, pos""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_attribution", attribution _, attributionSql),
     ("ev_gapfill", gapFill _, gapFillSql),
     ("ev_sliding_distinct", slidingDistinct _, slidingDistinctSql),
     ("ev_gap_stats", gapStats _, gapStatsSql),
