@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of [[EventWindows.attribution]]: U-shaped
+  * multi-touch credits emitted live, the moment the purchase arrives.
+  *
+  * State per user is the clicks inside the trailing 24 h attribution
+  * window — bounded by per-user activity rate × window, NOT by stream
+  * length, because every purchase (and every new click) first TRIMS
+  * clicks older than 24 h before its own timestamp. On a purchase the
+  * current window contents ARE the path: positions, k, and the exact
+  * rational credits (num / den = k + 2) are computed in place and
+  * emitted as final append-mode rows — identical arithmetic to the
+  * batch operator, pinned by the replay differential in
+  * AttributionStreamSpec.
+  *
+  * Ordering contract mirrors [[StreamAsof]]: rows within a batch are
+  * sorted by (ts, side, event_id) with clicks before purchases at
+  * equal timestamps excluded (batch uses strict c_us < p_us, so a
+  * same-instant click never joins its purchase); across batches,
+  * event-time order is the replay contract.
+  */
+object AttributionStream {
+
+  private val WinUs = 24L * 3600L * 1000000L
+
+  final case class ClickWindow(clicks: Vector[(Long, Long)]) // (ts, id)
+  final case class AttrOut(purchase_id: Long, click_id: Long,
+      user_id: Long, pos: Int, k: Int, credit_num: Int, credit_den: Int)
+
+  /** events: streaming DataFrame with (event_id long, ts_us long,
+    * user_id long, event_type string). */
+  def attributionStream(events: DataFrame): Dataset[AttrOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").cast("long"),
+        col("ts_us").cast("long"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+        col("event_id").cast("long"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ClickWindow, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[ClickWindow]) =>
+          // clicks (side 0) fold before purchases (side 1) at equal ts,
+          // but a same-instant click must NOT credit that purchase —
+          // batch semantics are strict c_us < p_us, handled below
+          val sorted = rows.toIndexedSeq.sortBy(r => (r._2, r._3, r._4))
+          var win = state.getOption.getOrElse(ClickWindow(Vector.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttrOut]
+          sorted.foreach { case (_, tsUs, side, eid) =>
+            if (side == 0) {
+              win = ClickWindow(
+                win.clicks.dropWhile(_._1 < tsUs - WinUs) :+ ((tsUs, eid)))
+            } else {
+              val path = win.clicks
+                .filter(c => c._1 < tsUs && c._1 >= tsUs - WinUs)
+              val k = path.length
+              path.zipWithIndex.foreach { case ((_, cid), i) =>
+                val num =
+                  if (k == 1) k + 2
+                  else if (i == 0 || i == k - 1) 2
+                  else 1
+                out += AttrOut(eid, cid, uid, i + 1, k, num, k + 2)
+              }
+            }
+          }
+          state.update(win)
+          out.iterator
+      }
+  }
+}
