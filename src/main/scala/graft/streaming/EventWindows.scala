@@ -984,8 +984,83 @@ object EventWindows {
       |FROM paths
       |ORDER BY purchase_id, pos""".stripMargin
 
+  /** TIME-BOUNDED funnel: view → click within 1 h of the first view →
+    * purchase within 24 h of that click. The unbounded [[funnel]]
+    * credits a conversion that took a month; product analytics defines
+    * conversion WITHIN a deadline. Anchoring is FIRST-TOUCH, same as
+    * the unbounded operator: the 1 h click window opens at the user's
+    * earliest view (a later view does not re-open it — that re-entry
+    * model is a different product question), and the purchase deadline
+    * runs from the earliest in-window click. Same single user-keyed
+    * shuffle; the per-stage mins stay window aggregates over one
+    * partition pass.
+    */
+  def funnelBounded(spark: SparkSession, sfDir: String,
+      clickWithinUs: Long = 3600000000L,
+      purchaseWithinUs: Long = 86400000000L): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .withColumn("t_view_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t_click_us",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") > col("t_view_us") &&
+          col("ts_us") <= col("t_view_us") + clickWithinUs,
+          col("ts_us"))).over(w))
+      .withColumn("t_purchase_us",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("t_click_us") &&
+          col("ts_us") <= col("t_click_us") + purchaseWithinUs,
+          col("ts_us"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t_view_us").as("t_view_us"),
+        min("t_click_us").as("t_click_us"),
+        min("t_purchase_us").as("t_purchase_us"))
+      .withColumn("stage",
+        when(col("t_purchase_us").isNotNull, 3)
+          .when(col("t_click_us").isNotNull, 2)
+          .when(col("t_view_us").isNotNull, 1)
+          .otherwise(0))
+      .orderBy("user_id")
+  }
+
+  val funnelBoundedSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |users AS (SELECT DISTINCT user_id FROM ev),
+      |s1 AS (
+      |  SELECT user_id, min(ts_us) AS t_view_us FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT ev.user_id, min(ts_us) AS t_click_us
+      |  FROM ev JOIN s1 ON s1.user_id = ev.user_id
+      |  WHERE ev.event_type = 'click' AND ev.ts_us > s1.t_view_us
+      |    AND ev.ts_us <= s1.t_view_us + 3600000000
+      |  GROUP BY ev.user_id),
+      |s3 AS (
+      |  SELECT ev.user_id, min(ts_us) AS t_purchase_us
+      |  FROM ev JOIN s2 ON s2.user_id = ev.user_id
+      |  WHERE ev.event_type = 'purchase' AND ev.ts_us > s2.t_click_us
+      |    AND ev.ts_us <= s2.t_click_us + 86400000000
+      |  GROUP BY ev.user_id)
+      |SELECT u.user_id, s1.t_view_us, s2.t_click_us, s3.t_purchase_us,
+      |  CASE WHEN s3.user_id IS NOT NULL THEN 3
+      |       WHEN s2.user_id IS NOT NULL THEN 2
+      |       WHEN s1.user_id IS NOT NULL THEN 1
+      |       ELSE 0 END AS stage
+      |FROM users u
+      |LEFT JOIN s1 ON s1.user_id = u.user_id
+      |LEFT JOIN s2 ON s2.user_id = u.user_id
+      |LEFT JOIN s3 ON s3.user_id = u.user_id
+      |ORDER BY u.user_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ev_attribution", attribution _, attributionSql),
+    ("ev_funnel_bounded",
+      (s: SparkSession, d: String) => funnelBounded(s, d),
+      funnelBoundedSql),
     ("ev_gapfill", gapFill _, gapFillSql),
     ("ev_sliding_distinct", slidingDistinct _, slidingDistinctSql),
     ("ev_gap_stats", gapStats _, gapStatsSql),
