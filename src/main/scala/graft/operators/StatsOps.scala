@@ -425,7 +425,85 @@ object StatsOps {
       |FROM k CROSS JOIN t
       |ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin
 
+  /** CUPED variance reduction (Deng et al. 2013): adjust each user's
+    * experiment-period metric by their pre-period baseline — the
+    * standard trick that shrinks A/B test variance by the squared
+    * pre/post correlation, letting the same experiment detect a
+    * smaller effect. Here the timeline midpoint splits events into
+    * pre/post, per-user sums are the metric, and
+    * `adj = post − θ·(pre − mean_pre)` with the OLS
+    * `θ = cov(pre, post) / var(pre)`.
+    *
+    * Cross-engine exactness, the q58 pattern: per-user sums and all
+    * co-moments accumulate in DECIMAL (exact, order-free); θ and the
+    * adjustment are IEEE double ops over identical exact operands, so
+    * both engines produce the same bits, rounded 2 dp for the hash.
+    *
+    * Scale shape: one scalar min/max agg (broadcast midpoint), one
+    * user-keyed conditional aggregation, one 5-value co-moment
+    * aggregate (broadcast), one projection — two data-sized passes,
+    * both map-side combining.
+    */
+  def statCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val zero = lit(0).cast("decimal(18,2)")
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("us") < col("mid_us"), col("v")).otherwise(zero))
+          .cast("decimal(18,2)").as("pre"),
+        sum(when(col("us") >= col("mid_us"), col("v")).otherwise(zero))
+          .cast("decimal(18,2)").as("post"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum("pre").as("s1"), sum("post").as("s2"),
+      sum(col("pre") * col("pre")).as("s11"),
+      sum(col("pre") * col("post")).as("s12"))
+    def d(c: String) = col(c).cast("double")
+    val theta = (d("n") * d("s12") - d("s1") * d("s2")) /
+      (d("n") * d("s11") - d("s1") * d("s1"))
+    val meanPre = d("s1") / d("n")
+    per.crossJoin(broadcast(m))
+      .select(col("user_id"),
+        (col("pre") * 100).cast("bigint").as("pre_c"),
+        (col("post") * 100).cast("bigint").as("post_c"),
+        round(d("post") - theta * (d("pre") - meanPre), 2).as("adj"))
+      .orderBy("user_id")
+  }
+
+  val statCupedSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+      |per AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN us < mid_us THEN v
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS pre,
+      |    CAST(sum(CASE WHEN us >= mid_us THEN v
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS post
+      |  FROM ev CROSS JOIN mid GROUP BY user_id),
+      |m AS (
+      |  SELECT count(*) AS n, sum(pre) AS s1, sum(post) AS s2,
+      |    sum(pre * pre) AS s11, sum(pre * post) AS s12
+      |  FROM per)
+      |SELECT user_id,
+      |  CAST(pre * 100 AS BIGINT) AS pre_c,
+      |  CAST(post * 100 AS BIGINT) AS post_c,
+      |  round(CAST(post AS DOUBLE)
+      |    - ((CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+      |      * (CAST(pre AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+      |    2) AS adj
+      |FROM per CROSS JOIN m
+      |ORDER BY user_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("stat_cuped", statCuped _, statCupedSql),
     ("stat_winsorize", statWinsorize _, statWinsorizeSql),
     ("stat_skew_audit", statSkewAudit _, statSkewAuditSql),
     ("stat_bootstrap_ci",
