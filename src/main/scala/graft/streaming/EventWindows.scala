@@ -1056,7 +1056,56 @@ object EventWindows {
       |LEFT JOIN s3 ON s3.user_id = u.user_id
       |ORDER BY u.user_id""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current) with exact ppm
+    * probabilities — the session-flow model behind next-action
+    * prediction and abandonment analysis.
+    *
+    * One user-keyed lag window produces the (from, to) pairs, one hash
+    * aggregation counts them, and the row-normalization runs over the
+    * ≤|types|² count table (broadcast scale) — probabilities are
+    * `cnt·10⁶ div row_total`, so the matrix replays exactly.
+    */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val rowTotals = pairs.groupBy("from_type")
+      .agg(sum("cnt").as("row_total"))
+    pairs.join(broadcast(rowTotals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("cnt * 1000000 div row_total").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    count(*) AS cnt
+      |  FROM seq WHERE next_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, sum(cnt)::BIGINT AS row_total
+      |  FROM pairs GROUP BY from_type)
+      |SELECT from_type, to_type, cnt,
+      |  cnt * 1000000 // row_total AS p_ppm
+      |FROM pairs JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_markov", markovTransitions _, markovTransitionsSql),
     ("ev_attribution", attribution _, attributionSql),
     ("ev_funnel_bounded",
       (s: SparkSession, d: String) => funnelBounded(s, d),
