@@ -357,6 +357,40 @@ object AnalyticsOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** MULTI-aggregate pivot: each pivoted status carries BOTH a count
+    * and a cents-exact spend sum (q43 pivots one aggregate; the
+    * multi-agg form exercises Spark's `statusval_aggname` column
+    * naming and doubles the Expand width, still ONE scan). The oracle
+    * is the FILTER formulation, one filtered aggregate per output
+    * cell.
+    */
+  def q66PivotMultiAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("price_c",
+        expr("cast(round(o_totalprice * 100) as bigint)"))
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("n"), sum("price_c").as("spend_c"))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F_n"), lit(0L)).as("n_f"),
+        coalesce(col("F_spend_c"), lit(0L)).as("spend_f_c"),
+        coalesce(col("O_n"), lit(0L)).as("n_o"),
+        coalesce(col("O_spend_c"), lit(0L)).as("spend_o_c"))
+      .orderBy("o_orderpriority")
+
+  val q66Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+      |  coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    FILTER (o_orderstatus = 'F'), 0)::BIGINT AS spend_f_c,
+      |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+      |  coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    FILTER (o_orderstatus = 'O'), 0)::BIGINT AS spend_o_c
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** UNPIVOT (melt): the wide per-status counts fold back into tall
     * (priority, status, n) rows — the inverse of q43, exercising
     * Spark's unpivot/melt operator. Oracle is the UNION ALL
@@ -751,6 +785,7 @@ object AnalyticsOps {
       ("q60_fuzzy_match", q60FuzzyMatch _, q60Sql),
       ("q61_rolling_7d", q61Rolling7d _, q61Sql),
       ("q62_local_supply", q62LocalSupply _, q62Sql),
+      ("q66_pivot_multi_agg", q66PivotMultiAgg _, q66Sql),
       ("q33_window_analytics", q33WindowAnalytics _, q33Sql),
       ("q34_window_frames", q34WindowFrames _, q34Sql),
       ("q35_cube", q35Cube _, q35Sql),

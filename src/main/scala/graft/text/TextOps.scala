@@ -1398,7 +1398,95 @@ object TextOps {
        |        FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  /** Zipf-law fit over the corpus frequency head: OLS slope of
+    * ln(count) against ln(rank) for the top-1000 tokens — the corpus
+    * health check (natural language sits near −1; a slope collapsing
+    * toward 0 means template/boilerplate flooding, a cheap drift
+    * alarm on ingest).
+    *
+    * Cross-engine exactness: counts are exact; each ln lands in
+    * fixed-point µnats PER VALUE (round(ln·10⁶) of identical integer
+    * inputs is bit-identical), so the regression's Σx, Σy, Σxy, Σxx
+    * are exact int64 sums (|x|,|y| ≤ ~2·10⁷ over 1000 rows → Σxy ≤
+    * ~4·10¹⁷, inside int64); only the final slope/intercept divide in
+    * double, rounded 4 dp.
+    *
+    * Scale shape: token counting is the corpus-sized hash agg; the
+    * head is TakeOrdered(1000) (per-partition heaps); the rank window
+    * runs AFTER the 1000-row bound (same limit-before-window shape as
+    * hybrid_rrf_topk, exempted in PlanAuditSpec) and the sums are one
+    * scalar agg over 1000 rows.
+    */
+  def textZipfFit(spark: SparkSession, sfDir: String,
+      fitHead: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.agg(count(lit(1)).as("n_vocab"))
+    val head = counts.orderBy(col("cnt").desc, col("token")).limit(fitHead)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .select(
+        expr("cast(round(ln(rank) * 1000000) as bigint)").as("x"),
+        expr("cast(round(ln(cnt) * 1000000) as bigint)").as("y"))
+    head.agg(count(lit(1)).as("n_fit"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .crossJoin(broadcast(vocab))
+      .select(col("n_vocab"), col("n_fit"),
+        round((col("n_fit").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_fit").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+          lit(1.0), 4).as("slope"),
+        round((col("sy").cast("double") -
+          ((col("n_fit").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n_fit").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"))) *
+            col("sx").cast("double")) /
+          col("n_fit").cast("double") / lit(1000000.0), 4)
+          .as("intercept_ln"))
+  }
+
+  val textZipfFitSql: String =
+    """WITH counts AS (
+      |  SELECT token, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token != '' GROUP BY token),
+      |vocab AS (SELECT count(*) AS n_vocab FROM counts),
+      |head AS (
+      |  SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS x,
+      |    CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y
+      |  FROM (
+      |    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token)
+      |      AS rank
+      |    FROM counts ORDER BY cnt DESC, token LIMIT 1000)),
+      |s AS (
+      |  SELECT count(*) AS n_fit, sum(x)::BIGINT AS sx,
+      |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+      |    sum(x * x)::BIGINT AS sxx
+      |  FROM head)
+      |SELECT n_vocab, n_fit,
+      |  round((CAST(n_fit AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (CAST(n_fit AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 1.0, 4)
+      |    AS slope,
+      |  round((CAST(sy AS DOUBLE)
+      |    - ((CAST(n_fit AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |       (CAST(n_fit AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |      * CAST(sx AS DOUBLE)) / CAST(n_fit AS DOUBLE) / 1000000.0, 4)
+      |    AS intercept_ln
+      |FROM s CROSS JOIN vocab""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("text_zipf_fit",
+      (s: SparkSession, d: String) => textZipfFit(s, d), textZipfFitSql),
     ("text_gopher_rules", textGopherRules _, textGopherRulesSql),
     ("text_quality_ensemble", textQualityEnsemble _, textQualityEnsembleSql),
     ("text_dsir_weight", textDsirWeight _, textDsirWeightSql),

@@ -42,8 +42,12 @@ class PlanAuditSpec extends SparkSuite {
     //    bounds agg (a broadcast scalar); the LOCF window partitions by
     //    event_type over the hours×types spine, whose size is bounded
     //    by the time range — GapFillSpec re-derives every cell.
+    //  - text_zipf_fit: the global rank window runs AFTER a limit(1000)
+    //    bound (TakeOrdered head) and the SinglePartition aggregates are
+    //    the 5-value regression sums — same limit-before-window shape as
+    //    hybrid_rrf_topk.
     val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk", "pipe_curriculum",
-      "ev_gapfill")
+      "ev_gapfill", "text_zipf_fit")
     val offenders = plans.filter { case (name, p) =>
       !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
