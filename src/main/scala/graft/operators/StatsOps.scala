@@ -502,7 +502,79 @@ object StatsOps {
       |FROM per CROSS JOIN m
       |ORDER BY user_id""".stripMargin
 
+  /** Welch's two-sample t: purchase vs click `value` populations —
+    * the unequal-variance test an experimentation platform runs on
+    * every metric, with the Welch-Satterthwaite degrees of freedom.
+    * All moments accumulate in exact DECIMAL (the q58/stat_cuped
+    * pattern), so the final t and df are IEEE doubles over identical
+    * operands in both engines, rounded 4 dp.
+    *
+    * Scale shape: ONE conditional-aggregation pass produces all six
+    * moments; everything after is scalar arithmetic on a single row.
+    */
+  def statTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val isA = col("event_type") === "purchase"
+    val m = ev.agg(
+      count(when(isA, 1)).as("na"), count(when(!isA, 1)).as("nb"),
+      sum(when(isA, col("v"))).as("sa"), sum(when(!isA, col("v"))).as("sb"),
+      sum(when(isA, col("v") * col("v"))).as("saa"),
+      sum(when(!isA, col("v") * col("v"))).as("sbb"))
+    def d(c: String) = col(c).cast("double")
+    // unbiased per-group variance of the mean: s²/n with
+    // s² = (n·Σv² − (Σv)²) / (n·(n−1))
+    val va = (d("na") * d("saa") - d("sa") * d("sa")) /
+      (d("na") * (d("na") - 1)) / d("na")
+    val vb = (d("nb") * d("sbb") - d("sb") * d("sb")) /
+      (d("nb") * (d("nb") - 1)) / d("nb")
+    val t = (d("sa") / d("na") - d("sb") / d("nb")) / sqrt(va + vb)
+    val df = (va + vb) * (va + vb) /
+      (va * va / (d("na") - 1) + vb * vb / (d("nb") - 1))
+    m.select(col("na"), col("nb"),
+      round(d("sa") / d("na"), 4).as("mean_a"),
+      round(d("sb") / d("nb"), 4).as("mean_b"),
+      round(t, 4).as("t_welch"),
+      round(df, 2).as("df_welch"))
+  }
+
+  val statTtestSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+      |  WHERE event_type IN ('purchase', 'click')),
+      |m AS (
+      |  SELECT
+      |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS na,
+      |    count(CASE WHEN event_type = 'click' THEN 1 END) AS nb,
+      |    sum(CASE WHEN event_type = 'purchase' THEN v END) AS sa,
+      |    sum(CASE WHEN event_type = 'click' THEN v END) AS sb,
+      |    sum(CASE WHEN event_type = 'purchase' THEN v * v END) AS saa,
+      |    sum(CASE WHEN event_type = 'click' THEN v * v END) AS sbb
+      |  FROM ev),
+      |x AS (
+      |  SELECT na, nb,
+      |    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+      |    (CAST(na AS DOUBLE) * CAST(saa AS DOUBLE)
+      |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      |      / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1))
+      |      / CAST(na AS DOUBLE) AS va,
+      |    (CAST(nb AS DOUBLE) * CAST(sbb AS DOUBLE)
+      |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+      |      / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1))
+      |      / CAST(nb AS DOUBLE) AS vb
+      |  FROM m)
+      |SELECT na::BIGINT AS na, nb::BIGINT AS nb,
+      |  round(sad / na, 4) AS mean_a,
+      |  round(sbd / nb, 4) AS mean_b,
+      |  round((sad / na - sbd / nb) / sqrt(va + vb), 4) AS t_welch,
+      |  round((va + vb) * (va + vb) /
+      |    (va * va / (na - 1) + vb * vb / (nb - 1)), 2) AS df_welch
+      |FROM x""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("stat_ttest", statTtest _, statTtestSql),
     ("stat_cuped", statCuped _, statCupedSql),
     ("stat_winsorize", statWinsorize _, statWinsorizeSql),
     ("stat_skew_audit", statSkewAudit _, statSkewAuditSql),
