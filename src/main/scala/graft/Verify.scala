@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query subset for targeted
+    // local e2e checks with scripts/check.py (driver passes 2 args)
+    val subset: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +27,9 @@ object Verify {
     // place: any downstream compare sees a named schema/row mismatch
     // with the exception text, never an omission.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -62,7 +68,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     val errNames = errors.keys.map(q).mkString("[", ",", "]")
-    println(s"""{"metric":"verify_done","catalog_size":${SparkEntry.queries.size},"oracle_sql_size":${SparkEntry.oracleSql.size},"dumped_ok":${SparkEntry.queries.size - errors.size},"failed_count":${errors.size},"failed":$errNames}""")
+    val attempted = SparkEntry.queries.keys
+      .count(n => subset.forall(_.contains(n)))
+    println(s"""{"metric":"verify_done","catalog_size":${SparkEntry.queries.size},"oracle_sql_size":${SparkEntry.oracleSql.size},"dumped_ok":${attempted - errors.size},"failed_count":${errors.size},"failed":$errNames}""")
     spark.stop()
   }
 }

@@ -57,6 +57,26 @@ class PcaSpec extends SparkSuite {
     assert(v1 >= bestAxis * 0.999, "PC1 variance below best axis")
   }
 
+  test("invariant panel: all ok, exact rows match a driver recompute") {
+    val got = PcaOps.pcaInvariants(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.size == 13)
+    got.foreach { case (name, (_, ok)) => assert(ok, s"invariant $name") }
+    // DuckDB-twin recompute of the exact integer rows
+    val qvecs = collectQ(sf0001).values.toSeq
+    val n = BigInt(qvecs.size)
+    val dim = qvecs.head.length
+    val varQ = (0 until dim).map { i =>
+      val s = qvecs.map(q => BigInt(q(i))).sum
+      val ss = qvecs.map(q => BigInt(q(i)) * BigInt(q(i))).sum
+      (n * ss - s * s) / (n * n)
+    }
+    assert(got("n_rows")._1 == qvecs.size.toLong)
+    assert(got("dim")._1 == dim.toLong)
+    assert(got("total_var_q")._1 == varQ.sum.toLong)
+    assert(got("max_axis_var_q")._1 == varQ.max.toLong)
+  }
+
   test("rerun is bit-identical (deterministic solve)") {
     val a = PcaOps.pcaProject(spark, sf0001).collect().toSeq
     val b = PcaOps.pcaProject(spark, sf0001).collect().toSeq
