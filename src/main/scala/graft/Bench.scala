@@ -435,6 +435,39 @@ object Bench {
       else math.round((passTotals.max - passTotals.min) / passTotals.min
         * 1000) / 10.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,"codegen_compiles_total":${compiles()}}""")
+    // FULL machine-readable artifact (r10 verdict item #2): stdout-tail
+    // truncation eats the long per-query maps, so everything a verdict
+    // needs to diff round-over-round — every per-query min AND median,
+    // every per-pass time, all scale ratios, streaming stats — also
+    // lands in ONE json file (committed per round as bench_full_rN.json)
+    try {
+      def jm(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + math.round(v * 10000) / 10000.0 }
+        .mkString("{", ",", "}")
+      val passJson = bigPasses.zipWithIndex
+        .map { case (p, i) => s""""pass${i + 1}":${jm(p)}""" }
+        .mkString(",")
+      val full =
+        s"""{"sf":"$sfDir","total_min":$total,"median_total":$medianTotal,
+           |"catalog_size":${SparkEntry.queries.size},
+           |"bench_ok":${results.count(_._2 >= 0)},
+           |"failed":$fqJson,
+           |"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,
+           |"per_query_min":${jm(results)},
+           |"per_query_median":${jm(medians)},
+           |$passJson,
+           |"per_query_min_mid_sf":${jm(mid)},
+           |"per_query_min_small_sf":${jm(small)},
+           |"scale_ratio_big_mid":${jm(bigMidRatios)},
+           |"scale_ratio_mid_small":${jm(midSmallRatios)},
+           |"scale_flagged":$flJson,"big_probe_flagged":$pbJson,
+           |"streaming":${jm(streaming)},
+           |"codegen_compiles_total":${compiles()}}""".stripMargin
+          .replace("\n", "")
+      val out = sys.env.getOrElse("GRAFT_BENCH_FULL_OUT", "bench_full.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full)
+      println(s"""{"metric":"bench_full_written","path":"$out"}""")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
