@@ -931,29 +931,47 @@ object TextOps {
     * same quantized term out in any engine — so per-doc sums are exact
     * int64 and association-order-free.
     *
-    * Scale shape: bigram explode → one hash agg builds c2 (vocab²-bounded,
-    * map-side combined), c1 derives from c2 (no second corpus pass), the
-    * scored bigram dim joins back on (w1, w2) — AQE broadcasts it when
-    * small, plain hash join otherwise — and one doc_id agg folds scores.
+    * Scale shape (r11): ONE tokenize+explode pass, with bigrams as
+    * 8-byte keys — `bh = xxhash64(w1, w2)` and `w1h = xxhash64(w1)`
+    * (the [[textRepetition]] hashed-key shape: no per-gram string
+    * builds in the shuffle, token-boundary safe because XxHash64
+    * chains per-field; the oracle groups by its own gram strings and
+    * only counts leave the aggs, so representations never need to
+    * match across engines). The explode folds straight into a
+    * per-(doc, bigram) count — the only corpus-sized shuffle — and
+    * that ONE exchange feeds BOTH the model fit (c2 → c1, bounded by
+    * distinct observed bigrams) and the scoring join (Spark's
+    * ReuseExchange shares the materialized stage; r10's shape re-ran
+    * the tokenize+explode corpus scan for each). The scored bigram
+    * dim joins back on the single int64 `bh` — AQE broadcasts it when
+    * small — and one doc_id agg folds the k-weighted scores.
     */
   def textBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
-    val bi = Tables.documents(spark, sfDir)
+    // one tokenize+explode, immediately folded to per-(doc, bigram)
+    // occurrence counts — the ONLY corpus-sized shuffle; both the
+    // model fit (c2 → c1) and the scoring join consume this same
+    // exchange (Spark's ReuseExchange/AQE shares the materialized
+    // stage), so the corpus is tokenized exactly once with no
+    // token-level materialization
+    val dkb = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(tk) - 2),
-          |  i -> named_struct('w1', tk[i], 'w2', tk[i + 1]))""".stripMargin))
+          |  i -> named_struct('bh', xxhash64(tk[i], tk[i + 1]),
+          |                    'w1h', xxhash64(tk[i])))""".stripMargin))
         .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    val scored = c2.join(c1, "w1").select(col("w1"), col("w2"),
+      .groupBy(col("doc_id"), col("b.bh").as("bh"), col("b.w1h").as("w1h"))
+      .agg(count(lit(1)).as("k"))
+    val c2 = dkb.groupBy("w1h", "bh").agg(sum("k").as("c2"))
+    val c1 = c2.groupBy("w1h").agg(sum("c2").as("c1"))
+    val scored = c2.join(c1, "w1h").select(col("bh"),
       expr("""cast(round(ln(c1) * 1000000) as bigint)
              | - cast(round(ln(c2) * 1000000) as bigint)""".stripMargin)
         .as("nll"))
-    bi.join(scored, Seq("w1", "w2"))
+    dkb.join(scored, Seq("bh"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("s"))
+      .agg(sum("k").as("n_bigrams"), sum(col("k") * col("nll")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("((s + n_bigrams div 2) div n_bigrams) div 100").as("nll_e4"))
       .orderBy("doc_id")
@@ -1228,29 +1246,30 @@ object TextOps {
     * census — the standard quality-stratification step before
     * sampling training data by perplexity band.
     *
-    * Deciles WITHOUT a global window: per-score counts (the score
-    * domain is bounded by construction — nll_e4 is a quantized mean,
-    * so the distinct-score table stays ~1e5 rows at ANY corpus size)
-    * → cumulative rank below each score via the same triangular
-    * broadcast join as packChunks' two-level scan → decile =
-    * (10·cum_lt) div n + 1. Ties share a decile; every step is
-    * integer-exact, so both engines agree bit-for-bit.
+    * Deciles over the CENSUS, not the corpus: per-score counts first
+    * (the score domain is bounded by construction — nll_e4 is a
+    * quantized mean, so the distinct-score table stays ~1e5 rows at
+    * ANY corpus size) → cumulative rank below each score via a
+    * running-sum window OVER THE CENSUS → decile = (10·cum_lt) div n
+    * + 1. The single-partition window is safe because its input is
+    * the bounded census, never corpus-sized rows (the r10 triangular
+    * broadcast join here was O(S²) BNLJ work — the window is O(S log
+    * S) and dropped the query ~4× at sf0.1). Ties share a decile;
+    * every step is integer-exact, so both engines agree bit-for-bit.
     */
   def textPplBucket(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = textBigramLm(spark, sfDir)
     // checkpoint the per-score census (~1e5 rows bounded by the score
-    // domain): the triangular self-join + totals below reference it
-    // three times, and each reference otherwise re-runs the full
-    // bigram-LM corpus scan (3× on the round-10 bench)
+    // domain): the window + totals below reference it twice, and each
+    // reference otherwise re-runs the full bigram-LM corpus scan
     val cnt = scored.groupBy("nll_e4").agg(
       count(lit(1)).as("cnt"), sum("n_bigrams").as("tok"))
       .localCheckpoint()
-    val ranked = cnt.as("a")
-      .join(broadcast(cnt.as("b")),
-        col("b.nll_e4") < col("a.nll_e4"), "left")
-      .groupBy(col("a.nll_e4").as("nll_e4"), col("a.cnt").as("cnt"),
-        col("a.tok").as("tok"))
-      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("cum_lt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("nll_e4")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = cnt
+      .withColumn("cum_lt", coalesce(sum("cnt").over(w), lit(0L)))
       .crossJoin(broadcast(cnt.agg(sum("cnt").as("n"))))
       .withColumn("decile", expr("(cum_lt * 10) div n + 1"))
     ranked.groupBy("decile")

@@ -46,8 +46,13 @@ class PlanAuditSpec extends SparkSuite {
     //    bound (TakeOrdered head) and the SinglePartition aggregates are
     //    the 5-value regression sums — same limit-before-window shape as
     //    hybrid_rrf_topk.
+    //  - text_ppl_bucket: the running-sum window's input is the
+    //    localCheckpoint'ed per-score census, bounded by the quantized
+    //    nll_e4 domain (~1e5 rows at ANY corpus size), never
+    //    corpus-sized rows; replaced the r10 O(S²) triangular BNLJ
+    //    (TextPplBucketSpec re-derives every decile on the driver).
     val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk", "pipe_curriculum",
-      "ev_gapfill", "text_zipf_fit")
+      "ev_gapfill", "text_zipf_fit", "text_ppl_bucket")
     val offenders = plans.filter { case (name, p) =>
       !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
@@ -101,7 +106,11 @@ class PlanAuditSpec extends SparkSuite {
       "q58_corr_stats" -> 1, // co-moment sums in a single agg
       "pipe_length_buckets" -> 1, // projection + 10-group agg
       "ev_gap_stats" -> 1, // lag window + agg over one scan
-      "text_ngram_topk" -> 1) // explode + countDistinct + TakeOrdered
+      "text_ngram_topk" -> 1, // explode + countDistinct + TakeOrdered
+      // r11: window over the checkpointed census (text_bigram_lm's own
+      // single-scan claim is pinned on the EXECUTED plan below — its
+      // static plan shows 3 scans that AQE stage reuse collapses to 1)
+      "text_ppl_bucket" -> 0)
     val offenders = pinnedScans.toSeq.sortBy(_._1).flatMap {
       case (name, want) =>
         val scans = "FileScan".r.findAllIn(plans(name)).size
@@ -161,5 +170,24 @@ class PlanAuditSpec extends SparkSuite {
     }
     assert(offenders.isEmpty,
       s"unpruned scans: ${offenders.mkString(", ")}")
+  }
+
+  test("text_bigram_lm tokenizes the corpus once (AQE stage reuse)") {
+    // the LM fit (c2 → c1) and the scoring join both consume the one
+    // per-(doc, bigram) exchange; the STATIC plan prints the subtree 3×
+    // but the runtime plan must collapse to ONE FileScan via
+    // ReusedExchange — 2+ scans means a branch re-tokenizes the corpus
+    // (the r10 shape this replaced)
+    val df = SparkEntry.queries("text_bigram_lm")(spark, sf0001)
+    df.queryExecution.executedPlan.executeCollect()
+    val plan = {
+      val raw = df.queryExecution.executedPlan.toString
+      if (raw.contains("== Initial Plan =="))
+        raw.substring(0, raw.indexOf("== Initial Plan ==")) else raw
+    }
+    val scans = "FileScan".r.findAllIn(plan).size
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 FileScan, got $scans:\n$plan")
+    assert(reused >= 2, s"expected >=2 ReusedExchange, got $reused:\n$plan")
   }
 }
