@@ -206,9 +206,13 @@ object DedupOps {
       .join(broadcast(docsM.select(col("doc_id").as("db"), col("ng").as("ngb"))),
         Seq("db"))
       .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
+      // EXACT integer acceptance: inter/(na+nb-inter) >= 4/5 ⟺
+      // 9·inter >= 4·(na+nb) — the same bound the prefix/positional
+      // filters prune with (a rounded-double acceptance admitted
+      // jaccard in [0.79995, 0.8) that the candidate stage prunes)
+      .filter(expr("inter * 9 >= (na + nb) * 4"))
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jac") >= ngramJacThreshold)
       .select("da", "db", "jac")
       .orderBy("da", "db")
   }
@@ -247,7 +251,7 @@ object DedupOps {
       |SELECT da, db,
       |  round(inter::DOUBLE / (na + nb - inter), 4) AS jac
       |FROM inter
-      |WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= $ngramJacThreshold
+      |WHERE inter * 9 >= (na + nb) * 4
       |ORDER BY da, db""".stripMargin
 
   /** Containment threshold for the one-sided near-dup join. */
@@ -316,9 +320,15 @@ object DedupOps {
       .join(broadcast(docsM.select(col("doc_id").as("db"),
         col("ng").as("ngb"))), Seq("db"))
       .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
+      // acceptance is the EXACT integer predicate inter/na >= 4/5 —
+      // the same bound the prefix/positional/length filters prune
+      // with. (r10 advice: accepting on the ROUNDED cont let a pair
+      // with containment in [0.79995, 0.8) pass the verify while the
+      // candidate stage could prune it — a latent exactness gap for
+      // docs with >= 20k shingles.) cont stays as an output column.
+      .filter(expr("inter * 5 >= na * 4"))
       .withColumn("cont",
         round(col("inter").cast("double") / col("na"), 4))
-      .filter(col("cont") >= containThreshold)
       .select("da", "db", "cont")
       .orderBy("da", "db")
   }
@@ -354,8 +364,7 @@ object DedupOps {
       |FROM cand
       |JOIN g ga ON ga.doc_id = da
       |JOIN g gb ON gb.doc_id = db
-      |WHERE round(len(list_intersect(ga.ng, gb.ng))::DOUBLE / na, 4)
-      |  >= $containThreshold
+      |WHERE len(list_intersect(ga.ng, gb.ng)) * 5 >= na * 4
       |ORDER BY da, db""".stripMargin
 
   /** MinHash + LSH near-dup detection: 16 minhashes over the distinct
@@ -403,9 +412,11 @@ object DedupOps {
       .join(arr.select(col("doc_id").as("db"), col("ng").as("ngb"),
         col("n").as("nb")), Seq("db"))
       .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
+      // exact 7/10 bound: inter/(na+nb-inter) >= 0.7 ⟺ 17·inter >=
+      // 7·(na+nb); jac stays as a (rounded) output column only
+      .filter(expr("inter * 17 >= (na + nb) * 7"))
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jac") >= 0.7)
       .select("da", "db", "jac")
       .orderBy("da", "db")
   }
@@ -446,7 +457,7 @@ object DedupOps {
        |SELECT da, db,
        |  round(inter::DOUBLE / (na + nb - inter), 4) AS jac
        |FROM inter
-       |WHERE round(inter::DOUBLE / (na + nb - inter), 4) >= 0.7
+       |WHERE inter * 17 >= (na + nb) * 7
        |ORDER BY da, db""".stripMargin
   }
 

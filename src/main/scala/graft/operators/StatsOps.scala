@@ -285,7 +285,12 @@ object StatsOps {
     * Determinism: the weight is a pure integer hash of (doc_id, r) —
     * h mod 1000 thresholded at the Poisson(1) pmf (368/368/184/80‰ for
     * w=0,1,2,3+) — so the oracle replays the identical arithmetic and
-    * the result hashes exactly. Means are emitted in half-up integer
+    * the result hashes exactly. The doc_id operand is bounded with
+    * `pmod(doc_id, 1e9)` BEFORE the Knuth multiply so the product
+    * provably fits int64 at any corpus size (r10 advice: the unbounded
+    * `doc_id * 2654435761` wraps silently in Spark past doc_id ≈
+    * 3.5e9 while DuckDB raises on BIGINT overflow — the engines would
+    * diverge exactly at the scale the exactness claim targets). Means are emitted in half-up integer
     * basis points ([[graft.text.TextOps.textQuality]] rationale). The
     * R output rows ARE the bootstrap distribution; any CI is a
     * percentile read over them.
@@ -298,7 +303,8 @@ object StatsOps {
         // long like the oracle's generate_series (DuckDB yields BIGINT)
         explode(expr(s"sequence(0L, ${replicates - 1}L)")).as("r"))
       .select(col("r"), col("n_chars"),
-        expr("(doc_id * 2654435761 + r * 40503) % 1000").as("h"))
+        expr("(pmod(doc_id, 1000000000) * 2654435761 + r * 40503) % 1000")
+          .as("h"))
       .select(col("r"), col("n_chars"),
         expr("case when h < 368 then 0 when h < 736 then 1 " +
           "when h < 920 then 2 else 3 end").cast("long").as("w"))
@@ -314,9 +320,12 @@ object StatsOps {
        |    // (sum(w)::BIGINT) AS mean_e4
        |FROM (
        |  SELECT r, n_chars,
-       |    CASE WHEN (doc_id * 2654435761 + r * 40503) % 1000 < 368 THEN 0
-       |         WHEN (doc_id * 2654435761 + r * 40503) % 1000 < 736 THEN 1
-       |         WHEN (doc_id * 2654435761 + r * 40503) % 1000 < 920 THEN 2
+       |    CASE WHEN (((doc_id % 1000000000 + 1000000000) % 1000000000)
+       |           * 2654435761 + r * 40503) % 1000 < 368 THEN 0
+       |         WHEN (((doc_id % 1000000000 + 1000000000) % 1000000000)
+       |           * 2654435761 + r * 40503) % 1000 < 736 THEN 1
+       |         WHEN (((doc_id % 1000000000 + 1000000000) % 1000000000)
+       |           * 2654435761 + r * 40503) % 1000 < 920 THEN 2
        |         ELSE 3 END::BIGINT AS w
        |  FROM (
        |    SELECT doc_id, n_chars,

@@ -85,8 +85,11 @@ object AlsTrainer {
   /** Precision@k of [[topNForAllUsers]] against a ground-truth
     * positives table (userCol, itemCol) — the ranking metric implicit
     * models are judged by (RMSE is meaningless on binary preference).
-    * Distributed shape: explode the k recommendations, one semi-join
-    * against the positives, two scalar counts.
+    * Distributed shape: explode the k recommendations, one left join
+    * against the positives, ONE aggregation computing hits and total
+    * together — `recommendForAllUsers` (the expensive stage) executes
+    * exactly once (r10 advice: the semi-join count + recs.count()
+    * shape re-ran it twice). Empty recs returns 0.0, not NaN.
     */
   def precisionAtK(model: ALSModel, positives: DataFrame, k: Int,
       cfg: Config = Config()): Double = {
@@ -94,9 +97,15 @@ object AlsTrainer {
       .select(col(cfg.userCol),
         explode(col("recommendations")).as("rec"))
       .select(col(cfg.userCol), col(s"rec.${cfg.itemCol}"))
-    val hits = recs.join(positives.select(cfg.userCol, cfg.itemCol),
-      Seq(cfg.userCol, cfg.itemCol), "left_semi").count()
-    hits.toDouble / recs.count()
+    val pos = positives.select(cfg.userCol, cfg.itemCol)
+      .dropDuplicates(cfg.userCol, cfg.itemCol)
+      .withColumn("hit", lit(1L))
+    val row = recs.join(pos, Seq(cfg.userCol, cfg.itemCol), "left")
+      .agg(count(lit(1)).as("total"), sum("hit").as("hits"))
+      .head()
+    val total = row.getLong(0)
+    if (total == 0L) 0.0
+    else (if (row.isNullAt(1)) 0L else row.getLong(1)).toDouble / total
   }
 
   /** Hyperparameter search — M5: grid {rank}×{reg}×{maxIter} with

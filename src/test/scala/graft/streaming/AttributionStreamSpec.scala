@@ -49,4 +49,34 @@ class AttributionStreamSpec extends SparkSuite {
       s"missing ${(want.keySet -- got.keySet).take(3)}; " +
         s"spurious ${(got.keySet -- want.keySet).take(3)}")
   }
+
+  test("idle users' click windows expire once the watermark passes +24h") {
+    // r10 advice: NoTimeout kept every idle user's window forever.
+    // Feed 50 users one click each, then advance the watermark far past
+    // click + 24h with a lone later event: the timed-out invocations
+    // must clear the 50 windows (state rows drop to ~1, not 51).
+    val base = 1700000000000000L // µs, realistic epoch
+    val src = new MemorySource(spark)
+    val q = AttributionStream.attributionStream(parsed(src))
+      .writeStream.format("memory").queryName("attr_expire")
+      .outputMode("append").start()
+    try {
+      src.add((1 to 50).map(u =>
+        s"""{"event_id": $u, "ts_us": ${base + u}, "user_id": $u,""" +
+          s""" "event_type": "click"}"""))
+      q.processAllAvailable()
+      // 30 h later: watermark (delay 1 h) passes base + 24 h
+      val later = base + 30L * 3600L * 1000000L
+      src.add(Seq(s"""{"event_id": 999, "ts_us": $later,""" +
+        s""" "user_id": 999, "event_type": "click"}"""))
+      q.processAllAvailable()
+      // one more batch so timed-out groups are actually invoked against
+      // the advanced watermark
+      src.add(Seq(s"""{"event_id": 1000, "ts_us": ${later + 1},""" +
+        s""" "user_id": 999, "event_type": "click"}"""))
+      q.processAllAvailable()
+      val rows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(rows <= 2, s"state retained $rows rows; idle windows leaked")
+    } finally q.stop()
+  }
 }
