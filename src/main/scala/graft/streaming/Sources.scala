@@ -23,13 +23,27 @@ sealed trait StreamSource {
   */
 final case class KafkaSource(bootstrap: String, topic: String,
     startingOffsets: String = "latest") extends StreamSource {
+
+  /** The exact DataStreamReader option payload the reference passes —
+    * `kafka.bootstrap.servers` + `subscribe` (`app/spark_stream.py:
+    * 20-24`, `app3/live_counts.py:42-45`), plus `startingOffsets` for
+    * the measured earliest variant (`apps_mediciones/
+    * live_counts_update_earliest.py:47-49`; the reference omits the
+    * option for its default-latest apps — explicit "latest" is the
+    * documented same-semantics spelling). SourcesContractSpec pins
+    * this map for both S6 and S7 until a broker exists to test
+    * against.
+    */
+  def options: Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets)
+
   def load(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .options(options)
       .load()
       .select(col("value").cast("string").as("value"))
   }
