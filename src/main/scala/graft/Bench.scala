@@ -269,30 +269,27 @@ object Bench {
 
     // ONE-OFF sf1-equivalent probe (round-8 stretch item): the scale
     // curve tops out at sf0.1 where fixed overhead dominates, so the
-    // worst measured big/mid ratios get one more decade of data. The
-    // probe corpus is generated HERE, deterministically, as 10 salted
-    // copies of the sf0.1 documents/embeddings/events:
-    //  - documents: per-copy md5-keyed token shuffle — every
-    //    token-level statistic (quality, stopwords, langid, token
-    //    counts) is preserved exactly while shingle sets decorrelate
-    //    across copies, so the dedup family sees 10× natural data, not
-    //    a pathological 10-clone cluster per doc;
-    //  - embeddings: per-copy component rotation — same marginal
-    //    distribution, near-zero cross-copy cosine on this fixture;
-    //  - events: id-shifted copies, timestamps unchanged (10× hourly
-    //    volume over the same span).
-    // Only queries over these three tables are probed (the TPC-H side
-    // has no generator here); each runs ONCE — this is a probe for
-    // superlinearity, not a steady-state timing.
-    val probeFlagged: Seq[String] = (try {
+    // worst measured big/mid ratios get one more decade of data — 10
+    // deterministic salted copies of sf0.1 documents/embeddings/events
+    // via graft.tools.ProbeCorpus (see its doc for the salting design;
+    // the standalone graft.tools.ScaleProbe pushes the same corpus to
+    // 100× for the named heavy families). Only queries over these
+    // three tables are probed (the TPC-H side has no generator here);
+    // each runs ONCE — this is a probe for superlinearity, not a
+    // steady-state timing.
+    val (probeFlagged, probeTimes, probeRatios):
+        (Seq[String], Seq[(String, Double)], Seq[(String, Double)]) = (try {
       val prefixes = Seq("text_", "dedup_", "emb_", "embedding_", "ann_",
         "pipe_", "mm_", "ev_", "graph_event_")
       val worst = bigMidRatios.toSeq.sortBy(-_._2).take(10).map(_._1)
       // the stateful events family never surfaces in the worst-ratio set
       // (its sf0.1 times are small), so it would otherwise NEVER get a
       // measured 10× point — force one funnel and one sessionize probe
-      // (r9 advice #7) alongside whatever the ratios flag
-      val forced = Seq("ev_funnel", "ev_sessionize")
+      // (r9 advice #7) alongside whatever the ratios flag; r10 verdict
+      // #8 additionally pins the three queries with the worst MEASURED
+      // 10×-data ratios so their extra decade is always in the artifact
+      val forced = Seq("ev_funnel", "ev_sessionize",
+        "text_substring_dedup", "text_dup_spans", "text_dsir_weight")
         .filter(SparkEntry.queries.contains)
       val names =
         (worst.filter(n => prefixes.exists(n.startsWith)) ++ forced).distinct
@@ -301,37 +298,7 @@ object Bench {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_bigprobe").toString
         val copies = 10
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        val nDoc = docs.selectExpr("max(doc_id)").head().getLong(0) + 1
-        (0 until copies).map { c =>
-          if (c == 0) docs
-          else docs.selectExpr(s"doc_id + ${c * nDoc} as doc_id",
-            "concat_ws(' ', transform(array_sort(transform(split(text, ' '), " +
-              s"(t, i) -> struct(md5(concat(t, '#', i, '#', $c)) as k, t as v))), " +
-              "s -> s.v)) as text",
-            "lang", "source", "n_chars")
-        }.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        val nVec = emb.selectExpr("max(vec_id)").head().getLong(0) + 1
-        (0 until copies).map { c =>
-          if (c == 0) emb
-          else emb.selectExpr(s"vec_id + ${c * nVec} as vec_id",
-            s"concat(slice(embedding, ${c + 1}, ${64 - c}), " +
-              s"slice(embedding, 1, $c)) as embedding",
-            "label")
-        }.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-        val ev = spark.read.parquet(s"$sfDir/events.parquet")
-        val nEv = ev.selectExpr("max(event_id)").head().getLong(0) + 1
-        val nUs = ev.selectExpr("max(user_id)").head().getLong(0) + 1
-        (0 until copies).map { c =>
-          if (c == 0) ev
-          else ev.selectExpr(s"event_id + ${c * nEv} as event_id", "ts",
-            s"user_id + ${c * nUs} as user_id", "event_type", "value",
-            "props")
-        }.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        graft.tools.ProbeCorpus.generate(spark, sfDir, dir, copies)
         def probeOnce(n: String): Double = {
           val t0 = System.nanoTime()
           val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
@@ -377,9 +344,11 @@ object Bench {
         val skipped = worst.filterNot(names.contains)
           .map("\"" + _ + "\"").mkString("[", ",", "]")
         println(s"""{"metric":"big_probe","scale":"10x sf0.1 (sf1-equivalent)","scaled_tables":["documents","embeddings","events"],"flag_threshold":$ScaleFlagRatio,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"skipped_tpch_side":$skipped,"times_sec":${js(times)},"ratio_vs_sf01":${js(ratios)}}""")
-        Some(flagged)
+        Some((flagged, times, ratios))
       }
-    } catch { case _: Throwable => None }).getOrElse(Seq.empty)
+    } catch { case _: Throwable => None })
+      .getOrElse((Seq.empty[String], Seq.empty[(String, Double)],
+        Seq.empty[(String, Double)]))
 
     val all = results ++ streaming
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -461,6 +430,8 @@ object Bench {
            |"scale_ratio_big_mid":${jm(bigMidRatios)},
            |"scale_ratio_mid_small":${jm(midSmallRatios)},
            |"scale_flagged":$flJson,"big_probe_flagged":$pbJson,
+           |"big_probe_times_sec":${jm(probeTimes.toMap)},
+           |"big_probe_ratio_vs_sf01":${jm(probeRatios.toMap)},
            |"streaming":${jm(streaming)},
            |"codegen_compiles_total":${compiles()}}""".stripMargin
           .replace("\n", "")

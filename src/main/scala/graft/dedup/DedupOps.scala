@@ -110,6 +110,23 @@ object DedupOps {
   /** Jaccard threshold for the n-gram near-dup join. */
   val ngramJacThreshold = 0.8
 
+  /** Corpus-size bound for broadcasting the verify-side shingle-array
+    * relation: ~1e5 docs × ~50 longs ≈ 80 MB — the edge of a sane
+    * executor broadcast. Checkpointed relations carry no AQE stats, so
+    * the choice is made here on the real count.
+    */
+  private val BroadcastDocLimit = 100000L
+
+  /** Broadcast the doc→shingle-array relation while it fits one
+    * executor, plain (shuffled) join beyond — the r11 ×100 probe
+    * measured the unconditional broadcast at 46 GB of spill.
+    */
+  private def verifyArraysSide(docsM: DataFrame)
+      : DataFrame => DataFrame = {
+    val small = docsM.count() <= BroadcastDocLimit
+    side => if (small) broadcast(side) else side
+  }
+
   /** Word-trigram Jaccard near-dup pairs (threshold 0.8), via PREFIX
     * FILTERING (the ppjoin family): order every document's shingles by
     * ascending global document frequency and index only the first
@@ -197,13 +214,18 @@ object DedupOps {
       .select("da", "db", "na", "nb")
       .distinct()
     // verify candidates against FULL shingle sets with array_intersect:
-    // O(na+nb) per pair in one projection, no posting-list re-join
-    // docsM is a localCheckpoint — AQE has no stats for it, so force
-    // the broadcast (one shingle-set row per doc; candidates stay put)
+    // O(na+nb) per pair in one projection, no posting-list re-join.
+    // docsM is a localCheckpoint — AQE has no stats for it, so the
+    // strategy is chosen HERE on the real count (O(partitions) on the
+    // checkpointed relation): broadcast while the shingle arrays fit
+    // one executor, shuffled join beyond — the r11 ×100 probe measured
+    // the unconditional broadcast at 46 GB of spill (effectively hung),
+    // exactly the corpus size where broadcast must hand over
+    val arrJoin = verifyArraysSide(docsM)
     cand
-      .join(broadcast(docsM.select(col("doc_id").as("da"), col("ng").as("nga"))),
+      .join(arrJoin(docsM.select(col("doc_id").as("da"), col("ng").as("nga"))),
         Seq("da"))
-      .join(broadcast(docsM.select(col("doc_id").as("db"), col("ng").as("ngb"))),
+      .join(arrJoin(docsM.select(col("doc_id").as("db"), col("ng").as("ngb"))),
         Seq("db"))
       .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
       // EXACT integer acceptance: inter/(na+nb-inter) >= 4/5 ⟺
@@ -274,6 +296,16 @@ object DedupOps {
     * Candidates verify with one array_intersect against the
     * checkpointed full sets. DedupSpec holds the unfiltered
     * brute-force differential.
+    *
+    * Measured boundary (SCALE_PROBE_r11): on the synthetic fixture,
+    * whose 31-word vocabulary SATURATES the trigram space (~3e4
+    * shingles) once the corpus passes ~1e5 docs, every shingle goes
+    * hot and the full-postings side makes candidates near-quadratic —
+    * 50.8× time at 30× data (flagged). That is a property of
+    * vocabulary-collapsed data, not the operator: natural corpora
+    * keep growing vocabulary, so the rarest-shingle prefix stays
+    * selective. For data like that the sublinear containment screen
+    * is the LSH family ([[dedupMinhashLsh]]: 6.6× at 100×, measured).
     */
   def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -314,10 +346,11 @@ object DedupOps {
       .filter(expr("1 + least(na - ra, nb - rb) >= (4 * na + 4) div 5"))
       .select("da", "db", "na")
       .distinct()
+    val arrJoin = verifyArraysSide(docsM)
     cand
-      .join(broadcast(docsM.select(col("doc_id").as("da"),
+      .join(arrJoin(docsM.select(col("doc_id").as("da"),
         col("ng").as("nga"))), Seq("da"))
-      .join(broadcast(docsM.select(col("doc_id").as("db"),
+      .join(arrJoin(docsM.select(col("doc_id").as("db"),
         col("ng").as("ngb"))), Seq("db"))
       .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
       // acceptance is the EXACT integer predicate inter/na >= 4/5 —

@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic ×N synthetic corpus for superlinearity probes,
+  * shared by [[graft.Bench]]'s in-run 10× probe and the standalone
+  * [[ScaleProbe]] (which pushes to 100× — sf10-equivalent):
+  *
+  *  - documents: per-copy md5-keyed token shuffle — every token-level
+  *    statistic (quality, stopwords, langid, token counts) is
+  *    preserved exactly while shingle sets decorrelate across copies,
+  *    so the dedup family sees N× natural data, not a pathological
+  *    N-clone cluster per doc;
+  *  - embeddings: per-copy component rotation, with a SIGN FLIP on
+  *    every second rotation cycle (rotation index cycles mod dim−1;
+  *    without the flip, copies c and c+dim−1 were bit-identical
+  *    vectors, which blew LSH buckets quadratically at ×100 — caught
+  *    by the r11 probe itself). 2·(dim−1) distinct transforms; near
+  *    -zero |cross-copy cosine| within each cycle on this fixture;
+  *  - events: id-shifted copies, timestamps unchanged (N× hourly
+  *    volume over the same span).
+  *
+  * Only the three non-TPC-H tables are generated (the TPC-H side has
+  * no generator here).
+  */
+object ProbeCorpus {
+
+  def generate(spark: SparkSession, sfDir: String, dir: String,
+      copies: Int): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDoc = docs.selectExpr("max(doc_id)").head().getLong(0) + 1
+    (0 until copies).map { c =>
+      if (c == 0) docs
+      else docs.selectExpr(s"doc_id + ${c * nDoc} as doc_id",
+        "concat_ws(' ', transform(array_sort(transform(split(text, ' '), " +
+          s"(t, i) -> struct(md5(concat(t, '#', i, '#', $c)) as k, t as v))), " +
+          "s -> s.v)) as text",
+        "lang", "source", "n_chars")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nVec = emb.selectExpr("max(vec_id)").head().getLong(0) + 1
+    val dim = emb.selectExpr("size(embedding)").head().getInt(0)
+    (0 until copies).map { c =>
+      if (c == 0) emb
+      else {
+        val r = 1 + (c - 1) % (dim - 1)
+        val sign = if (((c - 1) / (dim - 1)) % 2 == 1) "-" else ""
+        emb.selectExpr(s"vec_id + ${c * nVec} as vec_id",
+          s"transform(concat(slice(embedding, ${r + 1}, ${dim - r}), " +
+            s"slice(embedding, 1, $r)), x -> ${sign}x) as embedding",
+          "label")
+      }
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val nEv = ev.selectExpr("max(event_id)").head().getLong(0) + 1
+    val nUs = ev.selectExpr("max(user_id)").head().getLong(0) + 1
+    (0 until copies).map { c =>
+      if (c == 0) ev
+      else ev.selectExpr(s"event_id + ${c * nEv} as event_id", "ts",
+        s"user_id + ${c * nUs} as user_id", "event_type", "value",
+        "props")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+}
