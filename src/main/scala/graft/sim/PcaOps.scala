@@ -130,8 +130,37 @@ object PcaOps {
     }
     val c1 = topEigen(cov, Nil)
     val c2 = topEigen(cov, Seq(c1))
-    val qc1 = c1.map(x => math.round(x * CompQuant))
-    val qc2 = c2.map(x => math.round(x * CompQuant))
+    var qc1 = c1.map(x => math.round(x * CompQuant))
+    var qc2 = c2.map(x => math.round(x * CompQuant))
+    // ORDER the two solved directions by their exact Rayleigh
+    // quotients (BigInt cross-multiplied quadratic forms): on a
+    // near-flat spectrum (sf0.1's synthetic embeddings) 300 power
+    // iterations can leave the deflated second direction with a
+    // marginally HIGHER variance than the first — both are valid
+    // near-eigenvectors, so PC1 is defined as the higher-variance one
+    // (this is what made the pc1_ge_pc2 invariant engine-visible).
+    def quad(qc: Array[Long]): BigInt = {
+      val nB = BigInt(n)
+      val sB = s.map(BigInt(_))
+      def cF(i: Int, j: Int): BigInt =
+        BigInt(if (i <= j) cUpper(i)(j) else cUpper(j)(i))
+      var acc = BigInt(0)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          acc += BigInt(qc(i)) * BigInt(qc(j)) * (nB * cF(i, j) - sB(i) * sB(j))
+          j += 1
+        }
+        i += 1
+      }
+      acc
+    }
+    def norm2(qc: Array[Long]): BigInt =
+      qc.map(x => BigInt(x) * BigInt(x)).reduce(_ + _)
+    if (quad(qc2) * norm2(qc1) > quad(qc1) * norm2(qc2)) {
+      val t = qc1; qc1 = qc2; qc2 = t
+    }
     val qMean = s.map(x => math.round(x.toDouble / n))
     val off1 = qMean.indices.foldLeft(0L)((a, i) => a + qMean(i) * qc1(i))
     val off2 = qMean.indices.foldLeft(0L)((a, i) => a + qMean(i) * qc2(i))
