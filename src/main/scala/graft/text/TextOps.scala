@@ -1165,32 +1165,52 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         expr(s"cast(conv(substr(md5(bg), 1, 15), 16, 10) as bigint)" +
           s" % $DsirBuckets").as("bucket"))
+      // bucket is never null (md5 of a non-null string), but Catalyst
+      // types it nullable, so the scoring JOIN pushes isnotnull into
+      // its branch only — making the two dkb subtrees canonically
+      // unequal and defeating AQE exchange reuse (measured: the lr
+      // branch re-tokenized the corpus). Carrying the no-op filter on
+      // BOTH branches restores the single-scan plan.
+      .filter(col("bucket").isNotNull)
 
-  /** The per-bucket µnat log-ratio table (≤ [[DsirBuckets]] rows at any
-    * corpus size — broadcastable, or collectible as a scoring map for
-    * the streaming twin [[graft.streaming.DsirStream]]). */
-  def dsirLogRatioTable(spark: SparkSession, sfDir: String): DataFrame = {
+  /** counts → lr projection shared by the standalone table and the
+    * fused weight query: both-distribution totals via a GLOBAL WINDOW
+    * over the ≤[[DsirBuckets]]-row census (safe single-partition — the
+    * input is domain-bounded, never corpus-sized; the former
+    * crossJoin(counts.agg) re-derived the census a second time, which
+    * defeated exchange reuse and re-tokenized the corpus), each
+    * ln(integer) µnat-quantized per value. */
+  private def dsirLrFromCounts(counts: DataFrame): DataFrame = {
     val B = DsirBuckets
-    // BOTH distributions in one conditional-count aggregation over one
-    // bigram scan, checkpointed at ≤ B rows: the naive
-    // sc-join-tc-join-totals shape re-ran the explode+md5 scan once per
-    // branch (5× on the round-10 bench — it was the catalog's slowest
-    // query at 1.66 s/pass)
-    val counts = dsirBigrams(spark, sfDir)
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("sc"),
-        count(when(col("source").isin("src1", "src2", "src3"), 1))
-          .as("tc"))
-      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     counts
-      .crossJoin(broadcast(
-        counts.agg(sum("sc").as("ts_tot"), sum("tc").as("tt_tot"))))
+      .withColumn("ts_tot", sum("sc").over(w))
+      .withColumn("tt_tot", sum("tc").over(w))
       .select(col("bucket"), expr(
         s"""(cast(round(ln(tc + 1) * 1000000) as bigint)
            |  - cast(round(ln(tt_tot + $B) * 1000000) as bigint))
            |- (cast(round(ln(sc + 1) * 1000000) as bigint)
            |  - cast(round(ln(ts_tot + $B) * 1000000) as bigint))"""
           .stripMargin).as("lr"))
+  }
+
+  /** The per-bucket µnat log-ratio table (≤ [[DsirBuckets]] rows at any
+    * corpus size — broadcastable, or collectible as a scoring map for
+    * the streaming twin [[graft.streaming.DsirStream]]). */
+  def dsirLogRatioTable(spark: SparkSession, sfDir: String): DataFrame = {
+    // BOTH distributions in one conditional-count aggregation over one
+    // bigram scan, checkpointed at ≤ B rows: the naive
+    // sc-join-tc-join-totals shape re-ran the explode+md5 scan once per
+    // branch (5× on the round-10 bench — it was the catalog's slowest
+    // query at 1.66 s/pass)
+    dsirLrFromCounts(dsirBigrams(spark, sfDir)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("sc"),
+        count(when(col("source").isin("src1", "src2", "src3"), 1))
+          .as("tc"))
+      .localCheckpoint())
   }
 
   /** The (bucket → lr) scoring map: ≤ [[DsirBuckets]] longs, the
@@ -1200,11 +1220,25 @@ object TextOps {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   def textDsirWeight(spark: SparkSession, sfDir: String): DataFrame = {
-    val bi = dsirBigrams(spark, sfDir)
-    val lr = dsirLogRatioTable(spark, sfDir)
-    bi.join(broadcast(lr), Seq("bucket"))
+    // ONE tokenize (r11, the textBigramLm lesson): fold the explode
+    // straight into per-(doc, bucket) occurrence counts — the only
+    // corpus-sized shuffle — and let that single exchange feed BOTH
+    // the feature-table branch and the scoring probe via AQE stage
+    // reuse (no checkpoint here: a checkpointed lr would run in its
+    // own execution and the probe would re-tokenize; the standalone
+    // [[dsirLogRatioTable]] keeps its checkpoint for serving use)
+    val dkb = dsirBigrams(spark, sfDir)
+      .groupBy("doc_id", "source", "bucket")
+      .agg(count(lit(1)).as("k"))
+    val lr = dsirLrFromCounts(dkb
+      .groupBy("bucket")
+      .agg(sum("k").as("sc"),
+        sum(when(col("source").isin("src1", "src2", "src3"), col("k"))
+          .otherwise(0L)).as("tc")))
+    dkb.join(broadcast(lr), Seq("bucket"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("lr").as("dsir_sum_e6"))
+      .agg(sum("k").as("n_bigrams"),
+        sum(col("k") * col("lr")).as("dsir_sum_e6"))
       .select(col("doc_id"), col("n_bigrams"), col("dsir_sum_e6"),
         (col("dsir_sum_e6") > 0L).as("selected"))
       .orderBy("doc_id")

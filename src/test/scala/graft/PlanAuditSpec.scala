@@ -51,8 +51,11 @@ class PlanAuditSpec extends SparkSuite {
     //    nll_e4 domain (~1e5 rows at ANY corpus size), never
     //    corpus-sized rows; replaced the r10 O(S²) triangular BNLJ
     //    (TextPplBucketSpec re-derives every decile on the driver).
+    //  - text_dsir_weight: the totals window's input is the ≤1024-row
+    //    bucket census (domain-bounded); the former crossJoin(agg)
+    //    re-derived the census and defeated exchange reuse.
     val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk", "pipe_curriculum",
-      "ev_gapfill", "text_zipf_fit", "text_ppl_bucket")
+      "ev_gapfill", "text_zipf_fit", "text_ppl_bucket", "text_dsir_weight")
     val offenders = plans.filter { case (name, p) =>
       !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
@@ -178,7 +181,19 @@ class PlanAuditSpec extends SparkSuite {
     // but the runtime plan must collapse to ONE FileScan via
     // ReusedExchange — 2+ scans means a branch re-tokenizes the corpus
     // (the r10 shape this replaced)
-    val df = SparkEntry.queries("text_bigram_lm")(spark, sf0001)
+    assertExecutedSingleScan("text_bigram_lm", minReused = 2)
+  }
+
+  test("text_dsir_weight tokenizes the corpus once (AQE stage reuse)") {
+    // feature-table build and scoring probe share the per-(doc, source,
+    // bucket) exchange; nullability of the md5 bucket key silently
+    // broke canonical equality once (join-side isnotnull pushdown) —
+    // this pin keeps the single-scan plan from regressing
+    assertExecutedSingleScan("text_dsir_weight", minReused = 1)
+  }
+
+  private def assertExecutedSingleScan(name: String, minReused: Int): Unit = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
     df.queryExecution.executedPlan.executeCollect()
     val plan = {
       val raw = df.queryExecution.executedPlan.toString
@@ -187,7 +202,8 @@ class PlanAuditSpec extends SparkSuite {
     }
     val scans = "FileScan".r.findAllIn(plan).size
     val reused = "ReusedExchange".r.findAllIn(plan).size
-    assert(scans == 1, s"expected 1 FileScan, got $scans:\n$plan")
-    assert(reused >= 2, s"expected >=2 ReusedExchange, got $reused:\n$plan")
+    assert(scans == 1, s"$name: expected 1 FileScan, got $scans:\n$plan")
+    assert(reused >= minReused,
+      s"$name: expected >=$minReused ReusedExchange, got $reused:\n$plan")
   }
 }
