@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * reference's `GET /counts` endpoint (`app3/live_counts.py:73-95`):
   * answers `{"gender": {...}, "occupation": {...}, "age": {...}}`
   * computed from the accumulated `feedback_raw`-style table, 500 with
-  * the error text on failure, 404 elsewhere (the reference serves its
-  * static dashboard on other paths; the engine shim has no files to
-  * serve).
+  * the error text on failure; `GET /` serves a self-contained HTML
+  * dashboard (the functional twin of `app3/index.html`: three SVG bar
+  * panels polling `/counts` every 2 s — written from scratch, no
+  * reference markup), 404 elsewhere.
   *
   * Same serving pattern as [[graft.reco.RecommenderService]]: JDK
   * built-in HttpServer + Spark's own Jackson, zero added dependencies.
@@ -88,10 +89,67 @@ object LiveCountsService {
     })
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        ex.sendResponseHeaders(404, -1); ex.close()
+        if (ex.getRequestMethod == "GET" &&
+          (ex.getRequestURI.getPath == "/" ||
+            ex.getRequestURI.getPath == "/index.html")) {
+          respond(ex, 200, "text/html; charset=utf-8",
+            DashboardHtml.getBytes(StandardCharsets.UTF_8))
+        } else { ex.sendResponseHeaders(404, -1); ex.close() }
       }
     })
     server.start()
     new Handle(server)
   }
+
+  /** Zero-dependency live dashboard: three bar panels fed by /counts. */
+  private[streaming] val DashboardHtml: String =
+    """<!DOCTYPE html>
+      |<html><head><meta charset="utf-8"/>
+      |<title>graft live counts</title>
+      |<style>
+      | body{font-family:sans-serif;margin:1rem;background:#fafafa}
+      | .panel{display:inline-block;vertical-align:top;background:#fff;
+      |   border:1px solid #ddd;border-radius:8px;padding:.75rem;
+      |   margin:.5rem;min-width:280px}
+      | .panel h3{margin:.1rem 0 .5rem}
+      |</style></head><body>
+      |<h2>Live feedback counts</h2>
+      |<div id="state">waiting for data…</div>
+      |<div class="panel"><h3>gender</h3><svg id="p_gender" width="280" height="200"></svg></div>
+      |<div class="panel"><h3>age</h3><svg id="p_age" width="280" height="200"></svg></div>
+      |<div class="panel"><h3>occupation</h3><svg id="p_occupation" width="280" height="280"></svg></div>
+      |<script>
+      |const NS='http://www.w3.org/2000/svg';
+      |function bars(id,counts){
+      |  const svg=document.getElementById('p_'+id);
+      |  while(svg.firstChild)svg.removeChild(svg.firstChild);
+      |  const es=Object.entries(counts||{}).sort((a,b)=>b[1]-a[1]);
+      |  if(!es.length)return;
+      |  const top=Math.max(...es.map(e=>e[1]));
+      |  es.forEach(([k,v],i)=>{
+      |    const r=document.createElementNS(NS,'rect');
+      |    r.setAttribute('x',0);r.setAttribute('y',i*24);
+      |    r.setAttribute('height',18);
+      |    r.setAttribute('width',Math.max(2,220*v/top));
+      |    r.setAttribute('fill','#3a7bd5');svg.appendChild(r);
+      |    const t=document.createElementNS(NS,'text');
+      |    t.setAttribute('x',4);t.setAttribute('y',i*24+14);
+      |    t.setAttribute('fill','#fff');t.setAttribute('font-size','12');
+      |    t.textContent=k+' ('+v+')';svg.appendChild(t);
+      |  });
+      |}
+      |async function tick(){
+      |  try{
+      |    const r=await fetch('/counts');
+      |    const c=await r.json();
+      |    document.getElementById('state').textContent=
+      |      'updated '+new Date().toLocaleTimeString();
+      |    for(const d of ['gender','age','occupation'])bars(d,c[d]);
+      |  }catch(e){
+      |    document.getElementById('state').textContent='error: '+e;
+      |  }
+      |}
+      |tick();setInterval(tick,2000);
+      |</script></body></html>
+      |""".stripMargin
 }

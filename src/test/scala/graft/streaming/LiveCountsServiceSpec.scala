@@ -70,7 +70,10 @@ class LiveCountsServiceSpec extends SparkSuite {
           s"$dim: got $gm want $want")
       }
 
-      // contract edges: other paths 404, POST to /counts 404
+      // the root serves the self-contained dashboard page
+      val (hc, hb) = get(svc.port, "/")
+      assert(hc == 200 && hb.contains("<svg") && hb.contains("/counts"), hb.take(120))
+      // contract edges: other paths 404
       assert(get(svc.port, "/nope")._1 == 404)
     } finally { svc.stop(); q.stop() }
   }
