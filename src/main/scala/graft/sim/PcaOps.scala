@@ -118,8 +118,15 @@ object PcaOps {
       qc1: Array[Long], qc2: Array[Long],
       off1: Long, off2: Long)
 
-  private[sim] def solve(spark: SparkSession, sfDir: String): Solve = {
-    val emb = Tables.embeddings(spark, sfDir)
+  private[sim] def solve(spark: SparkSession, sfDir: String): Solve =
+    solveDf(spark, Tables.embeddings(spark, sfDir))
+
+  /** DataFrame-injectable solve — PcaPropertySpec feeds generated
+    * corpora (flat spectra, duplicate directions) through the same
+    * path the catalog entry uses. */
+  private[sim] def solveDf(spark: SparkSession, embeddings: DataFrame)
+      : Solve = {
+    val emb = embeddings
       .select(col("vec_id"), quantizedVec.as("qvec"))
     val dim = emb.select(size(col("qvec"))).head().getInt(0)
     val (n, s, cUpper) = moments(emb, dim)
@@ -217,8 +224,13 @@ object PcaOps {
     *    exact integer bound implied by mean-rounding, checked in
     *    BigInt from the moments alone (no second data pass).
     */
-  def pcaInvariants(spark: SparkSession, sfDir: String): DataFrame = {
-    val sv = solve(spark, sfDir)
+  def pcaInvariants(spark: SparkSession, sfDir: String): DataFrame =
+    pcaInvariantsDf(spark, Tables.embeddings(spark, sfDir))
+
+  /** DataFrame-injectable twin of [[pcaInvariants]] (see [[solveDf]]). */
+  private[sim] def pcaInvariantsDf(spark: SparkSession,
+      embeddings: DataFrame): DataFrame = {
+    val sv = solveDf(spark, embeddings)
     val n = BigInt(sv.n)
     def cFull(i: Int, j: Int): BigInt =
       BigInt(if (i <= j) sv.cUpper(i)(j) else sv.cUpper(j)(i))
