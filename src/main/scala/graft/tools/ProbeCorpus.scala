@@ -18,15 +18,21 @@ import org.apache.spark.sql.SparkSession
   *    by the r11 probe itself). 2·(dim−1) distinct transforms; near
   *    -zero |cross-copy cosine| within each cycle on this fixture;
   *  - events: id-shifted copies, timestamps unchanged (N× hourly
-  *    volume over the same span).
-  *
-  * Only the three non-TPC-H tables are generated (the TPC-H side has
-  * no generator here).
+  *    volume over the same span);
+  *  - TPC-H side (r11, `includeTpch = true`): key-CONSISTENT salted
+  *    copies — every foreign key shifts by the same per-copy offset
+  *    as its referenced primary key (o_custkey with c_custkey,
+  *    l_orderkey/l_partkey/l_suppkey with their parents), so join
+  *    selectivity, group cardinalities per key, and value
+  *    distributions are preserved at N× volume; region/nation (fixed
+  *    dimension vocabularies) are copied verbatim, so per-nation
+  *    group COUNTS scale N× like a real N×-bigger business would.
   */
 object ProbeCorpus {
 
   def generate(spark: SparkSession, sfDir: String, dir: String,
-      copies: Int): Unit = {
+      copies: Int, includeTpch: Boolean = false): Unit = {
+    if (includeTpch) generateTpch(spark, sfDir, dir, copies)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDoc = docs.selectExpr("max(doc_id)").head().getLong(0) + 1
     (0 until copies).map { c =>
@@ -63,5 +69,45 @@ object ProbeCorpus {
         "props")
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  /** Key-consistent ×N TPC-H side (see object doc). Offsets for every
+    * key family come from max(key)+1 so copies never collide.
+    */
+  private def generateTpch(spark: SparkSession, sfDir: String,
+      dir: String, copies: Int): Unit = {
+    def maxOf(table: String, key: String): Long =
+      spark.read.parquet(s"$sfDir/$table.parquet")
+        .selectExpr(s"max($key)").head().getAs[Number](0).longValue() + 1
+    val nCust = maxOf("customer", "c_custkey")
+    val nOrd = maxOf("orders", "o_orderkey")
+    val nPart = maxOf("part", "p_partkey")
+    val nSupp = maxOf("supplier", "s_suppkey")
+
+    def salted(table: String, shifted: Map[String, Long]): Unit = {
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      val cols = base.columns
+      (0 until copies).map { c =>
+        if (c == 0) base
+        else base.selectExpr(cols.map { col =>
+          shifted.get(col) match {
+            case Some(n) => s"$col + ${c * n} as $col"
+            case None => col
+          }
+        }.toIndexedSeq: _*)
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    }
+    // fixed dimension vocabularies: verbatim
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    salted("customer", Map("c_custkey" -> nCust))
+    salted("supplier", Map("s_suppkey" -> nSupp))
+    salted("part", Map("p_partkey" -> nPart))
+    salted("orders", Map("o_orderkey" -> nOrd, "o_custkey" -> nCust))
+    salted("lineitem", Map("l_orderkey" -> nOrd, "l_partkey" -> nPart,
+      "l_suppkey" -> nSupp))
   }
 }

@@ -47,7 +47,8 @@ object ScaleProbe {
 
     val dir = java.nio.file.Files.createTempDirectory("graft_scaleprobe")
     try {
-      ProbeCorpus.generate(spark, sfDir, dir.toString, copies)
+      ProbeCorpus.generate(spark, sfDir, dir.toString, copies,
+        includeTpch = true)
       val qs = names.split(",").toSeq
       val rows = qs.map { q =>
         (1 to 2).foreach(_ => runOnce(q, sfDir))
@@ -71,7 +72,8 @@ object ScaleProbe {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val line =
         s"""{"metric":"scale_probe","base_sf":"$sfDir","copies":$copies,""" +
-          s""""scaled_tables":["documents","embeddings","events"],""" +
+          s""""scaled_tables":["documents","embeddings","events",""" +
+          s""""customer","orders","lineitem","part","supplier"],""" +
           s""""flag_threshold":$flagBar,""" +
           s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""base_sec":${jq(rows.map(r => r._1 -> r._2))},""" +
