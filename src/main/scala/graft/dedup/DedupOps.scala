@@ -107,8 +107,33 @@ object DedupOps {
       |HAVING count(*) > 1
       |ORDER BY fp""".stripMargin
 
-  /** Jaccard threshold for the n-gram near-dup join. */
-  val ngramJacThreshold = 0.8
+  /** Near-dup thresholds as exact RATIONALS — one definition feeds the
+    * Spark integer filters, the SQL twins, and the docs (r11 advice:
+    * the integer predicates previously hard-coded 4/5/9/17 while the
+    * Double constants no longer drove behavior, so editing a constant
+    * silently changed nothing). Derived Double views are kept for
+    * callers that want the scalar.
+    *
+    * The derived integer forms, for a threshold t = num/den:
+    *  - prefix length:  n − ⌈t·n⌉ + 1       = n − (num·n + den−1) div den + 1
+    *  - min overlap  :  ⌈t/(1+t)·(na+nb)⌉   = (num·(na+nb) + num+den−1) div (num+den)
+    *  - acceptance   :  inter/(na+nb−inter) ≥ t  ⟺  inter·(num+den) ≥ num·(na+nb)
+    *  - containment  :  inter/na ≥ t        ⟺  inter·den ≥ num·na
+    */
+  /** n-gram Jaccard near-dup threshold: 4/5 = 0.8. */
+  val jacNum = 4L
+  val jacDen = 5L
+  val ngramJacThreshold: Double = jacNum.toDouble / jacDen
+
+  /** One-sided containment threshold: 4/5 = 0.8. */
+  val contNum = 4L
+  val contDen = 5L
+  val containThreshold: Double = contNum.toDouble / contDen
+
+  /** MinHash-LSH exact-verify Jaccard threshold: 7/10 = 0.7. */
+  val lshNum = 7L
+  val lshDen = 10L
+  val lshJacThreshold: Double = lshNum.toDouble / lshDen
 
   /** Corpus-size bound for broadcasting the verify-side shingle-array
     * relation: ~1e5 docs × ~50 longs ≈ 80 MB — the edge of a sane
@@ -121,9 +146,8 @@ object DedupOps {
     * executor, plain (shuffled) join beyond — the r11 ×100 probe
     * measured the unconditional broadcast at 46 GB of spill.
     */
-  private def verifyArraysSide(docsM: DataFrame)
-      : DataFrame => DataFrame = {
-    val small = docsM.count() <= BroadcastDocLimit
+  private def verifyArraysSide(ndocs: Long): DataFrame => DataFrame = {
+    val small = ndocs <= BroadcastDocLimit
     side => if (small) broadcast(side) else side
   }
 
@@ -187,13 +211,15 @@ object DedupOps {
       .localCheckpoint()
     val dfs = ex.groupBy("ngram").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "ngram")
-    // exact prefix length for Jaccard >= 4/5 is n - ceil(4n/5) + 1,
-    // computed in INTEGER arithmetic: floor(n * (1.0 - 0.8)) rounds the
-    // double 0.19999... down one element whenever 5 | n, silently
-    // dropping true pairs (found by differential test vs brute force)
+    // exact prefix length for Jaccard >= num/den is n - ceil(num·n/den)
+    // + 1, computed in INTEGER arithmetic: floor(n * (1.0 - 0.8))
+    // rounds the double 0.19999... down one element whenever 5 | n,
+    // silently dropping true pairs (found by differential test vs
+    // brute force)
     val prefix = ex.join(dfs, Seq("ngram"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
+      .filter(col("rn") <= expr(
+        s"n - (($jacNum * n + ${jacDen - 1}) div $jacDen) + 1"))
       // a df=1 prefix entry is carried by exactly one doc (per-doc
       // shingle sets are distinct), so it cannot produce a candidate —
       // dropping it is EXACT; rn was computed before the cut, so the
@@ -206,11 +232,14 @@ object DedupOps {
       col("rn").as("rb"), col("ngram"))
     val cand = px.join(py, Seq("ngram"))
       .filter(col("da") < col("db"))
-      // length filter: 5·min(n) >= 4·max(n)
-      .filter(expr("5 * least(na, nb) >= 4 * greatest(na, nb)"))
-      // positional filter: 1 + min(na-ra, nb-rb) >= ceil(4(na+nb)/9)
+      // length filter: den·min(n) >= num·max(n)
       .filter(expr(
-        "1 + least(na - ra, nb - rb) >= (4 * (na + nb) + 8) div 9"))
+        s"$jacDen * least(na, nb) >= $jacNum * greatest(na, nb)"))
+      // positional filter: 1 + min(na-ra, nb-rb) >=
+      // ceil(num·(na+nb)/(num+den))
+      .filter(expr(s"1 + least(na - ra, nb - rb) >= " +
+        s"($jacNum * (na + nb) + ${jacNum + jacDen - 1}) div " +
+        s"${jacNum + jacDen}"))
       .select("da", "db", "na", "nb")
       .distinct()
     // verify candidates against FULL shingle sets with array_intersect:
@@ -221,18 +250,19 @@ object DedupOps {
     // one executor, shuffled join beyond — the r11 ×100 probe measured
     // the unconditional broadcast at 46 GB of spill (effectively hung),
     // exactly the corpus size where broadcast must hand over
-    val arrJoin = verifyArraysSide(docsM)
+    val arrJoin = verifyArraysSide(docsM.count())
     cand
       .join(arrJoin(docsM.select(col("doc_id").as("da"), col("ng").as("nga"))),
         Seq("da"))
       .join(arrJoin(docsM.select(col("doc_id").as("db"), col("ng").as("ngb"))),
         Seq("db"))
       .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
-      // EXACT integer acceptance: inter/(na+nb-inter) >= 4/5 ⟺
-      // 9·inter >= 4·(na+nb) — the same bound the prefix/positional
-      // filters prune with (a rounded-double acceptance admitted
-      // jaccard in [0.79995, 0.8) that the candidate stage prunes)
-      .filter(expr("inter * 9 >= (na + nb) * 4"))
+      // EXACT integer acceptance: inter/(na+nb-inter) >= num/den ⟺
+      // (num+den)·inter >= num·(na+nb) — the same bound the prefix/
+      // positional filters prune with (a rounded-double acceptance
+      // admitted jaccard in [0.79995, 0.8) that the candidate stage
+      // prunes)
+      .filter(expr(s"inter * ${jacNum + jacDen} >= (na + nb) * $jacNum"))
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))
       .select("da", "db", "jac")
@@ -258,7 +288,7 @@ object DedupOps {
       |      row_number() OVER (PARTITION BY e.doc_id
       |        ORDER BY dfs.df, e.ngram) AS rn
       |    FROM e JOIN dfs USING (ngram))
-      |  WHERE rn <= n - ((4 * n + 4) // 5) + 1),
+      |  WHERE rn <= n - (($jacNum * n + ${jacDen - 1}) // $jacDen) + 1),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.n AS na,
       |    y.n AS nb
@@ -273,11 +303,19 @@ object DedupOps {
       |SELECT da, db,
       |  round(inter::DOUBLE / (na + nb - inter), 4) AS jac
       |FROM inter
-      |WHERE inter * 9 >= (na + nb) * 4
+      |WHERE inter * ${jacNum + jacDen} >= (na + nb) * $jacNum
       |ORDER BY da, db""".stripMargin
 
-  /** Containment threshold for the one-sided near-dup join. */
-  val containThreshold = 0.8
+  /** Hot-shingle bound for the containment candidate join: a shingle
+    * whose document frequency exceeds max(HotDfFloor, ndocs/HotDfDiv)
+    * is HOT and is excluded from the exact prefix join (its posting
+    * list would make the join quadratic). Docs whose entire usable
+    * prefix is hot are routed through the MinHash band screen instead
+    * — see [[dedupContainment]].
+    */
+  val HotDfFloor = 50L
+  val HotDfDiv = 1000L
+  def hotDfBound(ndocs: Long): Long = math.max(HotDfFloor, ndocs / HotDfDiv)
 
   /** Asymmetric CONTAINMENT near-dups: ordered pairs (da, db) where
     * ≥ 80% of da's trigram shingles also appear in db — the case
@@ -291,21 +329,40 @@ object DedupOps {
     * its ⌊na−⌈t·na⌉⌋+1 globally rarest shingles while db must keep
     * full postings (the container has no length bound — that asymmetry
     * is inherent to containment, not a design choice). Two exact
-    * pre-verify filters: 5·nb ≥ 4·na (overlap can't exceed nb) and the
-    * one-sided positional bound 1 + min(na−ra, nb−rb) ≥ ⌈4·na/5⌉.
-    * Candidates verify with one array_intersect against the
+    * pre-verify filters: contDen·nb ≥ contNum·na (overlap can't exceed
+    * nb) and the one-sided positional bound 1 + min(na−ra, nb−rb) ≥
+    * ⌈t·na⌉. Candidates verify with one array_intersect against the
     * checkpointed full sets. DedupSpec holds the unfiltered
     * brute-force differential.
     *
-    * Measured boundary (SCALE_PROBE_r11): on the synthetic fixture,
-    * whose 31-word vocabulary SATURATES the trigram space (~3e4
-    * shingles) once the corpus passes ~1e5 docs, every shingle goes
-    * hot and the full-postings side makes candidates near-quadratic —
-    * 50.8× time at 30× data (flagged). That is a property of
-    * vocabulary-collapsed data, not the operator: natural corpora
-    * keep growing vocabulary, so the rarest-shingle prefix stays
-    * selective. For data like that the sublinear containment screen
-    * is the LSH family ([[dedupMinhashLsh]]: 6.6× at 100×, measured).
+    * HOT-SHINGLE GUARD (r12; the r11 ×30 probe measured the unguarded
+    * join at 50.8× time for 30× data): real corpora contain
+    * vocabulary-collapsed regions — boilerplate, templated pages,
+    * license headers — where shingle document frequencies grow with
+    * the corpus and the full-postings side of the prefix join
+    * degenerates toward all-pairs. The guard bounds the exact join's
+    * per-shingle postings at df ≤ B, B = [[hotDfBound]] (df-fraction
+    * capping, the standard prefix-filtering defense), and routes the
+    * docs the cap starves — those whose ENTIRE usable prefix (df ≥ 2
+    * entries) is hot — through the MinHash band screen over the same
+    * hashed shingle sets (the [[dedupMinhashLsh]] candidate
+    * generator, here emitting both orientations of each colliding
+    * pair). Both paths feed the unchanged EXACT verify
+    * (inter·contDen ≥ contNum·na over full shingle sets), so accepted
+    * pairs are always true containment pairs. Semantics: candidate
+    * generation stays EXACT while no shingle is hot (healthy
+    * vocabulary — at sf0.1 the max df is 25 vs B = 50, so the output
+    * is bit-identical to the unguarded operator); in hot regions
+    * recall degrades gracefully to the band screen's (a pair sharing
+    * ONLY hot prefix shingles while one side also carries a cold one
+    * can be missed — the price of not being quadratic there). The
+    * DuckDB oracle mirrors the cap and the routing decision
+    * bit-exactly, so the gate stays hash-green in both regimes.
+    *
+    * On a 1000-executor/100 TB run the same shape holds: df counts and
+    * the band screen are linear aggregations, the capped join's
+    * per-shingle work is bounded by B, and B tracks corpus size
+    * through the ndocs/HotDfDiv term.
     */
   def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -320,6 +377,10 @@ object DedupOps {
           "as bigint))")))
       .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
     val docsM = docs.localCheckpoint()
+    // one driver-side count serves the hot bound AND the verify-side
+    // broadcast decision (docsM is checkpointed: O(partitions))
+    val ndocs = docsM.count()
+    val hotB = hotDfBound(ndocs)
     val ex = docsM.select(col("doc_id"), col("n"),
       explode(col("ng")).as("ngram"))
       .localCheckpoint()
@@ -334,39 +395,106 @@ object DedupOps {
       // 1.9 s → 0.6 s at sf0.1). rn is computed BEFORE the cut, so the
       // positional filter still sees true prefix positions.
       .filter(col("df") >= 2)
-      .localCheckpoint() // feeds both the prefix side and full postings
-    val px = ranked.filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
+      .localCheckpoint() // feeds prefix side, full postings, hot routing
+    val pe = ranked.filter(col("rn") <= expr(
+      s"n - (($contNum * n + ${contDen - 1}) div $contDen) + 1"))
+    // EXACT path, df-capped on BOTH sides: if a pair shares a COLD
+    // prefix shingle of the contained side it is generated here (the
+    // hot side of that shingle's postings cannot exist — the shingle
+    // is cold corpus-wide)
+    val px = pe.filter(col("df") <= hotB)
       .select(col("doc_id").as("da"), col("n").as("na"),
         col("rn").as("ra"), col("ngram"))
-    val py = ranked.select(col("doc_id").as("db"), col("n").as("nb"),
-      col("rn").as("rb"), col("ngram"))
-    val cand = px.join(py, Seq("ngram"))
+    val py = ranked.filter(col("df") <= hotB)
+      .select(col("doc_id").as("db"), col("n").as("nb"),
+        col("rn").as("rb"), col("ngram"))
+    val candCold = px.join(py, Seq("ngram"))
       .filter(col("da") =!= col("db"))
-      .filter(expr("5 * nb >= 4 * na"))
-      .filter(expr("1 + least(na - ra, nb - rb) >= (4 * na + 4) div 5"))
+      .filter(expr(s"$contDen * nb >= $contNum * na"))
+      .filter(expr(s"1 + least(na - ra, nb - rb) >= " +
+        s"($contNum * na + ${contDen - 1}) div $contDen"))
       .select("da", "db", "na")
-      .distinct()
-    val arrJoin = verifyArraysSide(docsM)
+    // routing: docs with NO cold usable-prefix entry can't reach the
+    // exact path — screen them through MinHash bands instead. (A doc
+    // with no df>=2 prefix entry at all has no true pair — exact.)
+    val hotDocs = pe.groupBy("doc_id").agg(min("df").as("mindf"))
+      .filter(col("mindf") > hotB)
+      .select("doc_id")
+    val nHot = hotDocs.count()
+    val cand0 = if (nHot == 0) candCold else {
+      // MinHash band signatures straight from the hashed shingles
+      // (hb = shingle mod P) — same 16-perm, 4x4-band family as
+      // [[dedupMinhashLsh]], identical in the oracle
+      val hb = ex.select(col("doc_id"), expr(s"ngram % $P").as("hb"))
+      val mhAggs = perms.zipWithIndex.map { case ((a, b), i) =>
+        min(expr(s"($a * hb + $b) % $P")).as(s"mh$i")
+      }
+      val sig = hb.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      val bandCols = (0 until bands).map { j =>
+        val ms = (0 until rowsPerBand)
+          .map(r => col(s"mh${rowsPerBand * j + r}"))
+        struct(lit(j).as("band"), md5(concat_ws(",", ms: _*)).as("sig"))
+      }
+      val buckets = sig.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"),
+          col("bs.sig").as("sig"))
+      val hotBuckets = buckets.join(hotDocs, Seq("doc_id"))
+      val hp = hotBuckets.as("a").join(buckets.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      // containment is ordered — emit BOTH orientations of each band
+      // collision (the length filter kills the impossible direction)
+      val lens = docsM.select(col("doc_id"), col("n"))
+      val candHot = hp.select(col("x").as("da"), col("y").as("db"))
+        .unionByName(hp.select(col("y").as("da"), col("x").as("db")))
+        .join(lens.select(col("doc_id").as("da"), col("n").as("na")),
+          Seq("da"))
+        .join(lens.select(col("doc_id").as("db"), col("n").as("nb")),
+          Seq("db"))
+        .filter(expr(s"$contDen * nb >= $contNum * na"))
+        .select("da", "db", "na")
+      candCold.unionByName(candHot)
+    }
+    val cand = cand0.distinct()
+    val arrJoin = verifyArraysSide(ndocs)
     cand
       .join(arrJoin(docsM.select(col("doc_id").as("da"),
         col("ng").as("nga"))), Seq("da"))
       .join(arrJoin(docsM.select(col("doc_id").as("db"),
         col("ng").as("ngb"))), Seq("db"))
       .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
-      // acceptance is the EXACT integer predicate inter/na >= 4/5 —
-      // the same bound the prefix/positional/length filters prune
-      // with. (r10 advice: accepting on the ROUNDED cont let a pair
-      // with containment in [0.79995, 0.8) pass the verify while the
+      // acceptance is the EXACT integer predicate inter/na >= t — the
+      // same bound the prefix/positional/length filters prune with.
+      // (r10 advice: accepting on the ROUNDED cont let a pair with
+      // containment in [0.79995, 0.8) pass the verify while the
       // candidate stage could prune it — a latent exactness gap for
       // docs with >= 20k shingles.) cont stays as an output column.
-      .filter(expr("inter * 5 >= na * 4"))
+      .filter(expr(s"inter * $contDen >= na * $contNum"))
       .withColumn("cont",
         round(col("inter").cast("double") / col("na"), 4))
       .select("da", "db", "cont")
       .orderBy("da", "db")
   }
 
-  val dedupContainmentSql: String =
+  /** DuckDB mirror of [[dedupContainment]] including the hot-shingle
+    * guard: the df cap, the all-hot-prefix routing decision, and the
+    * MinHash band screen replay bit-for-bit (same md5-derived 60-bit
+    * shingle hashes, same (a,b) permutation family mod P, same band
+    * signature md5) so both engines generate the identical candidate
+    * set in every regime.
+    */
+  val dedupContainmentSql: String = {
+    val mhCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * hb + $b) % $P) AS mh$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { j =>
+      val ms = (0 until rowsPerBand).map(r => s"mh${rowsPerBand * j + r}")
+        .mkString(", ")
+      s"SELECT doc_id, $j AS band, md5(concat_ws(',', $ms)) AS sig FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
@@ -378,27 +506,65 @@ object DedupOps {
       |    AS ng
       |  FROM t),
       |e AS (SELECT doc_id, len(ng) AS n, unnest(ng) AS ngram FROM g),
+      |params AS (
+      |  SELECT greatest($HotDfFloor, count(*) // $HotDfDiv) AS hotb
+      |  FROM g),
       |dfs AS (SELECT ngram, count(*) AS df FROM e GROUP BY ngram),
       |ranked AS (
-      |  SELECT e.doc_id, e.n, e.ngram,
-      |    row_number() OVER (PARTITION BY e.doc_id
-      |      ORDER BY dfs.df, e.ngram) AS rn
-      |  FROM e JOIN dfs USING (ngram)),
-      |cand AS (
-      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.n AS na
-      |  FROM (SELECT * FROM ranked
-      |        WHERE rn <= n - ((4 * n + 4) // 5) + 1) x
-      |  JOIN ranked y
+      |  SELECT doc_id, n, ngram, df, rn FROM (
+      |    SELECT e.doc_id, e.n, e.ngram, dfs.df,
+      |      row_number() OVER (PARTITION BY e.doc_id
+      |        ORDER BY dfs.df, e.ngram) AS rn
+      |    FROM e JOIN dfs USING (ngram))
+      |  WHERE df >= 2),
+      |pe AS (
+      |  SELECT * FROM ranked
+      |  WHERE rn <= n - (($contNum * n + ${contDen - 1}) // $contDen) + 1),
+      |cold AS (
+      |  SELECT x.doc_id AS da, y.doc_id AS db, x.n AS na
+      |  FROM (SELECT * FROM pe
+      |        WHERE df <= (SELECT hotb FROM params)) x
+      |  JOIN (SELECT * FROM ranked
+      |        WHERE df <= (SELECT hotb FROM params)) y
       |    ON x.ngram = y.ngram AND x.doc_id != y.doc_id
-      |    AND 5 * y.n >= 4 * x.n
-      |    AND 1 + least(x.n - x.rn, y.n - y.rn) >= (4 * x.n + 4) // 5)
+      |    AND $contDen * y.n >= $contNum * x.n
+      |    AND 1 + least(x.n - x.rn, y.n - y.rn)
+      |        >= ($contNum * x.n + ${contDen - 1}) // $contDen),
+      |hot AS (
+      |  SELECT doc_id FROM pe GROUP BY doc_id
+      |  HAVING min(df) > (SELECT hotb FROM params)),
+      |hbt AS (SELECT doc_id, ngram % $P AS hb FROM e),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $mhCols
+      |  FROM hbt GROUP BY doc_id),
+      |bandt AS (
+      |  $bandSelects),
+      |hp AS (
+      |  SELECT a.doc_id AS x, b.doc_id AS y
+      |  FROM bandt a
+      |  JOIN hot h ON h.doc_id = a.doc_id
+      |  JOIN bandt b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id != b.doc_id),
+      |lens AS (SELECT doc_id, len(ng) AS n FROM g),
+      |hotc AS (
+      |  SELECT p.da, p.db, la.n AS na
+      |  FROM (SELECT x AS da, y AS db FROM hp
+      |        UNION ALL SELECT y AS da, x AS db FROM hp) p
+      |  JOIN lens la ON la.doc_id = p.da
+      |  JOIN lens lb ON lb.doc_id = p.db
+      |  WHERE $contDen * lb.n >= $contNum * la.n),
+      |cand AS (
+      |  SELECT DISTINCT da, db, na FROM (
+      |    SELECT * FROM cold UNION ALL SELECT * FROM hotc))
       |SELECT da, db,
       |  round(len(list_intersect(ga.ng, gb.ng))::DOUBLE / na, 4) AS cont
       |FROM cand
       |JOIN g ga ON ga.doc_id = da
       |JOIN g gb ON gb.doc_id = db
-      |WHERE len(list_intersect(ga.ng, gb.ng)) * 5 >= na * 4
+      |WHERE len(list_intersect(ga.ng, gb.ng)) * $contDen >= na * $contNum
       |ORDER BY da, db""".stripMargin
+  }
 
   /** MinHash + LSH near-dup detection: 16 minhashes over the distinct
     * word-trigram shingle set, banded 4×4; candidate pairs share at
@@ -445,9 +611,10 @@ object DedupOps {
       .join(arr.select(col("doc_id").as("db"), col("ng").as("ngb"),
         col("n").as("nb")), Seq("db"))
       .withColumn("inter", size(array_intersect(col("nga"), col("ngb"))))
-      // exact 7/10 bound: inter/(na+nb-inter) >= 0.7 ⟺ 17·inter >=
-      // 7·(na+nb); jac stays as a (rounded) output column only
-      .filter(expr("inter * 17 >= (na + nb) * 7"))
+      // exact lshNum/lshDen bound: inter/(na+nb-inter) >= t ⟺
+      // (num+den)·inter >= num·(na+nb); jac stays as a (rounded)
+      // output column only
+      .filter(expr(s"inter * ${lshNum + lshDen} >= (na + nb) * $lshNum"))
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))
       .select("da", "db", "jac")
@@ -490,7 +657,7 @@ object DedupOps {
        |SELECT da, db,
        |  round(inter::DOUBLE / (na + nb - inter), 4) AS jac
        |FROM inter
-       |WHERE inter * 17 >= (na + nb) * 7
+       |WHERE inter * ${lshNum + lshDen} >= (na + nb) * $lshNum
        |ORDER BY da, db""".stripMargin
   }
 

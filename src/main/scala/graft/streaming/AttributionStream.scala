@@ -90,15 +90,26 @@ object AttributionStream {
             }
             if (win.clicks.isEmpty) state.remove()
             else {
-              val expireMs = win.clicks.last._1 / 1000L + WinMs
-              if (expireMs <= state.getCurrentWatermarkMs()) {
-                // already expired relative to the watermark (e.g. a
-                // purchase-only batch long after the last click):
-                // clearing now is identical to an immediate timeout
+              // CEIL the µs→ms conversion: flooring would expire state
+              // up to ~1 ms before the inclusive `c >= p − 24h` window
+              // closes, dropping a credit for a purchase landing at
+              // event time inside [watermark, trueExpiry] that the
+              // batch replay differential would emit (r11 advice)
+              val expireMs = (win.clicks.last._1 + 999L) / 1000L + WinMs
+              if (expireMs < state.getCurrentWatermarkMs()) {
+                // already STRICTLY expired relative to the watermark
+                // (e.g. a purchase-only batch long after the last
+                // click): clearing now is identical to an immediate
+                // timeout. Strict `<` (not `<=`): at equality the
+                // window edge may still credit a not-yet-late purchase
                 state.remove()
               } else {
                 state.update(win)
-                state.setTimeoutTimestamp(expireMs)
+                // max(·, wm+1): Spark rejects a timeout at/behind the
+                // watermark; at equality the state survives this batch
+                // and times out on the very next trigger
+                state.setTimeoutTimestamp(
+                  math.max(expireMs, state.getCurrentWatermarkMs() + 1L))
               }
             }
             out.iterator

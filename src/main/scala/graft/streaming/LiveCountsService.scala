@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   */
 object LiveCountsService {
 
-  final class Handle private[streaming] (server: HttpServer) {
+  final class Handle private[streaming] (server: HttpServer,
+      pool: java.util.concurrent.ExecutorService) {
     def port: Int = server.getAddress.getPort
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = { server.stop(0); pool.shutdown() }
   }
 
   /** Counts for the three dashboard dimensions, computed in Spark.
@@ -54,6 +55,14 @@ object LiveCountsService {
   def start(spark: SparkSession, table: String, port: Int = 0): Handle = {
     val mapper = new ObjectMapper()
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // Without an explicit executor every request — including the
+    // static dashboard page — serializes on the single dispatcher
+    // thread, and each /counts request runs a blocking Spark collect:
+    // one slow Spark job would freeze the page the browser polls from
+    // (r11 advice). A small fixed pool lets static serving and
+    // /counts polling proceed independently.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
 
     def respond(ex: HttpExchange, code: Int, contentType: String,
         body: Array[Byte]): Unit = {
@@ -98,7 +107,7 @@ object LiveCountsService {
       }
     })
     server.start()
-    new Handle(server)
+    new Handle(server, pool)
   }
 
   /** Zero-dependency live dashboard: three bar panels fed by /counts. */

@@ -965,11 +965,20 @@ object TextOps {
       .agg(count(lit(1)).as("k"))
     val c2 = dkb.groupBy("w1h", "bh").agg(sum("k").as("c2"))
     val c1 = c2.groupBy("w1h").agg(sum("c2").as("c1"))
-    val scored = c2.join(c1, "w1h").select(col("bh"),
+    // the scoring join keys on BOTH hashes (r11 advice): on bh alone, a
+    // cross-w1 bh collision would leave two scored rows with one bh and
+    // duplicate doc rows through the join. A residual 64-bit bh
+    // collision between distinct bigrams still merges their counts in
+    // Spark while the string-keyed oracle keeps them apart — the same
+    // documented trade-off as dedup's 60-bit hashed shingles: at 10^9
+    // distinct bigrams the birthday bound puts a collision at ~3%
+    // probability, and a hit perturbs one count by one, not the scale
+    // shape. The exactness claim is "exact over the hashed key space".
+    val scored = c2.join(c1, "w1h").select(col("w1h"), col("bh"),
       expr("""cast(round(ln(c1) * 1000000) as bigint)
              | - cast(round(ln(c2) * 1000000) as bigint)""".stripMargin)
         .as("nll"))
-    dkb.join(scored, Seq("bh"))
+    dkb.join(scored, Seq("w1h", "bh"))
       .groupBy("doc_id")
       .agg(sum("k").as("n_bigrams"), sum(col("k") * col("nll")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
