@@ -483,7 +483,13 @@ object SimilarityOps {
     * each query's nProbe nearest cells). Used by [[annIvfTopKSql]]
     * and [[annIvfPqTopKSql]] so the two oracles replay ONE index.
     */
-  private def ivfTrainSql(nCells: Int, nProbe: Int, iters: Int): String = {
+  private def ivfTrainSql(nCells: Int, nProbe: Int, iters: Int,
+      nCellsSql: String = "", queryPred: String = "q.vec_id < 20"): String = {
+    // nCellsSql (when non-empty) replaces the literal cell count with a
+    // SQL expression — [[embKnnGraphAnnSql]] scales cells with the
+    // corpus (ncells = max(16, ceil(N/256))) so the replayed index is
+    // the same one the Scala side trains at any corpus size
+    val cellsExpr = if (nCellsSql.isEmpty) nCells.toString else nCellsSql
     val unroll = (0 until iters).map { kk =>
       s"""assign$kk AS (
          |  SELECT vec_id, vec, cell FROM (
@@ -506,7 +512,7 @@ object SimilarityOps {
     }.mkString(",\n")
     s"""dims AS (SELECT unnest(range(64)) AS d),
        |e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS vec,
        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
        |      AS norm
        |  FROM embeddings),
@@ -514,11 +520,11 @@ object SimilarityOps {
        |  SELECT vec_id, vec, row_number() OVER (ORDER BY vec_id) - 1 AS rn
        |  FROM (SELECT vec_id, vec FROM e ORDER BY vec_id LIMIT 4096)),
        |params AS (
-       |  SELECT count(*) AS n, greatest(1, count(*) // $nCells) AS stride
+       |  SELECT count(*) AS n, greatest(1, count(*) // ($cellsExpr)) AS stride
        |  FROM sampn),
        |cents0 AS (
        |  SELECT c.cell, s.vec AS cent
-       |  FROM (SELECT unnest(range($nCells)) AS cell) c, params p
+       |  FROM (SELECT unnest(range($cellsExpr)) AS cell) c, params p
        |  JOIN sampn s ON s.rn = (c.cell * p.stride) % p.n),
        |$unroll,
        |assigned AS (
@@ -534,7 +540,7 @@ object SimilarityOps {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${ivfD2("q.vec", "c.cent")} ASC, c.cell ASC)
        |        AS cell_rank
-       |    FROM e q, cents$iters c WHERE q.vec_id < 20)
+       |    FROM e q, cents$iters c WHERE $queryPred)
        |  WHERE cell_rank <= $nProbe)""".stripMargin
   }
 
@@ -1796,10 +1802,119 @@ object SimilarityOps {
       |WHERE rank <= 3
       |ORDER BY src, rank""".stripMargin
 
+  /** Target IVF cell occupancy for [[embKnnGraphAnn]]: the cell count
+    * grows with the corpus as max(16, ⌈N/KnnAnnCellTarget⌉), so
+    * per-cell pair work stays bounded at any scale.
+    */
+  val KnnAnnCellTarget = 256
+  val KnnAnnProbe = 2
+
+  /** ANN-backed kNN GRAPH — the bucketed scale path for
+    * [[embKnnGraph]] (which is exact-quadratic within label by design:
+    * 25× time at 30× data in SCALE_PROBE_r11). Every vector is a
+    * query: the corpus is assigned to IVF cells (the
+    * [[trainIvfCentroids]] coarse quantizer, cell count scaling with N
+    * via [[KnnAnnCellTarget]]), each vector probes its
+    * [[KnnAnnProbe]] nearest cells, and candidate edges are the
+    * cell-colocated pairs — O(N · nProbe · cellTarget) candidates
+    * total instead of Σ label-block². Top-k by rounded cosine with
+    * nid tiebreak, exactly [[annIvfTopK]]'s ranking rule.
+    *
+    * Shape at scale: centroid table broadcasts (nCells ≈ N/256 rows —
+    * at 10^9 vectors that is a 4M-row dim table, still a broadcast);
+    * the candidate join shuffles both sides on cell, whose key count
+    * GROWS with N (no fixed-key skew ceiling); the rank window gets
+    * the map-side WindowGroupLimit pushdown like every ANN rank
+    * window (PlanAuditSpec). Approximate by construction: a true
+    * neighbor in an unprobed cell is missed — the same recall
+    * contract as [[annIvfTopK]], against which AnnSpec pins recall.
+    *
+    * Output mirrors [[embKnnGraph]] (src, dst, label, rank, cos) with
+    * label = src's label; neighbors may cross labels (the exact op
+    * blocks by label, the ANN graph does not — blocking is the
+    * caller's curation choice, not a similarity property).
+    */
+  def embKnnGraphAnn(spark: SparkSession, sfDir: String, k: Int = 3)
+      : DataFrame = {
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val n = e.count()
+    val nCells = math.max(16L,
+      (n + KnnAnnCellTarget - 1) / KnnAnnCellTarget).toInt
+    val cents = trainIvfCentroids(e, nCells)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bestCell = udf { (v: Seq[Double]) =>
+      nearestCell(bcCents.value, v.toArray)
+    }
+    val assigned = e
+      .select(col("vec_id"), col("label"), col("vec"), col("norm"),
+        bestCell(col("vec")).as("cell"))
+      .localCheckpoint()
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    // EVERY vector probes its nProbe nearest cells (vs annIvfTopK's
+    // 20-query slice) — probed is corpus-sized, so it shuffles into
+    // the candidate join instead of broadcasting
+    val probed = assigned
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("vec").as("qvec"), col("norm").as("qnorm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qvec, centroid, (p, c) -> (p - c) * (p - c)), " +
+          "cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("cell_rank") <= KnnAnnProbe)
+      .select("qid", "qlabel", "qvec", "qnorm", "cell")
+    val scored = assigned.join(probed,
+        probed("cell") === assigned("cell") &&
+          col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("nid"),
+        round(cosine("qvec", "vec"), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("src"), col("nid").as("dst"),
+        col("qlabel").as("label"), col("rank"), col("cos"))
+      .orderBy("src", "rank")
+  }
+
+  /** DuckDB replay of [[embKnnGraphAnn]]: the shared unrolled-Lloyd
+    * index build with a DYNAMIC cell count (greatest(16, ⌈N/256⌉)) and
+    * an all-vectors query predicate, then the same cell-candidate
+    * ranking as [[annIvfTopKSql]].
+    */
+  val embKnnGraphAnnSql: String = {
+    val k = 3
+    val ncellsSql =
+      s"SELECT greatest(16, (count(*) + ${KnnAnnCellTarget - 1}) " +
+        s"// $KnnAnnCellTarget) FROM e"
+    s"""WITH ${ivfTrainSql(0, KnnAnnProbe, 5, nCellsSql = s"($ncellsSql)",
+         queryPred = "true")},
+       |scored AS (
+       |  SELECT p.qid, q.label, a.vec_id AS nid,
+       |    round(list_dot_product(q.vec, a.vec) / (q.norm * a.norm), 4)
+       |      AS cos
+       |  FROM assigned a
+       |  JOIN probed p ON a.cell = p.cell AND a.vec_id != p.qid
+       |  JOIN e q ON q.vec_id = p.qid)
+       |SELECT qid AS src, nid AS dst, label, rank, cos FROM (
+       |  SELECT qid, label, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)
+       |      AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY src, rank""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("emb_knn_graph",
       (s: SparkSession, d: String) => embKnnGraph(s, d),
       embKnnGraphSql),
+    ("emb_knn_graph_ann",
+      (s: SparkSession, d: String) => embKnnGraphAnn(s, d),
+      embKnnGraphAnnSql),
     ("emb_lda_axis", embLdaAxis _, embLdaAxisSql),
     ("emb_medoid", embMedoid _, embMedoidSql),
     ("hybrid_rrf_topk", hybridRrfTopK _, hybridRrfTopKSql),
