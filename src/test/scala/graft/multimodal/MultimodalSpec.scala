@@ -84,4 +84,40 @@ class MultimodalSpec extends SparkSuite {
     // every sampled frame of a doc hashes differently
     byDoc.foreach(r => assert(r.getLong(1) == r.getLong(2)))
   }
+
+  test("featurize decodes REAL PNG payloads; text falls back to stub") {
+    import org.apache.spark.sql.types._
+    // two real PNGs and one text payload through the SAME featurizer
+    val rows = Seq(
+      (1L, "not an image", MultimodalOps.synthPng(1L)),
+      (2L, "also text", MultimodalOps.synthPng(2L)),
+      (3L, "plain text payload", "plain text payload".getBytes("UTF-8")))
+    val df = spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "payload")
+    val got = MultimodalOps.featurize(spark, df)
+      .select("doc_id", "features.width", "features.height",
+        "features.n_frames", "features.mean_luma")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
+    // PNG rows: true synthesized dims + exact mean of the raster
+    Seq(1L, 2L).foreach { id =>
+      val (w, h) = MultimodalOps.synthDims(id)
+      val sum = (for (y <- 0 until h; x <- 0 until w)
+        yield MultimodalOps.synthPixel(id, x, y).toLong).sum
+      val (gw, gh, gf, gl) = got(id)
+      assert(gw == w && gh == h && gf == 1, s"dims at $id: ($gw,$gh,$gf)")
+      assert(math.abs(gl - sum.toDouble / (w * h)) < 1e-12, s"luma at $id")
+    }
+    // text row: the deterministic fake (no ImageIO reader claims it)
+    val fake = MultimodalOps.fakeDecode(
+      "plain text payload".getBytes("UTF-8"))
+    assert(got(3L) == fake, s"text fallback ${got(3L)} vs $fake")
+  }
+
+  test("real decode rejects garbage and truncated PNGs cleanly") {
+    assert(MultimodalOps.realDecode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MultimodalOps.realDecode(Array.empty[Byte]).isEmpty)
+    val truncated = MultimodalOps.synthPng(7L).take(20)
+    assert(MultimodalOps.realDecode(truncated).isEmpty)
+  }
 }
