@@ -168,20 +168,56 @@ object Bench {
         val good = passes.map(_(k)).filter(_ >= 0)
         k -> (if (good.nonEmpty) good.min else -1.0)
       }.toMap
-    // per-query MEDIAN across passes (r9 item: the sum-of-minima headline
-    // sat ~5× below its own best pass total, so minima alone were not an
-    // honest throughput figure; the median is robust to one noisy pass
-    // while staying comparable to a real pass total)
-    def medianOf(passes: Seq[Map[String, Double]]): Map[String, Double] =
-      passes.head.keys.map { k =>
-        val good = passes.map(_(k)).filter(_ >= 0).sorted
-        k -> (if (good.isEmpty) -1.0
-              else if (good.size % 2 == 1) good(good.size / 2)
-              else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0)
-      }.toMap
+    // per-query MEDIAN across passes (r9 item: the sum-of-minima
+    // headline sat ~5× below its own best pass total, so minima alone
+    // were not an honest throughput figure; the median is robust to one
+    // noisy pass while staying comparable to a real pass total) is
+    // computed below from the combined sample lists.
     val bigPasses = (1 to 3).map(i => timedPass(sfDir, i))
-    val results = minOf(bigPasses)
-    val medians = medianOf(bigPasses)
+    // NOISE SELF-DIAGNOSIS (r11 verdict #3: the driver's pass spread
+    // hit 14% and three text queries "regressed" in exactly one pass).
+    // A query whose max/min pass ratio exceeds 1.5 — with a 0.2 s floor
+    // so trivial queries don't churn — gets 2 extra TARGETED passes;
+    // min and median then draw from all 5 samples, so one noisy pass
+    // can neither fake a regression nor hide one. The noisy list ships
+    // in both artifacts: a wide pass spread is now attributable to
+    // named queries instead of reading as an engine change.
+    val NoisyRatio = 1.5
+    val NoisyFloorSec = 0.2
+    val noisyQueries: Seq[String] = bigPasses.head.keys.filter { k =>
+      val good = bigPasses.map(_(k)).filter(_ >= 0)
+      good.size >= 2 && good.min >= NoisyFloorSec &&
+        good.max / good.min > NoisyRatio
+    }.toSeq.sorted
+    val extraPasses: Seq[Map[String, Double]] =
+      if (noisyQueries.isEmpty) Seq.empty
+      else (1 to 2).map { i =>
+        val pass = noisyQueries.map { name =>
+          val t0 = System.nanoTime()
+          val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          dropCheckpoints()
+          name -> (if (ok) dt else -1.0)
+        }.toMap
+        val qs = pass.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"noisy_repass","idx":$i,"queries":$qs}""")
+        pass
+      }
+    val samples: Map[String, Seq[Double]] = bigPasses.head.keys.map { k =>
+      k -> (bigPasses.map(_(k)) ++ extraPasses.flatMap(_.get(k)))
+        .filter(_ >= 0)
+    }.toMap
+    def med(sorted: Seq[Double]): Double =
+      if (sorted.isEmpty) -1.0
+      else if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+    val results = samples.map { case (k, v) =>
+      k -> (if (v.nonEmpty) v.min else -1.0)
+    }
+    val medians = samples.map { case (k, v) => k -> med(v.sorted) }
     // a query that failed EVERY pass keeps -1 in the min map; it must be
     // reported by name, never summed (r9: 24 silently-erroring queries
     // subtracted 24 s from the headline total and read as a speedup)
@@ -202,6 +238,10 @@ object Bench {
     // false-alarm, while anything genuinely superlinear (which IS slow
     // at the big SF by definition) cannot hide.
     val ScaleFlagRatio = 15.0
+    // in-run probe corpus multiple — emitted into both artifacts so a
+    // cross-run flag difference is attributable to probe config, not
+    // guessed at (r11 verdict #8)
+    val BigProbeCopies = 10
     def siblingDir(suffix: String): String =
       if (sfDir.endsWith("sf0.1")) sfDir.stripSuffix("sf0.1") + suffix else ""
     val midDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHECK_DIR", siblingDir("sf0.01"))
@@ -267,6 +307,41 @@ object Bench {
         "st_trigger_runs" -> n.toDouble)
     } catch { case _: Throwable => Map.empty[String, Double] }
 
+    // FULL-VOLUME streaming parity (r11 verdict #6): the baseline's
+    // published numbers come from 639 triggers / 10,000 msgs (append)
+    // and a 146,626-row epoch-0 replay (update+earliest; 6,662.54 ms).
+    // One run at EXACTLY those volumes makes the 2×-faster headline
+    // audit-proof at like-for-like load — batch sizes 16/15 sum to
+    // 10,000 across 639 triggers. Gated to the per-round sf0.1 run.
+    val streamingFull: Map[String, Double] =
+      if (!sfDir.endsWith("sf0.1")) Map.empty
+      else try {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bench_stream_full")
+        try {
+          var off = 0
+          val batches = (0 until 639).map { i =>
+            val sz = if (i < 415) 16 else 15
+            val b = graft.streaming.FeedbackGenerator.batch("random", off, sz)
+            off += sz
+            b
+          }
+          val res = graft.streaming.ModesBenchmark.run(spark, batches, dir,
+            backlogRows = 146626)
+          Map(
+            "st_append_fullvolume_mean" -> res.append.meanMs / 1000.0,
+            "st_append_fullvolume_median" -> res.append.medianMs / 1000.0,
+            "st_append_fullvolume_triggers" -> res.append.n.toDouble,
+            "st_update_earliest_fullvolume_mean" ->
+              res.updateEarliest.meanMs / 1000.0,
+            "st_update_earliest_fullvolume_median" ->
+              res.updateEarliest.medianMs / 1000.0,
+            "st_fullvolume_epoch0_replay_sec" -> res.epoch0ReplayMs / 1000.0,
+            "st_fullvolume_msgs" -> 10000.0,
+            "st_fullvolume_backlog_rows" -> 146626.0)
+        } finally rmrf(dir)
+      } catch { case _: Throwable => Map.empty[String, Double] }
+
     // ONE-OFF sf1-equivalent probe (round-8 stretch item): the scale
     // curve tops out at sf0.1 where fixed overhead dominates, so the
     // worst measured big/mid ratios get one more decade of data — 10
@@ -297,7 +372,7 @@ object Bench {
       else {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_bigprobe").toString
-        val copies = 10
+        val copies = BigProbeCopies
         graft.tools.ProbeCorpus.generate(spark, sfDir, dir, copies)
         def probeOnce(n: String): Double = {
           val t0 = System.nanoTime()
@@ -343,14 +418,14 @@ object Bench {
             .mkString("{", ",", "}")
         val skipped = worst.filterNot(names.contains)
           .map("\"" + _ + "\"").mkString("[", ",", "]")
-        println(s"""{"metric":"big_probe","scale":"10x sf0.1 (sf1-equivalent)","scaled_tables":["documents","embeddings","events"],"flag_threshold":$ScaleFlagRatio,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"skipped_tpch_side":$skipped,"times_sec":${js(times)},"ratio_vs_sf01":${js(ratios)}}""")
+        println(s"""{"metric":"big_probe","scale":"10x sf0.1 (sf1-equivalent)","copies":$copies,"scaled_tables":["documents","embeddings","events"],"flag_threshold":$ScaleFlagRatio,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"skipped_tpch_side":$skipped,"times_sec":${js(times)},"ratio_vs_sf01":${js(ratios)}}""")
         Some((flagged, times, ratios))
       }
     } catch { case _: Throwable => None })
       .getOrElse((Seq.empty[String], Seq.empty[(String, Double)],
         Seq.empty[(String, Double)]))
 
-    val all = results ++ streaming
+    val all = results ++ streaming ++ streamingFull
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // totals sum SUCCESSFUL queries only — a failed query's -1 sentinel
@@ -394,6 +469,7 @@ object Bench {
     // bench_ok makes a silently-shrunk catalog visible from this line
     // alone (r9's 24-query events outage read as a 25% speedup).
     val fqJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val nqJson = noisyQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     // pass_spread_pct makes run-to-run reproducibility a FIRST-CLASS
     // reading: (max−min)/min over the timed target-SF pass totals. A
     // quiet host lands ≲10%; ambient driver load shows up here instead
@@ -403,7 +479,7 @@ object Bench {
       if (passTotals.size < 2 || passTotals.min <= 0) -1.0
       else math.round((passTotals.max - passTotals.min) / passTotals.min
         * 1000) / 10.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,"codegen_compiles_total":${compiles()}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"big_probe_copies":$BigProbeCopies,"big_probe_flag_threshold":$ScaleFlagRatio,"noisy_queries":$nqJson,"st_append_fullvolume_mean":${streamingFull.getOrElse("st_append_fullvolume_mean", -1.0)},"st_update_earliest_fullvolume_mean":${streamingFull.getOrElse("st_update_earliest_fullvolume_mean", -1.0)},"st_fullvolume_epoch0_replay_sec":${streamingFull.getOrElse("st_fullvolume_epoch0_replay_sec", -1.0)},"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,"codegen_compiles_total":${compiles()}}""")
     // FULL machine-readable artifact (r10 verdict item #2): stdout-tail
     // truncation eats the long per-query maps, so everything a verdict
     // needs to diff round-over-round — every per-query min AND median,
@@ -430,9 +506,12 @@ object Bench {
            |"scale_ratio_big_mid":${jm(bigMidRatios)},
            |"scale_ratio_mid_small":${jm(midSmallRatios)},
            |"scale_flagged":$flJson,"big_probe_flagged":$pbJson,
+           |"big_probe_copies":$BigProbeCopies,
+           |"big_probe_flag_threshold":$ScaleFlagRatio,
+           |"noisy_queries":$nqJson,
            |"big_probe_times_sec":${jm(probeTimes.toMap)},
            |"big_probe_ratio_vs_sf01":${jm(probeRatios.toMap)},
-           |"streaming":${jm(streaming)},
+           |"streaming":${jm(streaming ++ streamingFull)},
            |"codegen_compiles_total":${compiles()}}""".stripMargin
           .replace("\n", "")
       val out = sys.env.getOrElse("GRAFT_BENCH_FULL_OUT", "bench_full.json")

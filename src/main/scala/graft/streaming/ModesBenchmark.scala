@@ -23,16 +23,23 @@ object ModesBenchmark {
   final case class Result(
       append: TriggerMetrics.LatencyStats,
       updateEarliest: TriggerMetrics.LatencyStats,
-      improvementPct: Double)
+      improvementPct: Double,
+      epoch0ReplayMs: Double = 0.0)
 
   /** backlogFactor mirrors the reference's replay ratio: its `earliest`
     * run re-consumed a 146,626-row backlog before the same 10,000
     * increments (~15x) — epoch 0 is what makes full-replay lose. With
     * factor 1 the backlog equals one pass of the increments and the
     * replay penalty mostly vanishes.
+    *
+    * backlogRows > 0 overrides backlogFactor with an EXACT row count
+    * (cycled from the increment stream) — the full-volume parity run
+    * replays precisely the reference's 146,626-row epoch 0.
+    * Result.epoch0ReplayMs carries that first trigger's duration,
+    * comparable against the reference's published 6,662.54 ms.
     */
   def run(spark: SparkSession, batches: Seq[Seq[String]], dir: Path,
-      backlogFactor: Int = 1): Result = {
+      backlogFactor: Int = 1, backlogRows: Int = 0): Result = {
     // A: append + latest — only new messages per trigger
     val csvA = dir.resolve("metrics_append.csv")
     TriggerMetrics.initCsv(csvA)
@@ -48,7 +55,12 @@ object ModesBenchmark {
     val csvB = dir.resolve("metrics_update_earliest.csv")
     TriggerMetrics.initCsv(csvB)
     val srcB = new MemorySource(spark)
-    srcB.add((1 to backlogFactor).flatMap(_ => batches.flatten))
+    val backlog: Seq[String] =
+      if (backlogRows > 0) {
+        val one = batches.flatten
+        Iterator.continually(one).flatten.take(backlogRows).toSeq
+      } else (1 to backlogFactor).flatMap(_ => batches.flatten)
+    srcB.add(backlog)
     val qB = FeedbackPipeline.startForeachBatch(
       FeedbackPipeline.parse(srcB.load(spark)),
       TriggerMetrics.saveAndLogFn(csvB, "ab_update"), "update")
@@ -58,6 +70,14 @@ object ModesBenchmark {
 
     val a = TriggerMetrics.stats(csvA)
     val b = TriggerMetrics.stats(csvB)
-    Result(a, b, TriggerMetrics.improvementPct(a, b))
+    // epoch 0 of variant B is the backlog replay — its duration is the
+    // first data line of the metrics CSV
+    val epoch0 = {
+      val lines = scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(csvB)).asScala
+        .drop(1).filter(_.nonEmpty)
+      if (lines.isEmpty) 0.0 else lines.head.split(",")(2).toDouble
+    }
+    Result(a, b, TriggerMetrics.improvementPct(a, b), epoch0)
   }
 }
