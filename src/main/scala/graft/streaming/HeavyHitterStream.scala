@@ -13,7 +13,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State per event type is a SPACE-SAVING sketch (Metwally et al.
   * 2005) of `capacity` counters — O(capacity), NOT O(distinct users),
   * which is the whole point: the batch audit's per-key groupBy is
-  * unbounded state in a stream. Guarantees carried by the sketch and
+  * unbounded state in a stream. NoTimeout is safe here because BOTH
+  * state dimensions are bounded (r12 state-expiry audit): the group
+  * key is event_type — a small fixed vocabulary, not user/doc ids —
+  * and each group's sketch is capacity-capped, so total state is
+  * O(#types × capacity) forever. Guarantees carried by the sketch and
   * pinned in the spec: every item with true count > n/capacity is
   * tracked; a tracked item's count overestimates truth by at most its
   * recorded `err`; with fewer distinct keys than capacity the counts

@@ -106,4 +106,38 @@ class GapStreamSpec extends SparkSuite {
       .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
     assert(got == exp)
   }
+
+  test("stateTtl: dormant user state decays after watermark passage") {
+    val src = new MemorySource(spark)
+    val base = 1700000000000000L
+    val hourUs = 3600L * 1000000L
+    val q = GapStream.gapStream(parsed(src),
+        stateTtl = Some(java.time.Duration.ofHours(1)))
+      .writeStream.format("memory").queryName("gap_ttl")
+      .outputMode("append").start()
+    try {
+      // user 1: two events → one gap; then goes dormant
+      src.add(Seq(msg((1L, 10L, base, "click")),
+        msg((1L, 11L, base + 1000L, "click"))))
+      q.processAllAvailable()
+      // user 2 far in the future advances the watermark past user 1's
+      // ttl — the timeout fires and user 1's state is removed
+      src.add(Seq(msg((2L, 20L, base + 10 * hourUs, "click"))))
+      q.processAllAvailable()
+      src.add(Seq(msg((2L, 21L, base + 10 * hourUs + 1000L, "click"))))
+      q.processAllAvailable()
+      // user 1 re-arrives post-expiry: treated as FIRST event (no gap
+      // emitted), proving the old lastUs is gone
+      src.add(Seq(msg((1L, 12L, base + 11 * hourUs, "click"))))
+      q.processAllAvailable()
+      val gapsByUser = spark.table("gap_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      assert(gapsByUser(1L).map(_._2).toSeq == Seq(1000L),
+        s"user 1 must have exactly the pre-expiry gap: ${gapsByUser.get(1L)}")
+      val stateRows = q.lastProgress.stateOperators.headOption
+        .map(_.numRowsTotal).getOrElse(-1L)
+      assert(stateRows <= 2L,
+        s"state must not retain expired users, got $stateRows rows")
+    } finally q.stop()
+  }
 }

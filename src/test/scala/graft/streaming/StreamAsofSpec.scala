@@ -59,4 +59,48 @@ class StreamAsofSpec extends SparkSuite {
         "fixture must exercise both enriched and never-purchased clicks")
     } finally q.stop()
   }
+
+  test("stateTtl expires dormant purchase state after watermark passage") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000000L // realistic µs so nothing sits on wm 0
+    val hourUs = 3600L * 1000000L
+    val src = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = src.toDF
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamAsof.asofStream(events,
+        stateTtl = Some(java.time.Duration.ofHours(1)))
+      .writeStream.format("memory").queryName("asof_ttl")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 purchases, then clicks → enriched
+      src.addData((10L, base, 1L, "purchase", 5.0))
+      q.processAllAvailable()
+      src.addData((11L, base + 1000L, 1L, "click", 0.0))
+      q.processAllAvailable()
+      // batch 3: another user far in the future — advances the
+      // watermark past user 1's ttl (purchase + 1h), firing the timeout
+      src.addData((20L, base + 10 * hourUs, 2L, "purchase", 7.0))
+      q.processAllAvailable()
+      src.addData((21L, base + 10 * hourUs + 1000L, 2L, "click", 0.0))
+      q.processAllAvailable()
+      // batch 5: user 1 clicks again AFTER expiry — state must be gone,
+      // so the click enriches to None (with NoTimeout it would be 10)
+      src.addData((12L, base + 11 * hourUs, 1L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_ttl").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      assert(got(11L).contains(10L), s"pre-ttl click: ${got(11L)}")
+      assert(got(21L).contains(20L), s"fresh user click: ${got(21L)}")
+      assert(got(12L).isEmpty,
+        s"post-ttl click must find no purchase state, got ${got(12L)}")
+      // state metrics agree: the store holds only user 2 now
+      val prog = q.lastProgress
+      val stateRows = prog.stateOperators.headOption
+        .map(_.numRowsTotal).getOrElse(-1L)
+      assert(stateRows == 1L,
+        s"state should decay to 1 live user after ttl, got $stateRows")
+    } finally q.stop()
+  }
 }
