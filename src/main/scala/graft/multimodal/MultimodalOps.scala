@@ -61,6 +61,26 @@ object MultimodalOps {
     (width, height, nFrames, meanLuma)
   }
 
+  /** Magic-byte pre-sniff: true only for payloads starting with a
+    * known raster signature (PNG/JPEG/GIF/BMP/TIFF). The guard keeps
+    * non-image payloads out of ImageIO entirely — the r12 bench caught
+    * ImageIO.read's reader-discovery costing ~0.2-1.9 s per 5,000 text
+    * payloads (its default ImageInputStream is a DISK-cache temp file
+    * per call), a 2.6-3.5× regression on the text-payload mm ops.
+    */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M') ||
+      (p(0) == 0x49 && p(1) == 0x49 && p(2) == 0x2a && p(3) == 0x00) ||
+      (p(0) == 0x4d && p(1) == 0x4d && p(2) == 0x00 && p(3) == 0x2a))
+
+  // memory-cache ImageIO streams JVM-wide: the default is a temp FILE
+  // per read/write call — measured as per-row disk churn in the bench
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** REAL image decode via the JDK's own codec stack (javax.imageio —
     * PNG/JPEG/GIF/BMP readers ship with every JRE, zero added
     * dependencies): sniffs the payload, and when a registered reader
@@ -72,6 +92,7 @@ object MultimodalOps {
     * (the fake-decode fallback path).
     */
   def realDecode(payload: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (!looksLikeImage(payload)) return None
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
