@@ -436,6 +436,97 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** CCNet/RefinedWeb-style line-level boilerplate removal: segment
+    * each document into fixed 10-token "lines" (the corpus has no
+    * newlines, so a deterministic token window stands in for the
+    * physical line — same substitution as [[textRepetition]]'s
+    * Gopher adaptation), count each segment's document frequency
+    * WITHIN its `source` (the domain analog), drop segments seen in
+    * `dfCap`+ documents of the same source (nav bars, cookie
+    * banners, footers), and re-emit the cleaned document: kept/removed
+    * segment counts, cleaned length, and an md5 fingerprint of the
+    * reconstructed text so the oracle verifies the exact re-assembly,
+    * not just the counts.
+    *
+    * Scale shape — deliberately scan-twice, shuffle-hashes-once
+    * (the opposite call from [[textBigramLm]]'s one-pass exchange
+    * reuse, and for a reason): segmentation does not shrink the data
+    * the way bigram folding does, so sharing one exchange here would
+    * shuffle the FULL segment text. Instead the df-count branch
+    * re-scans the pruned parquet (columnar scan ≪ shuffle write+read
+    * at equal bytes) and ships only (source, md5, doc_id) — ~20% of
+    * corpus bytes — into one count-distinct aggregation with map-side
+    * combine. The removal set is then `dfc >= cap` ONLY, the sublinear
+    * boilerplate vocabulary, so the decision join broadcasts it (AQE;
+    * if a pathological corpus outgrows the broadcast threshold the
+    * fallback SMJ still shuffles segments just once). Re-assembly is
+    * one groupBy(doc_id) whose state is bounded by the document
+    * itself (sort_array over the doc's own segments), never by
+    * corpus size.
+    */
+  def textLineDedup(spark: SparkSession, sfDir: String,
+      segLen: Int = 10, dfCap: Int = 2): DataFrame = {
+    val segs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"""transform(sequence(0, (size(tk) + ${segLen - 1}) div $segLen - 1),
+           |  i -> concat_ws(' ', slice(tk, i * $segLen + 1, $segLen)))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("source"),
+        col("pos").as("seg_idx"), col("col").as("seg"),
+        md5(col("col")).as("h"))
+    val hot = segs
+      .groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("dfc"))
+      .filter(col("dfc") >= dfCap)
+      .select(col("source"), col("h"), lit(true).as("is_hot"))
+    segs
+      .join(hot, Seq("source", "h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(when(col("is_hot").isNull,
+          struct(col("seg_idx"), col("seg"))))).as("kept"))
+      .select(col("doc_id"), col("n_segs"), col("n_removed"),
+        expr("concat_ws(' ', transform(kept, x -> x.seg))").as("clean"))
+      .select(col("doc_id"), col("n_segs"), col("n_removed"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val textLineDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS tk
+      |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+      |seg0 AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(generate_series(1, (len(tk) + 9) // 10),
+      |      i -> {'seg_idx': i - 1,
+      |            'seg': array_to_string(tk[(i-1)*10+1:(i-1)*10+10], ' ')}))
+      |      AS s
+      |  FROM t),
+      |seg AS (
+      |  SELECT doc_id, source, s.seg_idx AS seg_idx, s.seg AS seg
+      |  FROM seg0),
+      |df AS (
+      |  SELECT source, md5(seg) AS h, count(DISTINCT doc_id) AS dfc
+      |  FROM seg GROUP BY 1, 2),
+      |j AS (
+      |  SELECT seg.doc_id, seg.seg_idx, seg.seg, df.dfc >= 2 AS is_hot
+      |  FROM seg JOIN df
+      |    ON df.source = seg.source AND df.h = md5(seg.seg))
+      |SELECT doc_id,
+      |  count(*)::BIGINT AS n_segs,
+      |  sum(CASE WHEN is_hot THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+      |  length(coalesce(string_agg(CASE WHEN NOT is_hot THEN seg END, ' '
+      |    ORDER BY seg_idx), ''))::BIGINT AS clean_len,
+      |  md5(coalesce(string_agg(CASE WHEN NOT is_hot THEN seg END, ' '
+      |    ORDER BY seg_idx), '')) AS clean_fp
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Repetition signals (Gopher/FineWeb-style, token-adapted): per
     * document, the fraction of n-grams claimed by the single most
     * frequent n-gram (`topN_e4`) and the fraction sitting in any
@@ -1578,5 +1669,8 @@ object TextOps {
     ("text_decontaminate", textDecontaminate _, textDecontaminateSql),
     ("text_dup_spans", (s: SparkSession, d: String) => textDupSpans(s, d),
       textDupSpansSql),
+    ("text_line_dedup",
+      (s: SparkSession, d: String) => textLineDedup(s, d),
+      textLineDedupSql),
     ("text_repetition", textRepetition _, textRepetitionSql))
 }
