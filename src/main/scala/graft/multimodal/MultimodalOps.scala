@@ -445,9 +445,105 @@ object MultimodalOps {
       |GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic synthetic PCM track for `id`: 64..164 mono int16
+    * samples, each pure integer arithmetic on (id, i) — the audio
+    * analog of [[synthDims]]/[[synthPixel]], shared by the operator,
+    * the arithmetic SQL oracle, and the spec.
+    */
+  def synthAudioSamples(id: Long): Array[Short] = {
+    val n = 64 + (id % 101).toInt
+    Array.tabulate(n)(i =>
+      (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort)
+  }
+
+  /** Encode the synthetic track as REAL WAV bytes via the JDK's own
+    * audio stack (javax.sound.sampled ships with every JRE, like
+    * ImageIO): 8 kHz, 16-bit, mono, little-endian PCM.
+    */
+  def synthWav(id: Long): Array[Byte] = {
+    val samples = synthAudioSamples(id)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode through the JDK codec, end to end — the audio
+    * twin of [[mmImageDecode]]: per document, synthesize a
+    * deterministic PCM track, ENCODE it to actual RIFF/WAVE bytes
+    * (AudioSystem.write), then DECODE those bytes back
+    * (AudioSystem.getAudioInputStream) and emit the decoded format
+    * (sample rate / channels / bit depth), frame count, and the exact
+    * int64 amplitude sum. The oracle recomputes everything
+    * arithmetically, so a decode that drops a frame, flips
+    * endianness, or mis-parses the fmt chunk hash-mismatches. Plan
+    * shape: one pruned scan → mapPartitions (codec init amortizes per
+    * partition; encode+decode never leaves the task) → presentation
+    * sort — at 100 TB the synth step is replaced by stored payload
+    * bytes, decode side unchanged.
+    */
+  def mmAudioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("bits", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("amp_sum", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(synthWav(id)))
+        val f = ais.getFormat
+        val bytes = ais.readAllBytes()
+        ais.close()
+        require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
+          s"unexpected decoded format for doc $id: $f")
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / 2
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += bb.getShort(i * 2); i += 1 }
+        Row(id, f.getSampleRate.toInt, f.getChannels,
+          f.getSampleSizeInBits, n, sum)
+      }
+    }(encoder).orderBy("doc_id")
+  }
+
+  /** Oracle for [[mmAudioDecode]]: decoded values must equal the
+    * CONSTRUCTED track's — pure integer arithmetic over (doc_id, i),
+    * no codec on the DuckDB side. Any lossy step in the WAV
+    * write/read roundtrip breaks the hash compare.
+    */
+  val mmAudioDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, (64 + doc_id % 101)::INT AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+      |  FROM d)
+      |SELECT doc_id, 8000::INT AS sample_rate, 1::INT AS channels,
+      |  16::INT AS bits, n AS n_samples,
+      |  sum((doc_id * 31 + i * 17) % 65536 - 32768)::BIGINT AS amp_sum
+      |FROM s
+      |GROUP BY doc_id, n
+      |ORDER BY doc_id""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("mm_binary_meta", mmBinaryMeta _, mmBinaryMetaSql),
     ("mm_image_decode", mmImageDecode _, mmImageDecodeSql),
+    ("mm_audio_decode", mmAudioDecode _, mmAudioDecodeSql),
     ("mm_chunk_ranges",
       (s: SparkSession, d: String) => mmChunkRanges(s, d),
       mmChunkRangesSql),

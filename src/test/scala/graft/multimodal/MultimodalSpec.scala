@@ -120,4 +120,56 @@ class MultimodalSpec extends SparkSuite {
     val truncated = MultimodalOps.synthPng(7L).take(20)
     assert(MultimodalOps.realDecode(truncated).isEmpty)
   }
+
+  test("synthWav bytes parse via an INDEPENDENT manual RIFF walk") {
+    // independent of javax.sound.sampled: walk the RIFF chunks by hand
+    // and check the fmt fields and every PCM sample against the synth
+    def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    Seq(0L, 1L, 42L, 100L, 437L).foreach { id =>
+      val wav = MultimodalOps.synthWav(id)
+      assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+      assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+      var off = 12
+      var fmtOk = false
+      var data: Option[Array[Byte]] = None
+      while (off + 8 <= wav.length) {
+        val ckId = new String(wav.slice(off, off + 4), "US-ASCII")
+        val ckSz = le32(wav, off + 4)
+        if (ckId == "fmt ") {
+          assert(le16(wav, off + 8) == 1, "PCM format tag")
+          assert(le16(wav, off + 10) == 1, "mono")
+          assert(le32(wav, off + 12) == 8000, "sample rate")
+          assert(le16(wav, off + 22) == 16, "bit depth")
+          fmtOk = true
+        } else if (ckId == "data") {
+          data = Some(wav.slice(off + 8, off + 8 + ckSz))
+        }
+        off += 8 + ckSz + (ckSz & 1)
+      }
+      assert(fmtOk, s"no fmt chunk for id $id")
+      val expected = MultimodalOps.synthAudioSamples(id)
+      val pcm = data.getOrElse(fail(s"no data chunk for id $id"))
+      assert(pcm.length == expected.length * 2, s"pcm bytes for id $id")
+      expected.zipWithIndex.foreach { case (s, i) =>
+        assert(le16(pcm, i * 2).toShort == s, s"sample $i of id $id")
+      }
+    }
+  }
+
+  test("mm_audio_decode matches a driver arithmetic recompute") {
+    val got = MultimodalOps.mmAudioDecode(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5))).toMap
+    assert(got.size == 500)
+    got.keys.foreach { id =>
+      val samples = MultimodalOps.synthAudioSamples(id)
+      val exp = (8000, 1, 16, samples.length,
+        samples.foldLeft(0L)(_ + _))
+      assert(got(id) == exp, s"doc $id: ${got(id)} vs $exp")
+    }
+  }
 }
