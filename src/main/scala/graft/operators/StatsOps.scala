@@ -582,7 +582,80 @@ object StatsOps {
       |    (va * va / (na - 1) + vb * vb / (nb - 1)), 2) AS df_welch
       |FROM x""".stripMargin
 
+  /** Pearson chi-square independence scan over the (lang, source)
+    * contingency of the document corpus — the categorical drift/bias
+    * detector next to [[graft.text.TextOps.textDriftPsi]]'s numeric
+    * PSI: is language composition independent of the ingest source,
+    * or does some source skew? Emits the full PER-CELL decomposition
+    * (observed, marginals, expected, cell chi-square) rather than one
+    * opaque statistic, so the offending cells are directly readable.
+    *
+    * Cross-engine exactness: every aggregate is an integer COUNT; the
+    * double math happens per cell AFTER aggregation from explicit
+    * BIGINT→DOUBLE casts mirrored verbatim in the oracle, so there is
+    * no float-accumulation order anywhere (the statTtest rule).
+    *
+    * Scale shape: ONE corpus-sized aggregation to the cell table
+    * (|langs| × |sources| rows); marginals are re-aggregations of
+    * that tiny table and come back via broadcast joins — no windows,
+    * no second corpus scan, no single-partition stage.
+    */
+  def statChi2Independence(spark: SparkSession, sfDir: String): DataFrame = {
+    val observed = Tables.documents(spark, sfDir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rt = observed.groupBy("lang").agg(sum("o").as("r"))
+    val ct = observed.groupBy("source").agg(sum("o").as("c"))
+    val nt = observed.agg(sum("o").as("n"))
+    // densify to the FULL contingency: a (lang, source) cell never
+    // observed still contributes its expected count to the statistic
+    // — without the zero cells the chi-square is silently understated
+    // (caught by the spec's sum(expected)==n invariant)
+    val cells = rt.select("lang").crossJoin(broadcast(ct.select("source")))
+      .join(observed, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val exp = d(col("r")) * d(col("c")) / d(col("n"))
+    cells
+      .join(broadcast(rt), "lang")
+      .join(broadcast(ct), "source")
+      .crossJoin(broadcast(nt))
+      .select(col("lang"), col("source"), col("o"),
+        col("r"), col("c"),
+        round(exp, 4).as("expected"),
+        round((d(col("o")) - exp) * (d(col("o")) - exp) / exp, 4)
+          .as("chi2_cell"))
+      .orderBy("lang", "source")
+  }
+
+  val statChi2IndependenceSql: String =
+    """WITH observed AS (
+      |  SELECT lang, source, count(*)::BIGINT AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, sum(o)::BIGINT AS r FROM observed GROUP BY 1),
+      |ct AS (SELECT source, sum(o)::BIGINT AS c FROM observed GROUP BY 1),
+      |nt AS (SELECT sum(o)::BIGINT AS n FROM observed),
+      |cells AS (
+      |  SELECT rt.lang, ct.source, coalesce(observed.o, 0)::BIGINT AS o
+      |  FROM (SELECT lang FROM rt) rt
+      |  CROSS JOIN (SELECT source FROM ct) ct
+      |  LEFT JOIN observed
+      |    ON observed.lang = rt.lang AND observed.source = ct.source)
+      |SELECT cells.lang, cells.source, o, r, c,
+      |  round(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE),
+      |    4) AS expected,
+      |  round((CAST(o AS DOUBLE)
+      |      - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * (CAST(o AS DOUBLE)
+      |      - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)),
+      |    4) AS chi2_cell
+      |FROM cells
+      |JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN nt
+      |ORDER BY lang, source""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("stat_chi2_independence",
+      statChi2Independence _, statChi2IndependenceSql),
     ("stat_ttest", statTtest _, statTtestSql),
     ("stat_cuped", statCuped _, statCupedSql),
     ("stat_winsorize", statWinsorize _, statWinsorizeSql),
