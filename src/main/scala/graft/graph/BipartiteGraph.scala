@@ -197,8 +197,99 @@ object GraphOps {
       |FROM item, norm
       |ORDER BY pagerank_q DESC, id""".stripMargin
 
+  /** Item-item co-occurrence neighborhood (the "users who touched X
+    * also touched Y" item2item primitive every co-visitation
+    * recommender starts from): distinct (user, item) interactions →
+    * per-user item pairs → co-counts → Jaccard over capped degrees →
+    * top-k neighbors per item in integer fixed point.
+    *
+    * The scale trick is the DEGREE CAP: each user contributes at most
+    * `cap` items (deterministic keep-smallest truncation via a
+    * per-user window), so the per-user pair fan-out is bounded by
+    * cap²/2 and the self-join is LINEAR in users — without it one
+    * crawler account that touched every item generates |items|² pairs
+    * and a single hot partition (the same hot-key degeneration the
+    * dedup prefix filter guards against). Jaccard uses the capped
+    * degrees for internal consistency. Top-k per item is a
+    * rank-window with the map-side WindowGroupLimit pushdown.
+    */
+  def graphItemCooccur(spark: SparkSession, sfDir: String,
+      cap: Int = 32, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inter = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val capped = inter
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("item")))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+    val deg = capped.groupBy("item").agg(count(lit(1)).as("d"))
+    val pairs = capped.as("x")
+      .join(capped.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("co"))
+    val sym = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b"), col("co")))
+    sym
+      .join(broadcast(deg.select(col("item").as("a"), col("d").as("da"))),
+        "a")
+      .join(broadcast(deg.select(col("item").as("b"), col("d").as("db"))),
+        "b")
+      .withColumn("jac_e6", expr("co * 1000000L div (da + db - co)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("a")
+          .orderBy(col("jac_e6").desc, col("b"))))
+      .filter(col("rnk") <= k)
+      .select("a", "b", "co", "jac_e6", "rnk")
+      .orderBy("a", "rnk")
+  }
+
+  val graphItemCooccurSql: String =
+    """WITH inter AS (
+      |  SELECT DISTINCT user_id,
+      |    json_extract_string(props, '$.k')::INT AS item
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |capped AS (
+      |  SELECT user_id, item FROM (
+      |    SELECT user_id, item,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+      |    FROM inter)
+      |  WHERE rn <= 32),
+      |deg AS (SELECT item, count(*)::BIGINT AS d FROM capped GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.item AS a, y.item AS b, count(*)::BIGINT AS co
+      |  FROM capped x
+      |  JOIN capped y
+      |    ON x.user_id = y.user_id AND x.item < y.item
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT a, b, co FROM pairs
+      |  UNION ALL
+      |  SELECT b, a, co FROM pairs),
+      |scored AS (
+      |  SELECT a, b, co,
+      |    (co * 1000000) // (da.d + db.d - co) AS jac_e6
+      |  FROM sym
+      |  JOIN deg da ON da.item = a
+      |  JOIN deg db ON db.item = b),
+      |r AS (
+      |  SELECT a, b, co, jac_e6,
+      |    row_number() OVER (PARTITION BY a
+      |      ORDER BY jac_e6 DESC, b) AS rnk
+      |  FROM scored)
+      |SELECT a, b, co, jac_e6, rnk::INT AS rnk
+      |FROM r WHERE rnk <= 5
+      |ORDER BY a, rnk""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("graph_event_degrees", graphEventDegrees _, graphEventDegreesSql),
-      ("graph_event_pagerank", graphEventPageRank _, graphEventPageRankSql))
+      ("graph_event_pagerank", graphEventPageRank _, graphEventPageRankSql),
+      ("graph_item_cooccur", graphItemCooccur(_, _), graphItemCooccurSql))
 }
