@@ -601,7 +601,13 @@ object StatsOps {
     * no second corpus scan, no single-partition stage.
     */
   def statChi2Independence(spark: SparkSession, sfDir: String): DataFrame = {
+    // null categories would vanish from the equi-joined cell table
+    // while still counting toward n, biasing every expected count —
+    // coalesce them to a sentinel so they survive as a real category
+    // (mirrored verbatim in the oracle's observed CTE)
     val observed = Tables.documents(spark, sfDir)
+      .select(coalesce(col("lang"), lit("__null__")).as("lang"),
+        coalesce(col("source"), lit("__null__")).as("source"))
       .groupBy("lang", "source").agg(count(lit(1)).as("o"))
     val rt = observed.groupBy("lang").agg(sum("o").as("r"))
     val ct = observed.groupBy("source").agg(sum("o").as("c"))
@@ -629,7 +635,9 @@ object StatsOps {
 
   val statChi2IndependenceSql: String =
     """WITH observed AS (
-      |  SELECT lang, source, count(*)::BIGINT AS o
+      |  SELECT coalesce(lang, '__null__') AS lang,
+      |         coalesce(source, '__null__') AS source,
+      |         count(*)::BIGINT AS o
       |  FROM documents GROUP BY 1, 2),
       |rt AS (SELECT lang, sum(o)::BIGINT AS r FROM observed GROUP BY 1),
       |ct AS (SELECT source, sum(o)::BIGINT AS c FROM observed GROUP BY 1),

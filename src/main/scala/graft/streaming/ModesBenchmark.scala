@@ -58,6 +58,8 @@ object ModesBenchmark {
     val backlog: Seq[String] =
       if (backlogRows > 0) {
         val one = batches.flatten
+        require(one.nonEmpty,
+          "backlogRows > 0 needs at least one increment message to cycle")
         Iterator.continually(one).flatten.take(backlogRows).toSeq
       } else (1 to backlogFactor).flatMap(_ => batches.flatten)
     srcB.add(backlog)
@@ -70,13 +72,16 @@ object ModesBenchmark {
 
     val a = TriggerMetrics.stats(csvA)
     val b = TriggerMetrics.stats(csvB)
-    // epoch 0 of variant B is the backlog replay — its duration is the
-    // first data line of the metrics CSV
+    // epoch 0 of variant B is the backlog replay — the first trigger
+    // that actually processed rows (an empty bootstrap trigger can log
+    // before the replay batch, so filter on count > 0 like
+    // ModesBenchmarkSpec does rather than taking lines.head)
     val epoch0 = {
       val lines = scala.jdk.CollectionConverters
         .ListHasAsScala(java.nio.file.Files.readAllLines(csvB)).asScala
         .drop(1).filter(_.nonEmpty)
-      if (lines.isEmpty) 0.0 else lines.head.split(",")(2).toDouble
+      lines.find(_.split(",")(1).toLong > 0)
+        .map(_.split(",")(2).toDouble).getOrElse(0.0)
     }
     Result(a, b, TriggerMetrics.improvementPct(a, b), epoch0)
   }

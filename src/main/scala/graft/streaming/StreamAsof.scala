@@ -98,7 +98,10 @@ object StreamAsof {
             cur.foreach { s =>
               state.update(s)
               stateTtl.foreach { d =>
-                val at = math.max(s.tsUs / 1000L + d.toMillis,
+                // ceil the µs→ms conversion so state never expires
+                // before the nominal purchase-time-plus-TTL horizon
+                // (same rounding rule as AttributionStream's horizon)
+                val at = math.max((s.tsUs + 999L) / 1000L + d.toMillis,
                   state.getCurrentWatermarkMs() + 1L)
                 state.setTimeoutTimestamp(at)
               }
