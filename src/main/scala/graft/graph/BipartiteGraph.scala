@@ -235,11 +235,14 @@ object GraphOps {
       .agg(count(lit(1)).as("co"))
     val sym = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"), col("co")))
+    // no broadcast hint on deg: it has one row per distinct item — an
+    // UNBOUNDED cardinality when items are open-ended (URLs, doc ids)
+    // at 100 TB. AQE still broadcasts it while it measures small; past
+    // that the join shuffles on the item key, which `sym` is keyed by
+    // anyway.
     sym
-      .join(broadcast(deg.select(col("item").as("a"), col("d").as("da"))),
-        "a")
-      .join(broadcast(deg.select(col("item").as("b"), col("d").as("db"))),
-        "b")
+      .join(deg.select(col("item").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("item").as("b"), col("d").as("db")), "b")
       .withColumn("jac_e6", expr("co * 1000000L div (da + db - co)"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("a")

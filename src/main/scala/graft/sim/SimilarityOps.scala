@@ -385,19 +385,24 @@ object SimilarityOps {
     best
   }
 
-  /** DRIVER-side Lloyd's training of the IVF coarse quantizer over a
-    * bounded sample (faiss-style): 4096 x 64 doubles is ~2 MB, and
-    * centroid quality saturates long before the full corpus is seen —
-    * at 100 TB a distributed fit would spend its time on job
-    * scheduling, not math. Sample order is deterministic by vec_id;
-    * centroids snap to the 1e-6 grid each iteration so the SQL replay
-    * ([[ivfTrainSql]]) lands bit-identical. Shared by [[annIvfTopK]]
-    * and [[annIvfPqTopK]].
+  /** Training-sample size for an IVF quantizer with `nCells` cells:
+    * at least 16 points per trained cell (below that, Lloyd leaves
+    * empty/duplicate centroids and recall silently collapses), floored
+    * at 4096 (centroid quality saturates there for small indexes) and
+    * capped at 256 K rows (~134 MB of 64-dim doubles — the driver-side
+    * training budget; past the cap, occupancy per cell degrades
+    * gracefully instead of the collect growing with N).
     */
-  private def trainIvfCentroids(e: DataFrame, nCells: Int,
-      iters: Int = 5): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = e.orderBy("vec_id").limit(4096)
-      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+  private[sim] def ivfSampleSize(nCells: Int): Int =
+    math.max(4096, math.min(262144, 16 * nCells))
+
+  /** In-memory Lloyd's over a vec_id-ordered sample: stride init from
+    * the sample, strict-< first-wins assignment, means snapped to the
+    * 1e-6 grid each iteration (so the SQL replays land bit-identical),
+    * empty cells keep their previous centroid.
+    */
+  private def lloyd(sample: Array[Array[Double]], nCells: Int,
+      iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     val stride = math.max(1, sample.length / nCells)
     var cents: Array[Array[Double]] = Array.tabulate(nCells)(i =>
@@ -419,6 +424,57 @@ object SimilarityOps {
         })
     }
     cents
+  }
+
+  /** DRIVER-side training of the flat IVF coarse quantizer over a
+    * bounded sample (faiss-style): [[ivfSampleSize]] rows — 4096 for
+    * the fixed-16-cell indexes — and centroid quality saturates long
+    * before the full corpus is seen; at 100 TB a distributed fit would
+    * spend its time on job scheduling, not math. Sample order is
+    * deterministic by vec_id; see [[lloyd]] for the exact iteration
+    * rules the SQL replay ([[ivfTrainSql]]) mirrors. Shared by
+    * [[annIvfTopK]] and [[annIvfPqTopK]].
+    */
+  private def trainIvfCentroids(e: DataFrame, nCells: Int,
+      iters: Int = 5): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = e.orderBy("vec_id")
+      .limit(ivfSampleSize(nCells))
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    lloyd(sample, nCells, iters)
+  }
+
+  /** Two-level (hierarchical) coarse quantizer for indexes whose cell
+    * count GROWS with the corpus ([[embKnnGraphAnn]]): `l1Cells` ≈
+    * √nCells top-level cells trained from the sample prefix, then
+    * `l2Per` sub-cells per L1 cell, each trained by an independent
+    * [[lloyd]] over the sample points whose FINAL L1 assignment lands
+    * in that cell (points kept in vec_id order, so the per-cell stride
+    * init is deterministic and SQL-replayable). L1 cells that attract
+    * no sample points emit no sub-cells — the distributed assignment's
+    * inner join on l1 drops them identically on both engines.
+    *
+    * Returns (L1 centroids, flat (l1, sub, centroid) rows). Driver
+    * cost is sampN · (l1Cells + l2Per) · iters distance evaluations —
+    * both factors are O(√nCells), and sampN caps at 256 K, so training
+    * stays minutes-bounded at any corpus size (and each L1 cell's
+    * sub-training is independent if it ever needs to distribute).
+    */
+  private[sim] def trainTwoLevel(e: DataFrame, l1Cells: Int, l2Per: Int,
+      sampN: Int, l1SampN: Int, iters: Int = 5)
+      : (Array[Array[Double]], Array[(Int, Int, Array[Double])]) = {
+    val sample: Array[Array[Double]] = e.orderBy("vec_id").limit(sampN)
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    val l1 = lloyd(sample.take(l1SampN), l1Cells, iters)
+    val byCell = Array.fill(l1Cells)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    sample.foreach(v => byCell(nearestCell(l1, v)) += v)
+    val l2 = (0 until l1Cells).iterator
+      .filter(c => byCell(c).nonEmpty)
+      .flatMap { c =>
+        lloyd(byCell(c).toArray, l2Per, iters).zipWithIndex
+          .map { case (cent, s) => (c, s, cent) }
+      }.toArray
+    (l1, l2)
   }
 
   def annIvfTopK(spark: SparkSession, sfDir: String, nCells: Int = 16,
@@ -484,12 +540,8 @@ object SimilarityOps {
     * and [[annIvfPqTopKSql]] so the two oracles replay ONE index.
     */
   private def ivfTrainSql(nCells: Int, nProbe: Int, iters: Int,
-      nCellsSql: String = "", queryPred: String = "q.vec_id < 20"): String = {
-    // nCellsSql (when non-empty) replaces the literal cell count with a
-    // SQL expression — [[embKnnGraphAnnSql]] scales cells with the
-    // corpus (ncells = max(16, ceil(N/256))) so the replayed index is
-    // the same one the Scala side trains at any corpus size
-    val cellsExpr = if (nCellsSql.isEmpty) nCells.toString else nCellsSql
+      queryPred: String = "q.vec_id < 20"): String = {
+    val cellsExpr = nCells.toString
     val unroll = (0 until iters).map { kk =>
       s"""assign$kk AS (
          |  SELECT vec_id, vec, cell FROM (
@@ -518,7 +570,8 @@ object SimilarityOps {
        |  FROM embeddings),
        |sampn AS (
        |  SELECT vec_id, vec, row_number() OVER (ORDER BY vec_id) - 1 AS rn
-       |  FROM (SELECT vec_id, vec FROM e ORDER BY vec_id LIMIT 4096)),
+       |  FROM (SELECT vec_id, vec FROM e ORDER BY vec_id
+       |        LIMIT ${ivfSampleSize(nCells)})),
        |params AS (
        |  SELECT count(*) AS n, greatest(1, count(*) // ($cellsExpr)) AS stride
        |  FROM sampn),
@@ -1809,26 +1862,51 @@ object SimilarityOps {
   val KnnAnnCellTarget = 256
   val KnnAnnProbe = 2
 
+  /** Total-cell and L1-cell counts for [[embKnnGraphAnn]]'s two-level
+    * quantizer. l1 ≈ ⌈√nCells⌉ (floored at 16) keeps BOTH per-row
+    * centroid scans — the L1 ranking and the within-L1 sub-cell
+    * ranking (≈ nCells/l1 candidates) — at O(√nCells).
+    */
+  private[sim] def knnAnnCells(n: Long): Int =
+    math.max(16L, (n + KnnAnnCellTarget - 1) / KnnAnnCellTarget).toInt
+  private[sim] def knnAnnL1(nCells: Int): Int =
+    math.max(16, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+
   /** ANN-backed kNN GRAPH — the bucketed scale path for
     * [[embKnnGraph]] (which is exact-quadratic within label by design:
     * 25× time at 30× data in SCALE_PROBE_r11). Every vector is a
-    * query: the corpus is assigned to IVF cells (the
-    * [[trainIvfCentroids]] coarse quantizer, cell count scaling with N
-    * via [[KnnAnnCellTarget]]), each vector probes its
-    * [[KnnAnnProbe]] nearest cells, and candidate edges are the
-    * cell-colocated pairs — O(N · nProbe · cellTarget) candidates
-    * total instead of Σ label-block². Top-k by rounded cosine with
-    * nid tiebreak, exactly [[annIvfTopK]]'s ranking rule.
+    * query; candidate edges are cell-colocated pairs of a TWO-LEVEL
+    * IVF index, so total candidates are O(N · nProbe · cellTarget)
+    * instead of Σ label-block².
     *
-    * Shape at scale: centroid table broadcasts (nCells ≈ N/256 rows —
-    * at 10^9 vectors that is a 4M-row dim table, still a broadcast);
-    * the candidate join shuffles both sides on cell, whose key count
-    * GROWS with N (no fixed-key skew ceiling); the rank window gets
-    * the map-side WindowGroupLimit pushdown like every ANN rank
-    * window (PlanAuditSpec). Approximate by construction: a true
-    * neighbor in an unprobed cell is missed — the same recall
-    * contract as [[annIvfTopK]], against which AnnSpec pins recall.
+    * Two-level index (the r12 fix for the flat design's O(N · nCells)
+    * assignment, which was quadratic because nCells ∝ N): with
+    * nCells = ⌈N/[[KnnAnnCellTarget]]⌉ final cells, [[knnAnnL1]] ≈
+    * √nCells top-level cells are Lloyd-trained from a bounded sample
+    * ([[trainTwoLevel]]), and each L1 cell holds ⌈nCells/l1⌉ sub-cells
+    * trained from the sample points assigned to it. Assignment and
+    * probing then never scan more than O(√nCells) centroids per row:
     *
+    *  1. L1 ranking is a PLAN-LITERAL argmin — `transform` over the
+    *     l1-centroid array literal (√nCells rows ≈ 2 K × 64 doubles =
+    *     1 MB at 10⁹ vectors), `array_min`/`array_position` for the
+    *     best cell, mask + argmin again for the second — one map-only
+    *     projection of builtin HOFs, no crossJoin row blow-up, no UDF,
+    *     no shuffle, nothing in the plan grows beyond √nCells.
+    *  2. Each vector explodes to its [[KnnAnnProbe]] probed L1 cells
+    *     and resolves the nearest sub-cell via a SHUFFLE JOIN on l1
+    *     against the (l1, sub, cent) table (nCells rows total — a
+    *     join, never a broadcast), then `min_by` with map-side partial
+    *     aggregation collapses the N·probe·l2per joined rows back to
+    *     N·probe before any shuffle-by-vec_id.
+    *  3. Home cell = the rank-1 resolution; candidate edges join
+    *     probes to members on (l1, sub), whose key count grows with N
+    *     (no fixed-key skew ceiling); the top-k rank window gets the
+    *     map-side WindowGroupLimit pushdown like every ANN rank window
+    *     (PlanAuditSpec).
+    *
+    * Approximate by construction: a true neighbor in an unprobed cell
+    * is missed — KnnGraphSpec pins the measured recall exactly.
     * Output mirrors [[embKnnGraph]] (src, dst, label, rank, cos) with
     * label = src's label; neighbors may cross labels (the exact op
     * blocks by label, the ANN graph does not — blocking is the
@@ -1839,37 +1917,56 @@ object SimilarityOps {
     import spark.implicits._
     val e = withVec(Tables.embeddings(spark, sfDir)).localCheckpoint()
     val n = e.count()
-    val nCells = math.max(16L,
-      (n + KnnAnnCellTarget - 1) / KnnAnnCellTarget).toInt
-    val cents = trainIvfCentroids(e, nCells)
-    val bcCents = spark.sparkContext.broadcast(cents)
-    val bestCell = udf { (v: Seq[Double]) =>
-      nearestCell(bcCents.value, v.toArray)
-    }
-    val assigned = e
+    val nCells = knnAnnCells(n)
+    val l1c = knnAnnL1(nCells)
+    val l2per = (nCells + l1c - 1) / l1c
+    val (l1, l2) = trainTwoLevel(e, l1c, l2per,
+      sampN = ivfSampleSize(nCells), l1SampN = ivfSampleSize(l1c))
+    // (1) L1 argmin over the bounded centroid literal: best cell =
+    // first position of the array minimum (first-wins = lowest cell on
+    // ties, matching the oracle's ORDER BY d2, cell), second-best by
+    // masking the best slot to +inf and taking the argmin again
+    val ranked1 = e
+      .withColumn("l1cents", typedlit(l1.map(_.toSeq).toSeq))
+      .withColumn("d1s", expr(
+        "transform(l1cents, c -> aggregate(zip_with(vec, c, " +
+          "(p, q) -> (p - q) * (p - q)), " +
+          "cast(0 as double), (acc, v) -> acc + v))"))
+      .withColumn("l1a", expr("array_position(d1s, array_min(d1s))")
+        .cast("int") - 1)
+      .withColumn("d1sb", expr(
+        "transform(d1s, (x, i) -> if(i = l1a, cast('Infinity' as double), x))"))
+      .withColumn("l1b", expr("array_position(d1sb, array_min(d1sb))")
+        .cast("int") - 1)
       .select(col("vec_id"), col("label"), col("vec"), col("norm"),
-        bestCell(col("vec")).as("cell"))
-      .localCheckpoint()
-    val centroids = cents.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-    // EVERY vector probes its nProbe nearest cells (vs annIvfTopK's
-    // 20-query slice) — probed is corpus-sized, so it shuffles into
-    // the candidate join instead of broadcasting
-    val probed = assigned
-      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("vec").as("qvec"), col("norm").as("qnorm"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(qvec, centroid, (p, c) -> (p - c) * (p - c)), " +
+        explode(expr(
+          "array(named_struct('l1_rank', 1, 'l1', l1a), " +
+            "named_struct('l1_rank', 2, 'l1', l1b))")).as("pr"))
+      .select(col("vec_id"), col("label"), col("vec"), col("norm"),
+        col("pr.l1_rank").as("l1_rank"), col("pr.l1").as("l1"))
+    // (2) sub-cell resolution: shuffle join on l1 (l2per rows per key),
+    // min_by partial-aggregates map-side so only N·probe rows shuffle
+    val l2df = l2.toSeq.map { case (c, s, cent) => (c, s, cent.toSeq) }
+      .toDF("l1", "sub", "cent")
+    val resolved = ranked1.join(l2df, Seq("l1"))
+      .withColumn("d2c", expr(
+        "aggregate(zip_with(vec, cent, (p, q) -> (p - q) * (p - q)), " +
           "cast(0 as double), (acc, v) -> acc + v)"))
-      .withColumn("cell_rank", row_number().over(
-        Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
-      .filter(col("cell_rank") <= KnnAnnProbe)
-      .select("qid", "qlabel", "qvec", "qnorm", "cell")
-    val scored = assigned.join(probed,
-        probed("cell") === assigned("cell") &&
-          col("qid") =!= col("vec_id"))
+      .groupBy("vec_id", "l1_rank")
+      .agg(min_by(col("sub"), struct(col("d2c"), col("sub"))).as("sub"),
+        first("l1").as("l1"), first("label").as("label"),
+        first("vec").as("vec"), first("norm").as("norm"))
+      .localCheckpoint() // read twice: members (rank 1) + probes (all)
+    val assigned = resolved.filter(col("l1_rank") === 1)
+      .select(col("vec_id"), col("vec"), col("norm"),
+        col("l1"), col("sub"))
+    val probes = resolved
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("vec").as("qvec"), col("norm").as("qnorm"),
+        col("l1"), col("sub"))
+    // (3) candidates = cell-colocated (probe, member) pairs
+    val scored = assigned.join(probes, Seq("l1", "sub"))
+      .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("qlabel"), col("vec_id").as("nid"),
         round(cosine("qvec", "vec"), 4).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
@@ -1880,27 +1977,136 @@ object SimilarityOps {
       .orderBy("src", "rank")
   }
 
-  /** DuckDB replay of [[embKnnGraphAnn]]: the shared unrolled-Lloyd
-    * index build with a DYNAMIC cell count (greatest(16, ⌈N/256⌉)) and
-    * an all-vectors query predicate, then the same cell-candidate
-    * ranking as [[annIvfTopKSql]].
+  /** DuckDB replay of [[embKnnGraphAnn]]: the whole two-level index is
+    * rebuilt relationally — dynamic cell/sample sizing from count(*),
+    * the unrolled L1 Lloyd, the sample's final L1 assignment, the
+    * PER-L1-CELL L2 Lloyd (assignment restricted to the point's own L1
+    * cell, stride init over the cell's vec_id-ordered points), then
+    * the corpus two-stage assignment (top-2 L1 cells, nearest sub-cell
+    * within each) and the same (l1, sub)-colocated candidate ranking.
+    * Every argmin is row_number over (d², id) — the strict-< first-wins
+    * rule the driver loops use.
     */
   val embKnnGraphAnnSql: String = {
-    val k = 3
-    val ncellsSql =
-      s"SELECT greatest(16, (count(*) + ${KnnAnnCellTarget - 1}) " +
-        s"// $KnnAnnCellTarget) FROM e"
-    s"""WITH ${ivfTrainSql(0, KnnAnnProbe, 5, nCellsSql = s"($ncellsSql)",
-         queryPred = "true")},
-       |scored AS (
-       |  SELECT p.qid, q.label, a.vec_id AS nid,
-       |    round(list_dot_product(q.vec, a.vec) / (q.norm * a.norm), 4)
+    val k = 3; val iters = 5
+    val l1Unroll = (0 until iters).map { kk =>
+      s"""l1assign$kk AS MATERIALIZED (
+         |  SELECT vec_id, vec, cell FROM (
+         |    SELECT s.vec_id, s.vec, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${ivfD2("s.vec", "c.cent")} ASC, c.cell ASC) AS rn
+         |    FROM samp1 s, l1cents$kk c)
+         |  WHERE rn = 1),
+         |l1means$kk AS MATERIALIZED (
+         |  SELECT a.cell, d.d,
+         |    floor(list_sum(list(a.vec[d.d+1] ORDER BY a.vec_id)) / count(*)
+         |      * 1000000.0 + 0.5) / 1000000.0 AS m
+         |  FROM l1assign$kk a, dims d GROUP BY a.cell, d.d),
+         |l1cents${kk + 1} AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(nc.cent, p.cent) AS cent
+         |  FROM l1cents$kk p LEFT JOIN
+         |    (SELECT cell, list(m ORDER BY d) AS cent FROM l1means$kk
+         |     GROUP BY cell) nc
+         |    ON nc.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    val l2Unroll = (0 until iters).map { kk =>
+      s"""l2assign$kk AS MATERIALIZED (
+         |  SELECT vec_id, vec, l1, sub FROM (
+         |    SELECT s.vec_id, s.vec, s.l1, c.sub,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${ivfD2("s.vec", "c.cent")} ASC, c.sub ASC) AS rn
+         |    FROM sassign s JOIN l2cents$kk c ON c.l1 = s.l1)
+         |  WHERE rn = 1),
+         |l2means$kk AS MATERIALIZED (
+         |  SELECT a.l1, a.sub, d.d,
+         |    floor(list_sum(list(a.vec[d.d+1] ORDER BY a.vec_id)) / count(*)
+         |      * 1000000.0 + 0.5) / 1000000.0 AS m
+         |  FROM l2assign$kk a, dims d GROUP BY a.l1, a.sub, d.d),
+         |l2cents${kk + 1} AS MATERIALIZED (
+         |  SELECT p.l1, p.sub, coalesce(nc.cent, p.cent) AS cent
+         |  FROM l2cents$kk p LEFT JOIN
+         |    (SELECT l1, sub, list(m ORDER BY d) AS cent FROM l2means$kk
+         |     GROUP BY l1, sub) nc
+         |    ON nc.l1 = p.l1 AND nc.sub = p.sub)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dims AS MATERIALIZED (SELECT unnest(range(64)) AS d),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+       |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+       |      AS norm
+       |  FROM embeddings),
+       |sizes AS MATERIALIZED (
+       |  SELECT ncells, l1c, (ncells + l1c - 1) // l1c AS l2per,
+       |    least(262144, greatest(4096, 16 * ncells)) AS sampn,
+       |    least(262144, greatest(4096, 16 * l1c)) AS samp1n
+       |  FROM (
+       |    SELECT ncells,
+       |      greatest(16, CAST(ceil(sqrt(ncells::DOUBLE)) AS BIGINT)) AS l1c
+       |    FROM (SELECT greatest(16, (count(*) + ${KnnAnnCellTarget - 1})
+       |            // $KnnAnnCellTarget) AS ncells FROM e))),
+       |samp AS MATERIALIZED (
+       |  SELECT vec_id, vec, rn FROM (
+       |    SELECT vec_id, vec, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+       |    FROM e)
+       |  WHERE rn < (SELECT sampn FROM sizes)),
+       |samp1 AS MATERIALIZED (
+       |  SELECT vec_id, vec, rn FROM samp
+       |  WHERE rn < (SELECT samp1n FROM sizes)),
+       |p1 AS MATERIALIZED (
+       |  SELECT count(*) AS n1,
+       |    greatest(1, count(*) // (SELECT l1c FROM sizes)) AS stride
+       |  FROM samp1),
+       |l1cents0 AS MATERIALIZED (
+       |  SELECT c.cell, s.vec AS cent
+       |  FROM (SELECT unnest(range((SELECT l1c FROM sizes))) AS cell) c, p1 p
+       |  JOIN samp1 s ON s.rn = (c.cell * p.stride) % p.n1),
+       |$l1Unroll,
+       |sassign AS MATERIALIZED (
+       |  SELECT vec_id, vec, l1 FROM (
+       |    SELECT s.vec_id, s.vec, c.cell AS l1,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${ivfD2("s.vec", "c.cent")} ASC, c.cell ASC) AS rn
+       |    FROM samp s, l1cents$iters c)
+       |  WHERE rn = 1),
+       |sidx AS MATERIALIZED (
+       |  SELECT vec_id, vec, l1,
+       |    row_number() OVER (PARTITION BY l1 ORDER BY vec_id) - 1 AS crn
+       |  FROM sassign),
+       |csz AS MATERIALIZED (SELECT l1, count(*) AS cn FROM sassign GROUP BY l1),
+       |l2cents0 AS MATERIALIZED (
+       |  SELECT z.l1, j.sub, s.vec AS cent
+       |  FROM csz z
+       |  CROSS JOIN (SELECT unnest(range((SELECT l2per FROM sizes))) AS sub) j
+       |  JOIN sidx s ON s.l1 = z.l1
+       |    AND s.crn = (j.sub * greatest(1, z.cn
+       |      // (SELECT l2per FROM sizes))) % z.cn),
+       |$l2Unroll,
+       |r1 AS MATERIALIZED (
+       |  SELECT vec_id, label, vec, norm, l1, l1_rank FROM (
+       |    SELECT q.vec_id, q.label, q.vec, q.norm, c.cell AS l1,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${ivfD2("q.vec", "c.cent")} ASC, c.cell ASC)
+       |        AS l1_rank
+       |    FROM e q, l1cents$iters c)
+       |  WHERE l1_rank <= $KnnAnnProbe),
+       |resolved AS MATERIALIZED (
+       |  SELECT vec_id, label, vec, norm, l1, sub, l1_rank FROM (
+       |    SELECT r.vec_id, r.label, r.vec, r.norm, r.l1, c.sub, r.l1_rank,
+       |      row_number() OVER (PARTITION BY r.vec_id, r.l1_rank
+       |        ORDER BY ${ivfD2("r.vec", "c.cent")} ASC, c.sub ASC) AS rn
+       |    FROM r1 r JOIN l2cents$iters c ON c.l1 = r.l1)
+       |  WHERE rn = 1),
+       |members AS MATERIALIZED (
+       |  SELECT vec_id, vec, norm, l1, sub FROM resolved WHERE l1_rank = 1),
+       |scored AS MATERIALIZED (
+       |  SELECT p.vec_id AS qid, p.label AS qlabel, a.vec_id AS nid,
+       |    round(list_dot_product(p.vec, a.vec) / (p.norm * a.norm), 4)
        |      AS cos
-       |  FROM assigned a
-       |  JOIN probed p ON a.cell = p.cell AND a.vec_id != p.qid
-       |  JOIN e q ON q.vec_id = p.qid)
-       |SELECT qid AS src, nid AS dst, label, rank, cos FROM (
-       |  SELECT qid, label, nid, cos,
+       |  FROM members a
+       |  JOIN resolved p ON a.l1 = p.l1 AND a.sub = p.sub
+       |    AND a.vec_id != p.vec_id)
+       |SELECT qid AS src, nid AS dst, qlabel AS label, rank, cos FROM (
+       |  SELECT qid, qlabel, nid, cos,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)
        |      AS rank
        |  FROM scored)

@@ -106,4 +106,55 @@ class KnnGraphSpec extends SparkSuite {
     assert(recall == 647,
       s"ANN graph recall $recall/${truth.size} != pinned 647/1500")
   }
+
+  // r12 directive: beyond N ≈ 1M the OLD fixed-4096-row sample left
+  // more cells than training points (duplicate/empty centroids, silent
+  // recall collapse). The two-level trainer sizes its sample to
+  // ≥16 points/cell — this pins that no trained sub-cell is missing,
+  // duplicated, or empty on a ×30-scale (60 K-vector) fixture.
+  test("two-level trainer: full, distinct, non-empty cells at probe scale") {
+    val n = 60000
+    val nCells = SimilarityOps.knnAnnCells(n) // 235
+    val l1c = SimilarityOps.knnAnnL1(nCells) // 16
+    val l2per = (nCells + l1c - 1) / l1c // 15
+    // deterministic synthetic corpus: uniform-ish doubles from xxhash64
+    val e = spark.range(n).toDF("vec_id")
+      .selectExpr("vec_id",
+        "transform(sequence(0, 63), i -> " +
+          "cast(pmod(xxhash64(vec_id, i), 1000003) as double) / 1000003.0" +
+          ") as vec")
+    val (l1, l2) = SimilarityOps.trainTwoLevel(e, l1c, l2per,
+      sampN = SimilarityOps.ivfSampleSize(nCells),
+      l1SampN = SimilarityOps.ivfSampleSize(l1c))
+    assert(l1.length == l1c)
+    // every L1 cell produced its full complement of sub-cells
+    assert(l2.length == l1c * l2per,
+      s"trained ${l2.length} sub-cells, want ${l1c * l2per}")
+    // no duplicate sub-centroids within any L1 cell
+    l2.groupBy(_._1).foreach { case (c, subs) =>
+      val distinct = subs.map(_._3.toSeq).distinct.size
+      assert(distinct == subs.length,
+        s"L1 cell $c: ${subs.length - distinct} duplicate sub-centroids")
+    }
+    // every sub-cell attracts at least one corpus point under the
+    // final two-stage assignment (no dead cells in the index)
+    val sample = e.orderBy("vec_id")
+      .limit(SimilarityOps.ivfSampleSize(nCells))
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    val byCell = l2.groupBy(_._1).map { case (c, subs) =>
+      c -> subs.sortBy(_._2).map(_._3)
+    }
+    val occupied = sample.map { v =>
+      def d2(a: Array[Double], b: Array[Double]): Double =
+        a.indices.foldLeft(0.0)((acc, i) =>
+          acc + (a(i) - b(i)) * (a(i) - b(i)))
+      val c = l1.zipWithIndex.minBy { case (cent, i) => (d2(v, cent), i) }._2
+      val subs = byCell(c)
+      val s = subs.zipWithIndex.minBy { case (cent, i) => (d2(v, cent), i) }._2
+      (c, s)
+    }.toSet
+    val empty = l1c * l2per - occupied.size
+    info(s"empty sub-cells under final assignment: $empty/${l1c * l2per}")
+    assert(empty == 0, s"$empty empty sub-cells at probe scale")
+  }
 }
