@@ -342,6 +342,42 @@ object Bench {
         } finally rmrf(dir)
       } catch { case _: Throwable => Map.empty[String, Double] }
 
+    // 10× the reference's volume (r12 verdict #5): same 639 triggers,
+    // 10× the rows per trigger (160/150-msg batches summing exactly
+    // 100,000) and a 1,466,260-row epoch-0 replay — one decade of the
+    // latency-vs-volume curve next to the 1× parity point. The 100 TB
+    // claim for ST2/ST3 is that per-trigger latency grows with the
+    // PER-TRIGGER batch, not with how long the stream has been running
+    // — mean/median ~flat vs the 1× run is that evidence.
+    val streaming10x: Map[String, Double] =
+      if (!sfDir.endsWith("sf0.1")) Map.empty
+      else try {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bench_stream_10x")
+        try {
+          var off = 0
+          val batches = (0 until 639).map { i =>
+            val sz = if (i < 415) 160 else 150
+            val b = graft.streaming.FeedbackGenerator.batch("random", off, sz)
+            off += sz
+            b
+          }
+          val res = graft.streaming.ModesBenchmark.run(spark, batches, dir,
+            backlogRows = 1466260)
+          Map(
+            "st_append_10x_mean" -> res.append.meanMs / 1000.0,
+            "st_append_10x_median" -> res.append.medianMs / 1000.0,
+            "st_append_10x_triggers" -> res.append.n.toDouble,
+            "st_update_earliest_10x_mean" ->
+              res.updateEarliest.meanMs / 1000.0,
+            "st_update_earliest_10x_median" ->
+              res.updateEarliest.medianMs / 1000.0,
+            "st_10x_epoch0_replay_sec" -> res.epoch0ReplayMs / 1000.0,
+            "st_10x_msgs" -> 100000.0,
+            "st_10x_backlog_rows" -> 1466260.0)
+        } finally rmrf(dir)
+      } catch { case _: Throwable => Map.empty[String, Double] }
+
     // ONE-OFF sf1-equivalent probe (round-8 stretch item): the scale
     // curve tops out at sf0.1 where fixed overhead dominates, so the
     // worst measured big/mid ratios get one more decade of data — 10
@@ -425,7 +461,7 @@ object Bench {
       .getOrElse((Seq.empty[String], Seq.empty[(String, Double)],
         Seq.empty[(String, Double)]))
 
-    val all = results ++ streaming ++ streamingFull
+    val all = results ++ streaming ++ streamingFull ++ streaming10x
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // totals sum SUCCESSFUL queries only — a failed query's -1 sentinel
@@ -479,7 +515,53 @@ object Bench {
       if (passTotals.size < 2 || passTotals.min <= 0) -1.0
       else math.round((passTotals.max - passTotals.min) / passTotals.min
         * 1000) / 10.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"big_probe_copies":$BigProbeCopies,"big_probe_flag_threshold":$ScaleFlagRatio,"noisy_queries":$nqJson,"st_append_fullvolume_mean":${streamingFull.getOrElse("st_append_fullvolume_mean", -1.0)},"st_update_earliest_fullvolume_mean":${streamingFull.getOrElse("st_update_earliest_fullvolume_mean", -1.0)},"st_fullvolume_epoch0_replay_sec":${streamingFull.getOrElse("st_fullvolume_epoch0_replay_sec", -1.0)},"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,"codegen_compiles_total":${compiles()}}""")
+    // salted-probe coverage manifest (r12 verdict #6): echo the summary
+    // of probe_coverage.json (regenerated by scripts/probe_coverage.py
+    // from every SCALE_PROBE_r*/bench_full* artifact) so which queries
+    // have NO salted-copy curve — and how far each family has been
+    // pushed — is visible in BENCH_r{N}.json without reconstruction.
+    // Every catalog query always has this run's three-point real-SF
+    // curve regardless; missing file → "{}" rather than a crash.
+    val probeCoverage: String = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("probe_coverage.json")), "UTF-8")
+      def grab(key: String): String = {
+        val i = txt.indexOf("\"" + key + "\"")
+        if (i < 0) "null"
+        else {
+          val start = txt.indexOf(':', i) + 1
+          var depth = 0; var j = start; var done = false
+          var s = -1; var e = -1
+          while (j < txt.length && !done) {
+            val c = txt.charAt(j)
+            if (c == '{' || c == '[') { if (depth == 0) s = j; depth += 1 }
+            else if (c == '}' || c == ']') {
+              depth -= 1; if (depth == 0) { e = j; done = true }
+            }
+            j += 1
+          }
+          if (s >= 0 && e > s) txt.substring(s, e + 1).replaceAll("\\s+", "")
+          else "null"
+        }
+      }
+      val unprobed = grab("salted_unprobed")
+      val perFam = grab("max_factor_per_family")
+      val cnt =
+        if (unprobed == "null") -1
+        else unprobed.count(_ == '"') / 2
+      s""""salted_unprobed_count":$cnt,"max_factor_per_family":$perFam,"salted_unprobed":$unprobed"""
+    } catch { case _: Throwable =>
+      """"salted_unprobed_count":-1,"max_factor_per_family":{},"salted_unprobed":[]"""
+    }
+    println(s"""{"metric":"probe_coverage",$probeCoverage}""")
+    // headline-safe short form (the full unprobed list would blow the
+    // tail budget): count + per-family max factor only
+    val probeCoverageSummary: String = {
+      val i = probeCoverage.indexOf(""""salted_unprobed":""")
+      val short = if (i < 0) probeCoverage else probeCoverage.substring(0, i)
+      if (short.endsWith(",")) short else short + ","
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"big_probe_copies":$BigProbeCopies,"big_probe_flag_threshold":$ScaleFlagRatio,"noisy_queries":$nqJson,"st_append_fullvolume_mean":${streamingFull.getOrElse("st_append_fullvolume_mean", -1.0)},"st_update_earliest_fullvolume_mean":${streamingFull.getOrElse("st_update_earliest_fullvolume_mean", -1.0)},"st_fullvolume_epoch0_replay_sec":${streamingFull.getOrElse("st_fullvolume_epoch0_replay_sec", -1.0)},"st_append_10x_mean":${streaming10x.getOrElse("st_append_10x_mean", -1.0)},"st_update_earliest_10x_mean":${streaming10x.getOrElse("st_update_earliest_10x_mean", -1.0)},"st_10x_epoch0_replay_sec":${streaming10x.getOrElse("st_10x_epoch0_replay_sec", -1.0)},${probeCoverageSummary}"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,"codegen_compiles_total":${compiles()}}""")
     // FULL machine-readable artifact (r10 verdict item #2): stdout-tail
     // truncation eats the long per-query maps, so everything a verdict
     // needs to diff round-over-round — every per-query min AND median,
@@ -511,7 +593,8 @@ object Bench {
            |"noisy_queries":$nqJson,
            |"big_probe_times_sec":${jm(probeTimes.toMap)},
            |"big_probe_ratio_vs_sf01":${jm(probeRatios.toMap)},
-           |"streaming":${jm(streaming ++ streamingFull)},
+           |"streaming":${jm(streaming ++ streamingFull ++ streaming10x)},
+           |"probe_coverage":{$probeCoverage},
            |"codegen_compiles_total":${compiles()}}""".stripMargin
           .replace("\n", "")
       val out = sys.env.getOrElse("GRAFT_BENCH_FULL_OUT", "bench_full.json")
