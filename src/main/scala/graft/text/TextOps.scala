@@ -1649,28 +1649,35 @@ object TextOps {
     * labels a slice, the classifier generalizes it at token level.
     *
     * Model: multinomial Naive Bayes with Laplace smoothing — CLOSED
-    * FORM, so training is ONE distributed aggregation (per class j:
-    * token-bucket sums via posexplode + map-side partial agg → 2·65
-    * rows collected; the 65th slot counts docs, so class priors ride
-    * the same pass) and scoring is one map-only projection over the
-    * 64-double log-likelihood-ratio literal. No learning rate, no
-    * iteration count, no convergence question — the weights GD would
-    * crawl toward in thousands of passes, NB computes in one. At
-    * 100 TB: two linear corpus passes, a 130-row shuffle, bounded
-    * driver state.
+    * FORM, so training is ONE distributed aggregation: explode the
+    * per-token bucket ids (slot `dims` appended once per doc so class
+    * doc-counts ride the same pass), count by (class, slot) with
+    * map-side partial aggregation — 2·65 rows collected, never a
+    * dense per-doc vector (an earlier draft densified to 64-arrays
+    * via 64 interpreted filter() lambdas per doc and spent 14 s at
+    * sf0.1 on pure allocation; the explode/count shape runs the same
+    * corpus in ~1 s). Scoring is a map-only TOKEN-ORDER fold of
+    * llr[bucket(t)] over each doc's hash array — algebraically the
+    * same Σ_j cnt_j·llr_j, but one pass over the tokens with no
+    * intermediate arrays. At 100 TB: two linear corpus passes, a
+    * 130-row shuffle, bounded driver state, the 65-double llr literal
+    * the only broadcast.
     *
     * Determinism across engines: llr_j and the prior are computed
     * driver-side from EXACT integer counts and snapped to the 1e-6
     * grid (ln() differs by ~1 ulp between libm and the JVM — the snap
-    * absorbs it, the Lloyd-trainer trick); margins are then integer
-    * counts times snapped doubles folded in fixed j order — bit-
-    * identical in both engines, so pred (raw-margin sign) and the
-    * 4dp-rounded margin are exact-match safe. Features hash through
-    * md5's first 8 hex digits (engine-portable; Spark conv() and
-    * DuckDB's 0x-cast read the same digits).
+    * absorbs it, the Lloyd-trainer trick); margins are then snapped
+    * doubles folded in token order — bit-identical in both engines
+    * (split/string_split preserve order) — so pred (raw-margin sign)
+    * is exact, and the published margin uses an explicit floor-snap
+    * to 4dp because Spark round() and DuckDB round() disagree on
+    * exact .00005 boundaries. Features hash through md5's first 8 hex
+    * digits (engine-portable; Spark conv() and DuckDB's 0x-cast read
+    * the same digits).
     *
     * Output: (doc_id, y, margin, pred) per document, ORDER BY doc_id.
-    * TextClassifierSpec pins the exact confusion counts (~84%
+    * TextClassifierSpec verifies against an independent plain-Scala
+    * recomputation and pins the exact confusion counts (~84%
     * accuracy against a ~52% base rate at sf0.1).
     */
   def textDomainClassifier(spark: SparkSession, sfDir: String,
@@ -1685,21 +1692,16 @@ object TextOps {
         col("doc_id"),
         (expr("(sh * 10000L + n div 2) div n") >= thresh)
           .cast("int").as("y"),
-        expr("transform(tk, t -> " +
-          s"pmod(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), $dims))")
-          .as("hs"))
-      .withColumn("cvec", expr(
-        s"transform(sequence(0, ${dims - 1}), jj -> " +
-          "cast(size(filter(hs, h -> h = jj)) as long))"))
-      .select("doc_id", "y", "cvec")
+        expr("transform(tk, t -> cast(" +
+          s"pmod(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), $dims)" +
+          " as int))").as("hs"))
       .localCheckpoint() // read twice: count pass + scoring pass
-    // ONE aggregation: slot `dims` carries a 1 per doc (class doc
-    // count), slots 0..dims-1 the bucket token counts
+    // ONE aggregation: slot `dims` appended once per doc carries the
+    // class doc count; slots 0..dims-1 count bucket tokens
     val sums = feats
-      .select(col("y"), posexplode(expr(
-        s"transform(sequence(0, $dims), jj -> " +
-          s"if(jj < $dims, element_at(cvec, jj + 1), 1L))")))
-      .groupBy("y", "pos").agg(sum("col").as("t"))
+      .select(col("y"), explode(expr(
+        s"concat(hs, array($dims))")).as("slot"))
+      .groupBy("y", "slot").agg(count(lit(1)).as("t"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     def cnt(y: Int, j: Int): Long = sums.getOrElse((y, j), 0L)
     val t1 = (0 until dims).map(cnt(1, _)).sum
@@ -1716,64 +1718,61 @@ object TextOps {
       .withColumn("wl", typedlit(llr.toSeq))
       .withColumn("pc", lit(prior))
       .withColumn("m", col("pc") + expr(
-        "aggregate(zip_with(cvec, wl, (c, lv) -> c * lv), " +
-          "cast(0 as double), (acc, v) -> acc + v)"))
+        "aggregate(hs, cast(0 as double), " +
+          "(acc, h) -> acc + element_at(wl, h + 1))"))
       .select(col("doc_id"), col("y"),
-        // floor-snap, NOT round(): Spark's round() goes through
-        // BigDecimal's shortest-decimal repr and DuckDB's through C
-        // arithmetic — they disagree on exact .00005 boundaries (one
-        // real divergence at sf0.1); floor(m*1e4+0.5)/1e4 is the same
-        // IEEE ops in both engines on the bit-identical margin
         expr("floor(m * 10000d + 0.5d) / 10000d").as("margin"),
         (col("m") >= 0).as("pred"))
       .orderBy("doc_id")
   }
 
   /** DuckDB replay of [[textDomainClassifier]]: same label rule, same
-    * md5-bucket features, the class/bucket count aggregation, the
-    * snapped llr/prior arithmetic in the same operation order, and the
-    * j-ordered margin fold.
+    * md5-bucket features, the exploded class/slot count aggregation,
+    * the snapped llr/prior arithmetic in the same operation order, and
+    * the token-order margin fold.
     */
   val textDomainClassifierSql: String = {
     val dims = 64; val thresh = 600
-    s"""WITH dims AS MATERIALIZED (SELECT unnest(range($dims)) AS j),
-       |feats AS MATERIALIZED (
+    s"""WITH feats AS MATERIALIZED (
        |  SELECT doc_id,
        |    CASE WHEN (sh * 10000 + n // 2) // n >= $thresh
        |      THEN 1 ELSE 0 END AS y,
-       |    list_transform(range($dims), jj ->
-       |      len(list_filter(hs, h -> h = jj))::BIGINT) AS cvec
+       |    hs
        |  FROM (
        |    SELECT doc_id,
        |      len(tk)::BIGINT AS n,
        |      len(list_filter(tk, x -> x IN ${inList(stopwords)}))::BIGINT
        |        AS sh,
        |      list_transform(tk, t ->
-       |        ('0x' || substr(md5(t), 1, 8))::BIGINT % $dims) AS hs
+       |        (('0x' || substr(md5(t), 1, 8))::BIGINT % $dims)::INT) AS hs
        |    FROM (SELECT doc_id, string_split(text, ' ') AS tk
        |          FROM documents))),
-       |tj AS MATERIALIZED (
-       |  SELECT f.y, d.j, sum(f.cvec[d.j+1])::BIGINT AS t
-       |  FROM feats f, dims d GROUP BY f.y, d.j),
-       |cls AS MATERIALIZED (
-       |  SELECT y, count(*)::BIGINT AS nd FROM feats GROUP BY y),
-       |tot AS MATERIALIZED (SELECT y, sum(t)::BIGINT AS tt FROM tj GROUP BY y),
+       |sums AS MATERIALIZED (
+       |  SELECT f.y, u.slot, count(*)::BIGINT AS t
+       |  FROM feats f, unnest(list_append(f.hs, $dims)) AS u(slot)
+       |  GROUP BY f.y, u.slot),
+       |tot AS MATERIALIZED (
+       |  SELECT y, sum(t)::BIGINT AS tt FROM sums WHERE slot < $dims
+       |  GROUP BY y),
        |lw AS MATERIALIZED (
-       |  SELECT list(floor((((ln(a.t + 1.0) - ln(t1.tt + $dims.0))
-       |      - ln(b.t + 1.0)) + ln(t0.tt + $dims.0)) * 1000000.0 + 0.5)
-       |      / 1000000.0 ORDER BY a.j) AS w
-       |  FROM tj a JOIN tj b ON a.j = b.j AND a.y = 1 AND b.y = 0,
-       |    (SELECT tt FROM tot WHERE y = 1) t1,
-       |    (SELECT tt FROM tot WHERE y = 0) t0),
+       |  SELECT list(llr ORDER BY j) AS w FROM (
+       |    SELECT d.j,
+       |      floor((((ln(coalesce(a.t, 0) + 1.0) - ln(t1.tt + $dims.0))
+       |        - ln(coalesce(b.t, 0) + 1.0)) + ln(t0.tt + $dims.0))
+       |        * 1000000.0 + 0.5) / 1000000.0 AS llr
+       |    FROM (SELECT unnest(range($dims)) AS j) d
+       |    LEFT JOIN sums a ON a.slot = d.j AND a.y = 1
+       |    LEFT JOIN sums b ON b.slot = d.j AND b.y = 0,
+       |      (SELECT tt FROM tot WHERE y = 1) t1,
+       |      (SELECT tt FROM tot WHERE y = 0) t0)),
        |pr AS MATERIALIZED (
-       |  SELECT floor((ln(c1.nd + 1.0) - ln(c0.nd + 1.0)) * 1000000.0
+       |  SELECT floor((ln(c1.t + 1.0) - ln(c0.t + 1.0)) * 1000000.0
        |      + 0.5) / 1000000.0 AS p
-       |  FROM (SELECT nd FROM cls WHERE y = 1) c1,
-       |    (SELECT nd FROM cls WHERE y = 0) c0),
+       |  FROM (SELECT t FROM sums WHERE y = 1 AND slot = $dims) c1,
+       |    (SELECT t FROM sums WHERE y = 0 AND slot = $dims) c0),
        |mfin AS MATERIALIZED (
        |  SELECT f.doc_id, f.y,
-       |    pr.p + list_sum(list_transform(range($dims), jj ->
-       |      f.cvec[jj+1] * lw.w[jj+1])) AS m
+       |    pr.p + list_sum(list_transform(f.hs, h -> lw.w[h+1])) AS m
        |  FROM feats f, lw, pr)
        |SELECT doc_id, y, floor(m * 10000.0 + 0.5) / 10000.0 AS margin,
        |  m >= 0 AS pred

@@ -36,27 +36,26 @@ class TextClassifierSpec extends SparkSuite {
       val n = tk.length.toLong
       val sh = tk.count(stop.contains).toLong
       val y = if ((sh * 10000L + n / 2) / n >= 600) 1 else 0
-      val cvec = new Array[Long](D)
-      tk.foreach(t => cvec(md5Bucket(t)) += 1)
-      (id, y, cvec)
+      (id, y, tk.map(md5Bucket))
     }
 
     // independent NB training (same smoothing, same snap)
     def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val t = Array.ofDim[Long](2, D)
     val nd = new Array[Long](2)
-    rows.foreach { case (_, y, c) =>
+    rows.foreach { case (_, y, hs) =>
       nd(y) += 1
-      var j = 0; while (j < D) { t(y)(j) += c(j); j += 1 }
+      hs.foreach(j => t(y)(j) += 1)
     }
     val t1 = t(1).sum; val t0 = t(0).sum
     val llr = Array.tabulate(D)(j => snap(
       ((math.log(t(1)(j) + 1.0) - math.log(t1 + D.toDouble))
         - math.log(t(0)(j) + 1.0)) + math.log(t0 + D.toDouble)))
     val prior = snap(math.log(nd(1) + 1.0) - math.log(nd(0) + 1.0))
-    val want = rows.map { case (id, y, c) =>
+    // token-order fold, like the operator (and its SQL replay)
+    val want = rows.map { case (id, y, hs) =>
       var m = 0.0
-      var j = 0; while (j < D) { m += c(j) * llr(j); j += 1 }
+      hs.foreach(j => m += llr(j))
       m = prior + m
       (id, y, math.floor(m * 1e4 + 0.5) / 1e4, m >= 0)
     }
