@@ -682,9 +682,13 @@ object TextOps {
         explode(split(lower(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // doc_id is the table key and tf already holds DISTINCT (doc, term)
+    // rows, so both "distinct" counts are plain counts — countDistinct
+    // here cost a second expand/shuffle phase for identical values
+    // (x30 probe: 8.8x, the catalog's worst ratio, mostly this)
     val nDocs = Tables.documents(spark, sfDir).agg(
-      countDistinct("doc_id").as("n_docs"))
-    val idf = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("term"),
         length(expr("cast(n_docs div df as string)")).cast("long")
