@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -661,7 +662,196 @@ object StatsOps {
       |JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN nt
       |ORDER BY lang, source""".stripMargin
 
+  /** The shared rank backbone for [[statKsTest]] and
+    * [[statMannWhitney]]: purchase-vs-click `value` populations
+    * reduced to ONE corpus-sized aggregation over the 2-dp cents grid
+    * — per distinct cents value, how many purchases (`ca`) and clicks
+    * (`cb`). Everything downstream (ECDFs, ranks, tie terms) is
+    * arithmetic over this cell table, whose cardinality is bounded by
+    * the PRICE DOMAIN (≤ max_cents+1 rows — ~56 K for this corpus's
+    * 0..560.21 range), not by the corpus size, the same bounded-domain
+    * argument as `ev_ewma_hourly`'s 3600-hour clock.
+    *
+    * Cents quantization uses `floor(value·100 + 0.5)`: a double can
+    * never be EXACTLY k+0.5 after ·100 (that would need (2k+1)/200 to
+    * be binary-representable; 200 has a factor 5³), so the floor is
+    * rounding-mode-proof and both engines agree bit-for-bit — the same
+    * idiom the IVF centroid oracles use for e4 quantization.
+    */
+  private def rankCells(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy("cents")
+      .agg(
+        count(when(col("event_type") === "purchase", 1)).as("ca"),
+        count(when(col("event_type") === "click", 1)).as("cb"))
+
+  /** Exact two-sample Kolmogorov–Smirnov scan: the purchase and click
+    * `value` ECDFs compared at EVERY observed threshold; the 10
+    * largest gaps emitted (row 1's `ks_gap` IS the KS D statistic,
+    * the rest localize where the distributions diverge — a drift
+    * report, not just a number). The distribution-shape companion to
+    * [[statTtest]]'s mean test: KS sees a variance or tail shift the
+    * t-test is blind to.
+    *
+    * Cross-engine exactness: cumulative counts are integer window
+    * sums; the gap ORDERING uses the exact integer cross-product
+    * |cum_a·nb − cum_b·na| in DECIMAL(38,0) (products of (19,0)
+    * operands — exact to n ≈ 10¹⁹, no float enters the top-10
+    * selection), and the displayed `ks_gap` double divides identical
+    * integer operands in both engines.
+    *
+    * Scale shape: one corpus aggregation to the domain-bounded cell
+    * table ([[rankCells]]); the ordered window and the top-10 rank run
+    * over those ≤56 K rows (SinglePartition is safe BECAUSE the table
+    * is domain-bounded — PlanAuditSpec carries the exemption note);
+    * na/nb come from unbounded-frame window totals over the same
+    * table, so the corpus is scanned exactly once.
+    */
+  def statKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val wCum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    rankCells(spark, sfDir)
+      .select(col("cents"),
+        sum("ca").over(wCum).as("cum_a"),
+        sum("cb").over(wCum).as("cum_b"),
+        sum("ca").over(wAll).as("na"),
+        sum("cb").over(wAll).as("nb"))
+      .withColumn("gap_num", abs(dec(col("cum_a")) * dec(col("nb")) -
+        dec(col("cum_b")) * dec(col("na"))))
+      .orderBy(desc("gap_num"), asc("cents"))
+      .limit(10)
+      .select(
+        (col("cents") / lit(100.0)).as("threshold"),
+        col("cum_a"), col("cum_b"),
+        round(d(col("gap_num")) / (d(col("na")) * d(col("nb"))), 6)
+          .as("ks_gap"))
+  }
+
+  val statKsTestSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS cents
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |cells AS (
+      |  SELECT cents,
+      |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS ca,
+      |    count(CASE WHEN event_type = 'click' THEN 1 END) AS cb
+      |  FROM ev GROUP BY cents),
+      |cum AS (
+      |  SELECT cents,
+      |    sum(ca) OVER (ORDER BY cents) AS cum_a,
+      |    sum(cb) OVER (ORDER BY cents) AS cum_b,
+      |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+      |  FROM cells),
+      |gaps AS (
+      |  SELECT cents, cum_a::BIGINT AS cum_a, cum_b::BIGINT AS cum_b,
+      |    na, nb,
+      |    abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
+      |      - CAST(cum_b AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0)))
+      |      AS gap_num
+      |  FROM cum)
+      |SELECT CAST(cents AS DOUBLE) / 100 AS threshold, cum_a, cum_b,
+      |  round(CAST(gap_num AS DOUBLE)
+      |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_gap
+      |FROM gaps
+      |ORDER BY gap_num DESC, cents
+      |LIMIT 10""".stripMargin
+
+  /** Exact tie-corrected Mann–Whitney U: the nonparametric
+    * location test over the same purchase-vs-click populations —
+    * robust to the heavy right tail where [[statTtest]]'s normality
+    * assumption is weakest, and `auc` (= U/(na·nb)) is the
+    * probability a random purchase outranks a random click, the
+    * effect size a metrics platform actually reports.
+    *
+    * Rank math in DOUBLED integer units so ties never produce a
+    * fraction: with `prev` pooled observations strictly below a cell
+    * of `t` tied values, each tied element's average rank is
+    * prev + (t+1)/2, so 2·Ra = Σ ca·(2·prev + t + 1) — an exact
+    * DECIMAL(38,0) sum of (19,0)-operand products. The tie-correction
+    * term Σ(t³−t) cubes through DECIMAL(12,0) operands ((12,0)³ =
+    * (36..38,0) in both engines' widening rules — exact while every
+    * per-cell tie count stays below 10¹², i.e. corpora to ~5·10¹³
+    * rows at this cell occupancy). z then divides identical exact
+    * operands as doubles: z = (2U − na·nb)/√(na·nb·((n+1) −
+    * T/(n(n−1)))/3), the doubled-units form of the classic
+    * tie-corrected normal approximation.
+    *
+    * Scale shape: identical to [[statKsTest]] — one corpus
+    * aggregation, one window pass over the domain-bounded cell table,
+    * then a scalar aggregation; single corpus scan, no collect.
+    */
+  def statMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val wCum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    def d12(c: org.apache.spark.sql.Column) = c.cast("decimal(12,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val cum = rankCells(spark, sfDir)
+      .withColumn("t", col("ca") + col("cb"))
+      .withColumn("prev",
+        sum(col("t")).over(wCum) - col("t"))
+    val agg = cum.agg(
+      sum("ca").as("na"), sum("cb").as("nb"),
+      sum(dec(col("ca")) *
+        dec(lit(2L) * col("prev") + col("t") + lit(1L))).as("r2a"),
+      sum(d12(col("t")) * d12(col("t")) * d12(col("t")) - d12(col("t")))
+        .as("tie3"))
+    val n = d(col("na")) + d(col("nb"))
+    val u2 = d(col("r2a")) - d(col("na")) * (d(col("na")) + lit(1.0))
+    val mu2 = d(col("na")) * d(col("nb"))
+    val var2 = d(col("na")) * d(col("nb")) / lit(3.0) *
+      ((n + lit(1.0)) - d(col("tie3")) / (n * (n - lit(1.0))))
+    agg.select(col("na"), col("nb"),
+      (u2 / lit(2.0)).as("u_a"),
+      round(u2 / lit(2.0) / (d(col("na")) * d(col("nb"))), 6).as("auc"),
+      round((u2 - mu2) / sqrt(var2), 4).as("z_mw"))
+  }
+
+  val statMannWhitneySql: String =
+    """WITH ev AS (
+      |  SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS cents
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |cells AS (
+      |  SELECT cents,
+      |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS ca,
+      |    count(CASE WHEN event_type = 'click' THEN 1 END) AS cb
+      |  FROM ev GROUP BY cents),
+      |cum AS (
+      |  SELECT cents, ca, cb, ca + cb AS t,
+      |    sum(ca + cb) OVER (ORDER BY cents) - (ca + cb) AS prev
+      |  FROM cells),
+      |agg AS (
+      |  SELECT
+      |    sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+      |    sum(CAST(ca AS DECIMAL(19,0))
+      |      * CAST(2 * prev + t + 1 AS DECIMAL(19,0))) AS r2a,
+      |    sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+      |      * CAST(t AS DECIMAL(12,0)) - CAST(t AS DECIMAL(12,0))) AS tie3
+      |  FROM cum),
+      |x AS (
+      |  SELECT na, nb,
+      |    CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS n,
+      |    CAST(r2a AS DOUBLE)
+      |      - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1) AS u2,
+      |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) AS mu2,
+      |    CAST(tie3 AS DOUBLE) AS tie3d
+      |  FROM agg)
+      |SELECT na, nb, u2 / 2 AS u_a,
+      |  round(u2 / 2 / mu2, 6) AS auc,
+      |  round((u2 - mu2)
+      |    / sqrt(mu2 / 3 * ((n + 1) - tie3d / (n * (n - 1)))), 4) AS z_mw
+      |FROM x""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("stat_ks_test", statKsTest _, statKsTestSql),
+    ("stat_mannwhitney", statMannWhitney _, statMannWhitneySql),
     ("stat_chi2_independence",
       statChi2Independence _, statChi2IndependenceSql),
     ("stat_ttest", statTtest _, statTtestSql),
