@@ -1125,6 +1125,144 @@ object PipelineOps {
        |ORDER BY stage""".stripMargin
   }
 
+  /** Merge rounds learned by [[bpeTrain]] — interpolated into the
+    * unrolled oracle so both engines always run the same count.
+    */
+  val BpeRounds = 8
+
+  /** Normalized-prefix length feeding the pair statistics. Small so
+    * the sf0.01 corpus stays cheap under the oracle's 8 unrolled
+    * replays; the algebra is identical at full-document length.
+    */
+  val BpePrefixChars = 40
+
+  /** The shared round-0 corpus: each document's first
+    * [[BpePrefixChars]] chars lowercased, stripped to `[a-z]`, then
+    * exploded to space-separated single-character tokens (the
+    * char-level BPE start state). Documents with fewer than two
+    * usable characters contribute no pairs and are dropped up front.
+    */
+  private def bpeCorpus0(spark: SparkSession, sfDir: String): DataFrame = {
+    val stripped = regexp_replace(
+      lower(substring(coalesce(col("text"), lit("")), 1, BpePrefixChars)),
+      "[^a-z]", "")
+    Tables.documents(spark, sfDir)
+      .select(stripped.as("raw"))
+      .filter(length(col("raw")) >= 2)
+      .select(trim(regexp_replace(col("raw"), "(.)", "$1 ")).as("s"))
+  }
+
+  /** Distributed byte-pair-encoding merge training: [[BpeRounds]]
+    * rounds of (count adjacent token pairs → take the most frequent →
+    * rewrite the corpus with the merged token), emitting the learned
+    * merge table `(merge_rank, left_tok, right_tok, pair_count)` — the
+    * artifact a tokenizer build actually ships. Ties break on
+    * (count DESC, left ASC, right ASC) in both engines.
+    *
+    * Scale shape: the normalized char corpus is persisted ONCE; each
+    * round is a single explode→groupBy(count) aggregation (the word-
+    * count shuffle shape, fully map-side combinable since the pair
+    * domain is vocab², tiny) plus a `limit(1)` collect of exactly one
+    * row — the only driver state is the 8-row merge table itself. The
+    * corpus rewrite is a pure codegen string projection layered on the
+    * cached round-0 relation, so round k scans cached data through k
+    * cheap `replace` stages and the parquet is read once total. At
+    * real vocab scale (50K merges) the per-round rewrite amortizes via
+    * pair-count DELTAS instead of full rescans; the 8-round form keeps
+    * the oracle's unrolled replay tractable while exercising the full
+    * distributed loop, including multi-character merges (round 8 on
+    * this corpus merges `m`+`er`).
+    *
+    * Merge semantics, mirrored bit-exactly by the oracle: the rewrite
+    * is ` l r ` → ` lr ` applied as TWO passes of non-overlapping
+    * left-to-right literal `replace` on the space-padded token string.
+    * One pass alone skips every second instance in an immediate run
+    * `… l r l r …` (the consumed trailing space is also the next
+    * match's leading space); the second pass merges those skipped
+    * instances, matching canonical left-to-right BPE for runs up to
+    * length 4. Longer same-pair runs (vanishingly rare in stripped
+    * prose) may retain an unmerged instance per round — a documented
+    * deviation, identical in both engines because DuckDB's `replace`
+    * and Spark's `replace` share the same non-overlapping scan.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val corpus0 = bpeCorpus0(spark, sfDir).persist()
+    try {
+      var corpus = corpus0
+      val merges =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (k <- 1 to BpeRounds) {
+        val t = split(col("s"), " ")
+        val top = corpus
+          .select(explode(arrays_zip(
+            slice(t, lit(1), size(t) - 1).as("l"),
+            slice(t, lit(2), size(t) - 1).as("r"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("l"), asc("r"))
+          .limit(1)
+          .collect()(0)
+        val l = top.getString(0)
+        val r = top.getString(1)
+        val c = top.getLong(2)
+        merges += ((k, l, r, c))
+        val pat = lit(s" $l $r ")
+        val rep = lit(s" $l$r ")
+        val padded = concat(lit(" "), col("s"), lit(" "))
+        corpus = corpus.select(
+          trim(replace(replace(padded, pat, rep), pat, rep)).as("s"))
+      }
+      merges.toSeq
+        .toDF("merge_rank", "left_tok", "right_tok", "pair_count")
+        .orderBy("merge_rank")
+    } finally corpus0.unpersist()
+  }
+
+  /** Unrolled [[BpeRounds]]-round replay: each round re-derives the
+    * pair counts from the previous corpus CTE, picks the same
+    * tie-broken top pair, and applies the same double-pass padded
+    * replace. `MATERIALIZED` is load-bearing — corpus round k is
+    * referenced three times (pair scan + two scalar subqueries), so
+    * inlined CTEs would expand the plan exponentially in the round
+    * count.
+    */
+  def bpeTrainSql: String = {
+    def pairs(k: Int): String =
+      s"""toks$k AS (SELECT string_split(s, ' ') AS t FROM corpus$k),
+         |pairs$k AS MATERIALIZED (
+         |  SELECT u.p[1] AS l, u.p[2] AS r, count(*) AS c
+         |  FROM toks$k, UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(p)
+         |  GROUP BY 1, 2),
+         |top$k AS MATERIALIZED (
+         |  SELECT l, r, c FROM pairs$k ORDER BY c DESC, l, r LIMIT 1)"""
+        .stripMargin
+    def corpus(k: Int): String = {
+      val p = s"(SELECT ' ' || l || ' ' || r || ' ' FROM top${k - 1})"
+      val m = s"(SELECT ' ' || l || r || ' ' FROM top${k - 1})"
+      s"""corpus$k AS MATERIALIZED (
+         |  SELECT trim(replace(replace(' ' || s || ' ', $p, $m), $p, $m))
+         |    AS s
+         |  FROM corpus${k - 1})""".stripMargin
+    }
+    val base =
+      s"""corpus0 AS MATERIALIZED (
+         |  SELECT trim(regexp_replace(
+         |      regexp_replace(lower(substring(coalesce(text, ''), 1,
+         |        $BpePrefixChars)), '[^a-z]', '', 'g'),
+         |      '(.)', '\\1 ', 'g')) AS s
+         |  FROM documents
+         |  WHERE length(regexp_replace(lower(substring(coalesce(text, ''),
+         |    1, $BpePrefixChars)), '[^a-z]', '', 'g')) >= 2)""".stripMargin
+    val parts = base +: pairs(0) +:
+      (1 until BpeRounds).flatMap(k => Seq(corpus(k), pairs(k)))
+    val selects = (0 until BpeRounds).map(k =>
+      s"SELECT ${k + 1} AS merge_rank, l AS left_tok, r AS right_tok," +
+        s" c::BIGINT AS pair_count FROM top$k")
+    "WITH " + parts.mkString(",\n") + "\n" +
+      selects.mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("pipe_curriculum", curriculum _, curriculumSql),
@@ -1151,5 +1289,6 @@ object PipelineOps {
         globalShuffleSql),
       ("pipe_e2e_curation",
         ((s: SparkSession, d: String) => e2eCuration(s, d)),
-        e2eCurationSql))
+        e2eCurationSql),
+      ("pipe_bpe_train", bpeTrain _, bpeTrainSql))
 }
