@@ -849,7 +849,99 @@ object StatsOps {
       |    / sqrt(mu2 / 3 * ((n + 1) - tie3d / (n * (n - 1)))), 4) AS z_mw
       |FROM x""".stripMargin
 
+  /** The four lineitem measures whose pairwise second moments
+    * [[statCovMatrix]] reports, alphabetical so the emitted pair order
+    * and the oracle's UNION order can never diverge.
+    */
+  private val CovCols = Seq("l_discount", "l_extendedprice",
+    "l_quantity", "l_tax")
+
+  /** One-pass exact covariance / correlation matrix over the four
+    * lineitem measures — the feature-redundancy screen a training
+    * pipeline runs before fitting anything. Emits the 10 upper-
+    * triangle pairs (diagonal included) as
+    * `(var_x, var_y, n, cov, corr)`.
+    *
+    * Exactness across engines: every measure is quantized to the e4
+    * grid with `floor(x·10⁴ + 0.5)` (a double can never be exactly
+    * k+0.5 after ·10⁴ — (2k+1)/2·10⁴ has a 5⁴ factor, not binary-
+    * representable — so the floor is rounding-mode-proof, the same
+    * idiom as [[rankCells]]); all sums and cross-products accumulate
+    * in DECIMAL(38,0) ((19,0)² operands — exact to ~10³⁸, i.e.
+    * corpora far past 100 TB), so the single agg row is bit-identical
+    * in both engines and the final double arithmetic divides
+    * identical operands. `cov` converts back to value units (/10⁸).
+    *
+    * Scale shape: ONE full scan feeding a single partial-aggregable
+    * global agg (14 decimal sums — a constant-width accumulator, the
+    * same map-side-combine shape as `q17_global_stats`); the 10
+    * output rows are a driver-free `explode` of literals over that
+    * one agg row. Adding columns grows the accumulator O(k²) but
+    * never adds a scan or a shuffle.
+    */
+  def statCovMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    def q(c: String) =
+      floor(col(c) * lit(10000.0) + lit(0.5)).cast("decimal(19,0)")
+    val sums =
+      CovCols.map(c => sum(q(c)).cast("decimal(38,0)").as(s"s_$c")) ++
+        (for {
+          i <- CovCols.indices; j <- i until CovCols.size
+        } yield sum(q(CovCols(i)) * q(CovCols(j)))
+          .as(s"p_${CovCols(i)}_${CovCols(j)}"))
+    val agg = Tables.lineitem(spark, sfDir)
+      .agg(count(lit(1)).as("n"), sums: _*)
+    def d(n: String) = col(n).cast("double")
+    val nd = d("n")
+    def sxy(i: Int, j: Int) = d(s"p_${CovCols(i)}_${CovCols(j)}")
+    def mom(i: Int, j: Int) =
+      nd * sxy(i, j) - d(s"s_${CovCols(i)}") * d(s"s_${CovCols(j)}")
+    val pairs = for {
+      i <- CovCols.indices; j <- i until CovCols.size
+    } yield struct(
+      lit(CovCols(i)).as("var_x"), lit(CovCols(j)).as("var_y"),
+      col("n").as("n"),
+      round(mom(i, j) / (nd * (nd - lit(1.0))) / lit(1e8), 6).as("cov"),
+      round(mom(i, j) / sqrt(mom(i, i) * mom(j, j)), 6).as("corr"))
+    agg.select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.var_x"), col("kv.var_y"), col("kv.n"),
+        col("kv.cov"), col("kv.corr"))
+      .orderBy("var_x", "var_y")
+  }
+
+  /** Mirrors [[statCovMatrix]]'s quantize → DECIMAL sums → double
+    * arithmetic stage for stage; one UNION arm per pair.
+    */
+  def statCovMatrixSql: String = {
+    def qc(c: String) =
+      s"CAST(floor($c * 10000 + 0.5) AS DECIMAL(19,0))"
+    val sums =
+      CovCols.map(c => s"CAST(sum(${qc(c)}) AS DECIMAL(38,0)) AS s_$c") ++
+        (for {
+          i <- CovCols.indices; j <- i until CovCols.size
+        } yield s"sum(${qc(CovCols(i))} * ${qc(CovCols(j))})" +
+          s" AS p_${CovCols(i)}_${CovCols(j)}")
+    def mom(i: Int, j: Int) =
+      s"(CAST(n AS DOUBLE) * CAST(p_${CovCols(i)}_${CovCols(j)} AS DOUBLE)" +
+        s" - CAST(s_${CovCols(i)} AS DOUBLE)" +
+        s" * CAST(s_${CovCols(j)} AS DOUBLE))"
+    val arms = for {
+      i <- CovCols.indices; j <- i until CovCols.size
+    } yield s"""SELECT '${CovCols(i)}' AS var_x, '${CovCols(j)}' AS var_y,
+      |  n,
+      |  round(${mom(i, j)}
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / 1e8, 6) AS cov,
+      |  round(${mom(i, j)}
+      |    / sqrt(${mom(i, i)} * ${mom(j, j)}), 6) AS corr
+      |FROM agg""".stripMargin
+    s"""WITH agg AS (
+       |  SELECT count(*)::BIGINT AS n, ${sums.mkString(",\n    ")}
+       |  FROM lineitem)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY var_x, var_y""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("stat_cov_matrix", statCovMatrix _, statCovMatrixSql),
     ("stat_ks_test", statKsTest _, statKsTestSql),
     ("stat_mannwhitney", statMannWhitney _, statMannWhitneySql),
     ("stat_chi2_independence",
