@@ -290,9 +290,262 @@ object GraphOps {
       |FROM r WHERE rnk <= 5
       |ORDER BY a, rnk""".stripMargin
 
+  /** Exact triangle census + global clustering coefficient of the
+    * item co-occurrence graph (nodes = items, an edge when ≥1 user
+    * touched both) — the cohesion statistic that separates a
+    * community-structured interaction graph from a star-shaped
+    * crawler artifact.
+    *
+    * Scale design is the classic DEGREE-ORDERED ORIENTATION
+    * (node-iterator++ / Cohen's MapReduce scheme): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the
+    * higher one — a total order, so the oriented graph is acyclic and
+    * every triangle is counted exactly once as a wedge u→v, u→w
+    * (rank v < rank w) closed by the oriented edge v→w. Out-degree
+    * after orientation is O(√m) regardless of how skewed the raw
+    * degree distribution is, so the wedge self-join is O(m^1.5)
+    * worst-case instead of Σd² — the difference between a plan that
+    * survives a crawler hot node and one that melts. Upstream, the
+    * same per-user `cap` as [[graphItemCooccur]] bounds pair fan-out,
+    * so edge generation is linear in users. Every join is an
+    * equi-join on node keys (shuffle-partitionable); the one global
+    * agg is a constant-width accumulator.
+    */
+  def graphTriangleCount(spark: SparkSession, sfDir: String,
+      cap: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inter = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val capped = inter
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("item")))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+    val edges = capped.as("x")
+      .join(capped.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.item") < col("y.item"))
+      .select(col("x.item").as("a"), col("y.item").as("b"))
+      .distinct()
+    val deg = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // attach degrees, then orient low-(d, id) → high-(d, id)
+    val withDeg = edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("t"),
+          col("db").as("dt")))
+        .otherwise(struct(col("b").as("s"), col("a").as("t"),
+          col("da").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    // wedges u→v, u→w with rank(v) < rank(w); close with oriented v→w
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.dt") < col("e2.dt") ||
+            (col("e1.dt") === col("e2.dt") &&
+              col("e1.t") < col("e2.t"))))
+      .select(col("e1.t").as("v"), col("e2.t").as("w"))
+    val triangles = wedges
+      .join(oriented.select(col("s").as("v"), col("t").as("w")),
+        Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val totals = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(d) div 2").as("n_edges"),
+      expr("sum(d * (d - 1) div 2)").as("n_wedges"))
+    totals.crossJoin(broadcast(triangles))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("3 * n_triangles * 1000000L div n_wedges").as("gcc_e6"))
+  }
+
+  val graphTriangleCountSql: String =
+    """WITH inter AS (
+      |  SELECT DISTINCT user_id,
+      |    json_extract_string(props, '$.k')::INT AS item
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |capped AS (
+      |  SELECT user_id, item FROM (
+      |    SELECT user_id, item,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+      |    FROM inter)
+      |  WHERE rn <= 32),
+      |edges AS (
+      |  SELECT DISTINCT x.item AS a, y.item AS b
+      |  FROM capped x
+      |  JOIN capped y ON x.user_id = y.user_id AND x.item < y.item),
+      |deg AS (
+      |  SELECT v, count(*)::BIGINT AS d FROM (
+      |    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+      |  GROUP BY 1),
+      |oriented AS (
+      |  SELECT
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+      |      THEN a ELSE b END AS s,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+      |      THEN b ELSE a END AS t,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+      |      THEN db.d ELSE da.d END AS dt
+      |  FROM edges
+      |  JOIN deg da ON da.v = a
+      |  JOIN deg db ON db.v = b),
+      |wedges AS (
+      |  SELECT e1.t AS v, e2.t AS w
+      |  FROM oriented e1
+      |  JOIN oriented e2 ON e1.s = e2.s
+      |    AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))),
+      |tri AS (
+      |  SELECT count(*)::BIGINT AS n_triangles
+      |  FROM wedges
+      |  WHERE EXISTS (SELECT 1 FROM oriented o
+      |    WHERE o.s = wedges.v AND o.t = wedges.w)),
+      |totals AS (
+      |  SELECT count(*)::BIGINT AS n_nodes,
+      |    (sum(d) // 2)::BIGINT AS n_edges,
+      |    sum(d * (d - 1) // 2)::BIGINT AS n_wedges
+      |  FROM deg)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  (3 * n_triangles * 1000000) // n_wedges AS gcc_e6
+      |FROM totals CROSS JOIN tri""".stripMargin
+
+  /** Rounds of synchronous label propagation [[graphLabelProp]] runs —
+    * interpolated into the unrolled oracle so both engines always run
+    * the same number.
+    */
+  val LpRounds = 3
+
+  /** Semi-supervised label propagation over the item co-occurrence
+    * graph: a deterministic 1-in-7 subset of items carries a seed
+    * class (item mod 4 — the stand-in for a human-labeled taxonomy
+    * sample), and [[LpRounds]] SYNCHRONOUS rounds spread labels to
+    * unlabeled neighbors by majority vote (count desc, label asc
+    * tie-break; seeds are clamped; a node with no labeled neighbor
+    * keeps its previous label). The classic cheap way to extend a tiny
+    * labeled set over a billion-node interaction graph.
+    *
+    * Determinism is the whole design: synchronous rounds (every round
+    * reads only the previous round's labels), a total-order majority
+    * tie-break, and clamped seeds make the fixpoint path identical in
+    * any engine — so the DuckDB oracle just unrolls the same
+    * [[LpRounds]] rounds as CTEs.
+    *
+    * Scale shape: per round, ONE equi-join of the (cap-bounded) edge
+    * list against the label table on the neighbor key and ONE
+    * (item, label) aggregation — both shuffle-partitioned on node
+    * keys; the majority pick is a rank-1 window (WindowGroupLimit).
+    * State between rounds is one row per node. The edge list is
+    * localCheckpointed once, so the [[LpRounds]]-branch plan reads the
+    * corpus ONCE (reliable checkpoint at real cluster scale — see
+    * [[graft.pipeline.PipelineOps]]).
+    */
+  def graphLabelProp(spark: SparkSession, sfDir: String,
+      cap: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inter = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val capped = inter
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("item")))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+    val pairs = capped.as("x")
+      .join(capped.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.item") < col("y.item"))
+      .select(col("x.item").as("a"), col("y.item").as("b"))
+      .distinct()
+    val sym = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val nodes = sym.select(col("a").as("item")).distinct()
+    val seeded = nodes.withColumn("lab",
+      when(col("item") % 7 === 0, col("item") % 4).otherwise(lit(-1)))
+    val labels = (1 to LpRounds).foldLeft(seeded) { case (prev, _) =>
+      val votes = sym
+        .join(prev.filter(col("lab") >= 0)
+          .select(col("item").as("b"), col("lab")), "b")
+        .groupBy(col("a").as("item"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val majority = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("item")
+            .orderBy(col("c").desc, col("lab"))))
+        .filter(col("rn") === 1)
+        .select(col("item"), col("lab").as("mlab"))
+      prev.join(majority, Seq("item"), "left")
+        .select(col("item"),
+          when(col("item") % 7 === 0, col("item") % 4)
+            .otherwise(coalesce(col("mlab"), col("lab"))).as("lab"))
+    }
+    labels.orderBy("item")
+  }
+
+  val graphLabelPropSql: String = {
+    def round(k: Int): String =
+      s"""m$k AS (
+         |  SELECT s.a AS item, l.lab, count(*)::BIGINT AS c
+         |  FROM sym s JOIN l${k - 1} l ON l.item = s.b
+         |  WHERE l.lab >= 0
+         |  GROUP BY 1, 2),
+         |b$k AS (
+         |  SELECT item, lab,
+         |    row_number() OVER (PARTITION BY item
+         |      ORDER BY c DESC, lab) AS rn
+         |  FROM m$k),
+         |l$k AS (
+         |  SELECT n.item,
+         |    CASE WHEN n.item % 7 = 0 THEN n.item % 4
+         |      ELSE coalesce(b.lab, p.lab) END AS lab
+         |  FROM nodes n
+         |  JOIN l${k - 1} p ON p.item = n.item
+         |  LEFT JOIN (SELECT item, lab FROM b$k WHERE rn = 1) b
+         |    ON b.item = n.item)""".stripMargin
+    s"""WITH inter AS (
+       |  SELECT DISTINCT user_id,
+       |    json_extract_string(props, '$$.k')::INT AS item
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |capped AS (
+       |  SELECT user_id, item FROM (
+       |    SELECT user_id, item,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+       |    FROM inter)
+       |  WHERE rn <= 32),
+       |pairs AS (
+       |  SELECT DISTINCT x.item AS a, y.item AS b
+       |  FROM capped x
+       |  JOIN capped y ON x.user_id = y.user_id AND x.item < y.item),
+       |sym AS (
+       |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS item FROM sym),
+       |l0 AS (
+       |  SELECT item,
+       |    CASE WHEN item % 7 = 0 THEN item % 4 ELSE -1 END AS lab
+       |  FROM nodes),
+       |${(1 to LpRounds).map(round).mkString(",\n")}
+       |SELECT item, lab FROM l$LpRounds ORDER BY item""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
       ("graph_event_degrees", graphEventDegrees _, graphEventDegreesSql),
       ("graph_event_pagerank", graphEventPageRank _, graphEventPageRankSql),
-      ("graph_item_cooccur", graphItemCooccur(_, _), graphItemCooccurSql))
+      ("graph_item_cooccur", graphItemCooccur(_, _), graphItemCooccurSql),
+      ("graph_triangle_count",
+        graphTriangleCount(_, _), graphTriangleCountSql),
+      ("graph_label_prop",
+        graphLabelProp(_, _), graphLabelPropSql))
 }

@@ -662,6 +662,79 @@ object StatsOps {
       |JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN nt
       |ORDER BY lang, source""".stripMargin
 
+  /** Mutual information of the (lang, source) contingency — the
+    * information-theoretic companion to [[statChi2Independence]]: how
+    * many nats does knowing the ingest source reveal about language
+    * composition? Emits one row with the three entropies, MI and the
+    * normalized MI (MI / √(H_lang·H_source)), the redundancy score a
+    * curation pipeline thresholds before dropping a correlated
+    * metadata column.
+    *
+    * Every entropy uses the ln(n) − Σo·ln(o)/n identity, so ZERO cells
+    * never enter (0·ln 0 = 0 by continuity) and no densified
+    * contingency is needed — the chi-square's zero-cell hazard simply
+    * does not exist for entropy. All counts are exact BIGINTs; the
+    * only doubles are per-cell o·ln(o) terms computed from identical
+    * integers in both engines and summed over a contingency-sized
+    * (not corpus-sized) table, then round(6) — the statTtest rule.
+    *
+    * Scale shape: ONE corpus scan to the |langs|×|sources| cell table;
+    * the joint and both marginal entropies are re-aggregations of that
+    * tiny table (the chi2 shape), joined back as single-row broadcasts.
+    */
+  def statMutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val observed = Tables.documents(spark, sfDir)
+      .select(coalesce(col("lang"), lit("__null__")).as("lang"),
+        coalesce(col("source"), lit("__null__")).as("source"))
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def plogp(c: String) = sum(d(col(c)) * log(d(col(c))))
+    val j = observed.agg(sum("o").as("n"), plogp("o").as("sj"))
+    val l = observed.groupBy("lang").agg(sum("o").as("r"))
+      .agg(plogp("r").as("sl"))
+    val s = observed.groupBy("source").agg(sum("o").as("c"))
+      .agg(plogp("c").as("sc"))
+    val nd = d(col("n"))
+    val (hj, hl, hs) = (log(nd) - col("sj") / nd,
+      log(nd) - col("sl") / nd, log(nd) - col("sc") / nd)
+    j.crossJoin(broadcast(l)).crossJoin(broadcast(s))
+      .select(col("n"),
+        round(hl, 6).as("h_lang"),
+        round(hs, 6).as("h_source"),
+        round(hj, 6).as("h_joint"),
+        round(hl + hs - hj, 6).as("mi"),
+        round(when(hl * hs > 0, (hl + hs - hj) / sqrt(hl * hs))
+          .otherwise(lit(0.0)), 6).as("nmi"))
+  }
+
+  val statMutualInfoSql: String =
+    """WITH observed AS (
+      |  SELECT coalesce(lang, '__null__') AS lang,
+      |         coalesce(source, '__null__') AS source,
+      |         count(*)::BIGINT AS o
+      |  FROM documents GROUP BY 1, 2),
+      |j AS (
+      |  SELECT sum(o)::BIGINT AS n,
+      |    sum(CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE))) AS sj
+      |  FROM observed),
+      |l AS (
+      |  SELECT sum(CAST(r AS DOUBLE) * ln(CAST(r AS DOUBLE))) AS sl
+      |  FROM (SELECT sum(o)::BIGINT AS r FROM observed GROUP BY lang)),
+      |s AS (
+      |  SELECT sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sc
+      |  FROM (SELECT sum(o)::BIGINT AS c FROM observed GROUP BY source)),
+      |x AS (
+      |  SELECT n,
+      |    ln(CAST(n AS DOUBLE)) - sj / CAST(n AS DOUBLE) AS hj,
+      |    ln(CAST(n AS DOUBLE)) - sl / CAST(n AS DOUBLE) AS hl,
+      |    ln(CAST(n AS DOUBLE)) - sc / CAST(n AS DOUBLE) AS hs
+      |  FROM j CROSS JOIN l CROSS JOIN s)
+      |SELECT n, round(hl, 6) AS h_lang, round(hs, 6) AS h_source,
+      |  round(hj, 6) AS h_joint, round(hl + hs - hj, 6) AS mi,
+      |  round(CASE WHEN hl * hs > 0
+      |    THEN (hl + hs - hj) / sqrt(hl * hs) ELSE 0 END, 6) AS nmi
+      |FROM x""".stripMargin
+
   /** The shared rank backbone for [[statKsTest]] and
     * [[statMannWhitney]]: purchase-vs-click `value` populations
     * reduced to ONE corpus-sized aggregation over the 2-dp cents grid
@@ -946,6 +1019,7 @@ object StatsOps {
     ("stat_mannwhitney", statMannWhitney _, statMannWhitneySql),
     ("stat_chi2_independence",
       statChi2Independence _, statChi2IndependenceSql),
+    ("stat_mutual_info", statMutualInfo _, statMutualInfoSql),
     ("stat_ttest", statTtest _, statTtestSql),
     ("stat_cuped", statCuped _, statCupedSql),
     ("stat_winsorize", statWinsorize _, statWinsorizeSql),

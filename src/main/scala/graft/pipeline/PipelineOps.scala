@@ -1263,8 +1263,103 @@ object PipelineOps {
       selects.mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"
   }
 
+  /** DPO-style preference-pair mining: per (lang, source) stratum,
+    * pair the highest-quality document (`chosen`) with the lowest
+    * (`rejected`) under the exact integer quality score
+    * [[graft.text.TextOps.textQuality]] publishes — the cheapest way
+    * to bootstrap preference data from an unlabeled corpus (strata
+    * with <2 docs can't form a pair and are dropped; `margin_e4` is
+    * the score gap a trainer thresholds on).
+    *
+    * Determinism: the rank order is the TOTAL order (q_e4 desc,
+    * doc_id asc), and the rejected side ranks by its exact reverse
+    * (q_e4 asc, doc_id desc), so chosen ≠ rejected whenever the
+    * stratum has ≥2 docs — even when every score ties.
+    *
+    * Scale shape: the per-doc scoring is a pure codegen projection;
+    * ONE hash exchange on (lang, source) feeds all three window
+    * functions (Spark reuses the exchange; the two row_numbers are
+    * rank-1 filters, so WindowGroupLimit prunes each sort to a
+    * per-partition top-1); the final join is 1-row-per-stratum vs
+    * 1-row-per-stratum. Strata counts, not corpus size, bound
+    * everything after the exchange.
+    */
+  def prefPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextOps.{inList, qualityE4Expr, stopwords}
+    val scored = Tables.documents(spark, sfDir)
+      .select(coalesce(col("lang"), lit("__null__")).as("lang"),
+        coalesce(col("source"), lit("__null__")).as("source"),
+        col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        size(col("tk")).cast("long").as("n"),
+        expr("aggregate(tk, 0L, (acc, x) -> acc + length(x))").as("tl"),
+        expr(s"cast(size(filter(tk, x -> x in ${inList(stopwords)}))" +
+          " as long)").as("sh"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        expr(qualityE4Expr("div")).as("q_e4"))
+    val w = Window.partitionBy("lang", "source")
+    val ranked = scored
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .withColumn("rn_best", row_number().over(
+        w.orderBy(col("q_e4").desc, col("doc_id"))))
+      .withColumn("rn_worst", row_number().over(
+        w.orderBy(col("q_e4").asc, col("doc_id").desc)))
+    val chosen = ranked.filter(col("rn_best") === 1)
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("doc_id").as("chosen_id"), col("q_e4").as("chosen_q_e4"))
+    val rejected = ranked.filter(col("rn_worst") === 1)
+      .select(col("lang"), col("source"),
+        col("doc_id").as("rejected_id"), col("q_e4").as("rejected_q_e4"))
+    chosen.join(rejected, Seq("lang", "source"))
+      .filter(col("n_docs") >= 2)
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("chosen_id"), col("chosen_q_e4"),
+        col("rejected_id"), col("rejected_q_e4"),
+        (col("chosen_q_e4") - col("rejected_q_e4")).as("margin_e4"))
+      .orderBy("lang", "source")
+  }
+
+  val prefPairsSql: String = {
+    import graft.text.TextOps.{inList, qualityE4Expr, stopwords}
+    s"""WITH scored AS (
+       |  SELECT lang, source, doc_id,
+       |    ${qualityE4Expr("//")} AS q_e4
+       |  FROM (
+       |    SELECT coalesce(lang, '__null__') AS lang,
+       |      coalesce(source, '__null__') AS source, doc_id,
+       |      len(tk)::BIGINT AS n,
+       |      list_sum(list_transform(tk, x -> len(x)))::BIGINT AS tl,
+       |      len(list_filter(tk, x -> x IN ${inList(stopwords)}))::BIGINT
+       |        AS sh
+       |    FROM (SELECT lang, source, doc_id,
+       |      string_split(text, ' ') AS tk FROM documents))),
+       |ranked AS (
+       |  SELECT lang, source, doc_id, q_e4,
+       |    count(*) OVER (PARTITION BY lang, source) AS n_docs,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY q_e4 DESC, doc_id) AS rn_best,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY q_e4 ASC, doc_id DESC) AS rn_worst
+       |  FROM scored),
+       |c AS (
+       |  SELECT lang, source, n_docs::BIGINT AS n_docs,
+       |    doc_id AS chosen_id, q_e4 AS chosen_q_e4
+       |  FROM ranked WHERE rn_best = 1),
+       |r AS (
+       |  SELECT lang, source, doc_id AS rejected_id,
+       |    q_e4 AS rejected_q_e4
+       |  FROM ranked WHERE rn_worst = 1)
+       |SELECT lang, source, n_docs, chosen_id, chosen_q_e4,
+       |  rejected_id, rejected_q_e4,
+       |  chosen_q_e4 - rejected_q_e4 AS margin_e4
+       |FROM c JOIN r USING (lang, source)
+       |WHERE n_docs >= 2
+       |ORDER BY lang, source""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
+      ("pipe_pref_pairs", prefPairs _, prefPairsSql),
       ("pipe_curriculum", curriculum _, curriculumSql),
       ("pipe_curation_funnel", curationFunnel _, curationFunnelSql),
       ("pipe_length_buckets", lengthBuckets _, lengthBucketsSql),

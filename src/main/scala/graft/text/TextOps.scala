@@ -37,10 +37,22 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  private val stopwords =
+  private[graft] val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
-  private def inList(words: Seq[String]): String =
+  private[graft] def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** The [[textQuality]] integer score as an expression string over
+    * columns `n` (token count), `tl` (total token length), `sh`
+    * (stopword hits) — shared with
+    * [[graft.pipeline.PipelineOps.prefPairs]] so the preference-pair
+    * miner ranks by EXACTLY the score textQuality publishes (pinned by
+    * PrefPairsSpec). `div` is Spark's integer division, `//` DuckDB's.
+    */
+  private[graft] def qualityE4Expr(intDiv: String): String =
+    s"""((100 * least(n, 100) * n + 6000 * sh +
+       |  (case when tl <= 10 * n then 400 * tl else 4000 * n end))
+       |  * 10000 + (20000 * n) $intDiv 2) $intDiv (20000 * n)""".stripMargin
 
   /** Heuristic quality score: token count, mean token length, stopword
     * ratio — the standard cheap filters applied before expensive model
