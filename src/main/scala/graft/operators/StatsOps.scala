@@ -761,6 +761,102 @@ object StatsOps {
         count(when(col("event_type") === "purchase", 1)).as("ca"),
         count(when(col("event_type") === "click", 1)).as("cb"))
 
+  /** Exact Gini concentration coefficient of the purchase and click
+    * `value` distributions — the inequality audit that tells a
+    * pipeline whether its value (or token-count, or sample-weight)
+    * mass is spread out or piled on a few rows, the precursor to
+    * salting / repartition decisions. Uses the tied-rank identity
+    * G = Σᵢ xᵢ(2fᵢ·prevᵢ + fᵢ² + fᵢ) / (n·Σfx) − (n+1)/n over the
+    * [[rankCells]] cents grid, which is EXACT under ties (equal x
+    * makes any within-tie rank assignment contribute identically).
+    *
+    * Cross-engine exactness: every accumulator is an exact integer —
+    * DECIMAL(38,0) in Spark, HUGEINT in DuckDB (both exact to ~10³⁸,
+    * enough for x·n² at 10¹² rows) — and the two final doubles divide
+    * identical operands, then round(6/4) — the statTtest rule.
+    *
+    * Scale shape: same as [[statKsTest]] — one corpus aggregation to
+    * the domain-bounded cell table, one ordered prefix window over
+    * ≤56 K cells (bounded-domain SinglePartition exemption), one
+    * constant-width global agg, two literal output rows.
+    */
+  def statGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val wPrev = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def big(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cum = rankCells(spark, sfDir)
+      .select(col("cents"), col("ca"), col("cb"),
+        coalesce(sum("ca").over(wPrev), lit(0L)).as("pa"),
+        coalesce(sum("cb").over(wPrev), lit(0L)).as("pb"))
+    def rankMass(f: String, prev: String) =
+      big(col("cents")) * (dec(col(f)) * dec(col(prev)) * lit(2) +
+        dec(col(f)) * dec(col(f)) + dec(col(f)).cast("decimal(38,0)"))
+    val agg = cum.agg(
+      sum("ca").as("n_a"),
+      sum(big(col("cents")) * dec(col("ca"))).as("s_a"),
+      sum(rankMass("ca", "pa")).as("r_a"),
+      sum("cb").as("n_b"),
+      sum(big(col("cents")) * dec(col("cb"))).as("s_b"),
+      sum(rankMass("cb", "pb")).as("r_b"))
+    def out(tag: String, n: String, s: String, r: String) =
+      struct(lit(tag).as("event_type"), col(n).as("n"),
+        round(d(col(s)) / d(col(n)) / lit(100.0), 4).as("mean_value"),
+        round(d(col(r)) / (d(col(n)) * d(col(s)))
+          - (d(col(n)) + lit(1.0)) / d(col(n)), 6).as("gini"))
+    agg.select(explode(array(
+      out("click", "n_b", "s_b", "r_b"),
+      out("purchase", "n_a", "s_a", "r_a"))).as("kv"))
+      .select(col("kv.event_type"), col("kv.n"), col("kv.mean_value"),
+        col("kv.gini"))
+      .orderBy("event_type")
+  }
+
+  val statGiniSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS cents
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |cells AS (
+      |  SELECT cents,
+      |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS ca,
+      |    count(CASE WHEN event_type = 'click' THEN 1 END) AS cb
+      |  FROM ev GROUP BY cents),
+      |cum AS (
+      |  SELECT cents, ca, cb,
+      |    coalesce(sum(ca) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pa,
+      |    coalesce(sum(cb) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+      |  FROM cells),
+      |agg AS (
+      |  SELECT
+      |    sum(ca)::BIGINT AS n_a,
+      |    sum(cents::HUGEINT * ca) AS s_a,
+      |    sum(cents::HUGEINT
+      |      * (2 * ca::HUGEINT * pa + ca::HUGEINT * ca + ca)) AS r_a,
+      |    sum(cb)::BIGINT AS n_b,
+      |    sum(cents::HUGEINT * cb) AS s_b,
+      |    sum(cents::HUGEINT
+      |      * (2 * cb::HUGEINT * pb + cb::HUGEINT * cb + cb)) AS r_b
+      |  FROM cum)
+      |SELECT 'click' AS event_type, n_b AS n,
+      |  round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100, 4)
+      |    AS mean_value,
+      |  round(CAST(r_b AS DOUBLE)
+      |      / (CAST(n_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+      |    - (CAST(n_b AS DOUBLE) + 1) / CAST(n_b AS DOUBLE), 6) AS gini
+      |FROM agg
+      |UNION ALL
+      |SELECT 'purchase' AS event_type, n_a AS n,
+      |  round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100, 4)
+      |    AS mean_value,
+      |  round(CAST(r_a AS DOUBLE)
+      |      / (CAST(n_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+      |    - (CAST(n_a AS DOUBLE) + 1) / CAST(n_a AS DOUBLE), 6) AS gini
+      |FROM agg
+      |ORDER BY event_type""".stripMargin
+
   /** Exact two-sample Kolmogorov–Smirnov scan: the purchase and click
     * `value` ECDFs compared at EVERY observed threshold; the 10
     * largest gaps emitted (row 1's `ks_gap` IS the KS D statistic,
@@ -1020,6 +1116,7 @@ object StatsOps {
     ("stat_chi2_independence",
       statChi2Independence _, statChi2IndependenceSql),
     ("stat_mutual_info", statMutualInfo _, statMutualInfoSql),
+    ("stat_gini", statGini _, statGiniSql),
     ("stat_ttest", statTtest _, statTtestSql),
     ("stat_cuped", statCuped _, statCupedSql),
     ("stat_winsorize", statWinsorize _, statWinsorizeSql),

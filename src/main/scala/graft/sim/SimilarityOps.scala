@@ -2114,7 +2114,58 @@ object SimilarityOps {
        |ORDER BY src, rank""".stripMargin
   }
 
+  /** Recall@k audit of the IVF index against the exact brute-force
+    * ground truth — the acceptance metric every ANN deployment
+    * monitors before (and after) shipping an index build. Runs
+    * [[annIvfTopK]] and [[annBruteTopK]] over the SAME corpus and
+    * query set and reports, per query, how many of the true top-k the
+    * index recovered (plus the e4 fixed-point recall). A dropped
+    * centroid, a bad nProbe, or a quantizer regression shows up here
+    * as a recall cliff long before any end-to-end eval moves.
+    *
+    * Scale shape: the audit itself adds only a left-semi join on
+    * (qid, nid) and a per-qid count on top of the two audited plans —
+    * both keyed on the 20-query qid domain, so the audit overhead is
+    * bounded by the query sample size, never the corpus. At 100 TB
+    * you audit on a sampled query panel exactly like this one
+    * (vec_id < 20 here; any deterministic sample predicate works).
+    *
+    * Cross-engine: both constituent ops are already hash-identical
+    * between Spark and the DuckDB replay, and the audit adds only
+    * integer counts and the half-up e4 division — so the recall table
+    * is bit-exact too.
+    */
+  def annRecallAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = annBruteTopK(spark, sfDir).select(col("qid"), col("nid"))
+    val approx = annIvfTopK(spark, sfDir).select(col("qid"), col("nid"))
+    val hits = truth.join(approx, Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    truth.groupBy("qid").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("qid"), col("n_true"), col("n_hit"),
+        expr("(n_hit * 10000L + n_true div 2) div n_true")
+          .as("recall_e4"))
+      .orderBy("qid")
+  }
+
+  val annRecallAuditSql: String =
+    s"""WITH truth AS (${annBruteTopKSql.replace("ORDER BY qid, rank", "")}),
+       |approx AS (${annIvfTopKSql.replace("ORDER BY qid, rank", "")}),
+       |t AS (SELECT qid, count(*)::BIGINT AS n_true FROM truth GROUP BY 1),
+       |h AS (
+       |  SELECT truth.qid, count(*)::BIGINT AS n_hit
+       |  FROM truth
+       |  JOIN approx ON approx.qid = truth.qid AND approx.nid = truth.nid
+       |  GROUP BY 1)
+       |SELECT t.qid, t.n_true, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |  (coalesce(h.n_hit, 0) * 10000 + t.n_true // 2) // t.n_true
+       |    AS recall_e4
+       |FROM t LEFT JOIN h ON h.qid = t.qid
+       |ORDER BY t.qid""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ann_recall_audit", annRecallAudit _, annRecallAuditSql),
     ("emb_knn_graph",
       (s: SparkSession, d: String) => embKnnGraph(s, d),
       embKnnGraphSql),
