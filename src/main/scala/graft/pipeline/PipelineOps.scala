@@ -1187,6 +1187,18 @@ object PipelineOps {
     */
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    bpeMerges(spark, sfDir)
+      .toDF("merge_rank", "left_tok", "right_tok", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** The [[BpeRounds]]-round training loop behind [[bpeTrain]],
+    * returning the learned merge table as driver rows so [[bpeApply]]
+    * can bake the same merges into its projection (the merge table IS
+    * the bounded driver state — [[BpeRounds]] rows).
+    */
+  private def bpeMerges(spark: SparkSession,
+      sfDir: String): Seq[(Int, String, String, Long)] = {
     val corpus0 = bpeCorpus0(spark, sfDir).persist()
     try {
       var corpus = corpus0
@@ -1214,9 +1226,51 @@ object PipelineOps {
           trim(replace(replace(padded, pat, rep), pat, rep)).as("s"))
       }
       merges.toSeq
-        .toDF("merge_rank", "left_tok", "right_tok", "pair_count")
-        .orderBy("merge_rank")
     } finally corpus0.unpersist()
+  }
+
+  /** BPE ENCODING with the merges [[bpeTrain]] learns: re-trains the
+    * [[BpeRounds]]-merge table, then tokenizes every document's
+    * normalized prefix with it and reports per-doc token counts and
+    * the tokens-per-char ratio — the fertility/compression statistic a
+    * tokenizer build is judged on before it ships.
+    *
+    * The apply stage is the part that matters at 100 TB: the merge
+    * table is a bounded driver constant ([[BpeRounds]] rows; 50K in a
+    * production build — still broadcast-sized), so tokenization is a
+    * PURE CODEGEN string projection (2·[[BpeRounds]] literal
+    * `replace` stages, same double-pass non-overlapping semantics as
+    * training — see [[bpeTrain]]'s merge-semantics note), with no
+    * shuffle, no UDF, no per-row state. Training cost is the same
+    * bounded loop bpeTrain already pays.
+    *
+    * Unlike training (which drops <2-char docs — they can't vote on
+    * pairs), apply keeps every doc with ≥1 usable char: a 1-char doc
+    * is 1 token, merges no-op.
+    */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = bpeMerges(spark, sfDir)
+    val raw = regexp_replace(
+      lower(substring(coalesce(col("text"), lit("")), 1, BpePrefixChars)),
+      "[^a-z]", "")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), raw.as("raw"))
+      .filter(length(col("raw")) >= 1)
+      .select(col("doc_id"), length(col("raw")).cast("long").as("n_chars"),
+        trim(regexp_replace(col("raw"), "(.)", "$1 ")).as("s"))
+    val encoded = merges.foldLeft(base) { case (df, (_, l, r, _)) =>
+      val pat = lit(s" $l $r ")
+      val rep = lit(s" $l$r ")
+      val padded = concat(lit(" "), col("s"), lit(" "))
+      df.withColumn("s",
+        trim(replace(replace(padded, pat, rep), pat, rep)))
+    }
+    encoded
+      .withColumn("n_tokens", size(split(col("s"), " ")).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        expr("(n_tokens * 10000L + n_chars div 2) div n_chars")
+          .as("ratio_e4"))
+      .orderBy("doc_id")
   }
 
   /** Unrolled [[BpeRounds]]-round replay: each round re-derives the
@@ -1227,7 +1281,20 @@ object PipelineOps {
     * inlined CTEs would expand the plan exponentially in the round
     * count.
     */
-  def bpeTrainSql: String = {
+  def bpeTrainSql: String =
+    "WITH " + bpeTrainCtes + "\n" +
+      (0 until BpeRounds).map(k =>
+        s"SELECT ${k + 1} AS merge_rank, l AS left_tok, r AS right_tok," +
+          s" c::BIGINT AS pair_count FROM top$k")
+        .mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"
+
+  /** The shared WITH-clause body replaying [[bpeMerges]]'s training in
+    * SQL — corpus rounds `corpus0..corpus${BpeRounds-1}` and the
+    * tie-broken winners `top0..top${BpeRounds-1}` (top(k-1) is merge
+    * rank k). Used by [[bpeTrainSql]] and [[bpeApplySql]] so both
+    * oracles replay ONE training run.
+    */
+  private def bpeTrainCtes: String = {
     def pairs(k: Int): String =
       s"""toks$k AS (SELECT string_split(s, ' ') AS t FROM corpus$k),
          |pairs$k AS MATERIALIZED (
@@ -1256,11 +1323,41 @@ object PipelineOps {
          |    1, $BpePrefixChars)), '[^a-z]', '', 'g')) >= 2)""".stripMargin
     val parts = base +: pairs(0) +:
       (1 until BpeRounds).flatMap(k => Seq(corpus(k), pairs(k)))
-    val selects = (0 until BpeRounds).map(k =>
-      s"SELECT ${k + 1} AS merge_rank, l AS left_tok, r AS right_tok," +
-        s" c::BIGINT AS pair_count FROM top$k")
-    "WITH " + parts.mkString(",\n") + "\n" +
-      selects.mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"
+    parts.mkString(",\n")
+  }
+
+  /** Mirrors [[bpeApply]]: the shared [[bpeTrainCtes]] training
+    * replay, then per-doc CTEs `d1..d$BpeRounds` each applying merge
+    * k's double-pass padded replace (scalar subqueries against
+    * `top${k-1}`), and the final fertility projection.
+    */
+  def bpeApplySql: String = {
+    def dk(k: Int): String = {
+      val p = s"(SELECT ' ' || l || ' ' || r || ' ' FROM top${k - 1})"
+      val m = s"(SELECT ' ' || l || r || ' ' FROM top${k - 1})"
+      s"""d$k AS MATERIALIZED (
+         |  SELECT doc_id, n_chars,
+         |    trim(replace(replace(' ' || s || ' ', $p, $m), $p, $m)) AS s
+         |  FROM d${k - 1})""".stripMargin
+    }
+    val applyBase =
+      s"""docs0 AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(substring(coalesce(text, ''), 1,
+         |      $BpePrefixChars)), '[^a-z]', '', 'g') AS raw
+         |  FROM documents),
+         |d0 AS (
+         |  SELECT doc_id, length(raw)::BIGINT AS n_chars,
+         |    trim(regexp_replace(raw, '(.)', '\\1 ', 'g')) AS s
+         |  FROM docs0 WHERE length(raw) >= 1)""".stripMargin
+    s"""WITH $bpeTrainCtes,
+       |$applyBase,
+       |${(1 to BpeRounds).map(dk).mkString(",\n")}
+       |SELECT doc_id, n_chars,
+       |  len(string_split(s, ' '))::BIGINT AS n_tokens,
+       |  (len(string_split(s, ' ')) * 10000 + n_chars // 2) // n_chars
+       |    AS ratio_e4
+       |FROM d$BpeRounds ORDER BY doc_id""".stripMargin
   }
 
   /** DPO-style preference-pair mining: per (lang, source) stratum,
@@ -1385,5 +1482,6 @@ object PipelineOps {
       ("pipe_e2e_curation",
         ((s: SparkSession, d: String) => e2eCuration(s, d)),
         e2eCurationSql),
-      ("pipe_bpe_train", bpeTrain _, bpeTrainSql))
+      ("pipe_bpe_train", bpeTrain _, bpeTrainSql),
+      ("pipe_bpe_apply", bpeApply _, bpeApplySql))
 }
