@@ -445,6 +445,208 @@ object MultimodalOps {
       |GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  /** Near-dup hamming budget for [[mmPhashDedup]] — shared by the
+    * operator, the oracle, and the spec.
+    */
+  val PhashHamMax = 8
+
+  /** Brightness-variant synthetic raster: every [[PhashGroup]]
+    * consecutive doc_ids share one base raster ([[synthPixel]] on the
+    * group id) with a per-doc +3·(doc mod group) brightness offset,
+    * wrapping mod 256. A uniform brightness shift leaves the aHash
+    * bits unchanged EXCEPT where pixels wrap 255→0 — so group members
+    * are true perceptual near-dups (small, nonzero hamming), the
+    * fixture every perceptual-dedup test needs.
+    */
+  val PhashGroup = 8
+
+  /** Base raster for phash group `gid`. NOT [[synthPixel]]: that
+    * generator's gid·31 mod 256 term cycles every 256 groups, so
+    * distant groups repeat IDENTICAL rasters and the true near-dup
+    * pair count itself goes quadratic in the corpus (measured 16× at
+    * a ×30 probe). The nonlinear (gid mod 97)·x·y and
+    * (gid div 97 mod 89)·x² terms push the period past 256·97·89·81
+    * groups, so cross-group hashes behave like independent 64-bit
+    * draws (P[hamming ≤ 8] ≈ 2·10⁻¹⁰) and the output — like any real
+    * deduplicated image corpus — stays linear in N.
+    */
+  def phashBasePixel(gid: Long, x: Int, y: Int): Int =
+    ((gid * 31 + x * 7 + y * 13 + (gid % 97) * x * y +
+      ((gid / 97) % 89) * x * x) % 256).toInt
+
+  def synthVariantPixel(docId: Long, x: Int, y: Int): Int =
+    (phashBasePixel(docId / PhashGroup, x, y) +
+      (docId % PhashGroup).toInt * 3) % 256
+
+  /** Perceptual-hash near-duplicate detection over REAL decoded
+    * rasters — the image twin of [[graft.dedup.DedupOps]]' simhash
+    * text dedup: per document, encode the brightness-variant raster
+    * to actual PNG bytes, DECODE them back through the JDK codec, and
+    * compute the 64-bit aHash from the decoded pixels (8×8 block
+    * grid; bit = block mean > global mean, exact integer
+    * cross-multiplication). Near-dup pairs are found by 16-bit BAND
+    * BUCKETING — two hashes within hamming [[PhashHamMax]] of each
+    * other agree on ≥1 of 4 bands by pigeonhole (8 < 4·2... strictly:
+    * 3 flipped bands need ≥3 flips; a pair differing in all 4 bands
+    * has hamming ≥ 4 — the bucket join is a candidate screen, recall
+    * is exact for hamming ≤ 3 and the verify keeps only true
+    * ≤[[PhashHamMax]] pairs of the candidates; same
+    * candidate-generation contract as dedup_simhash_pairs).
+    *
+    * The hash is carried as two unsigned 32-bit halves (h_hi, h_lo) so
+    * no sign bit ever enters cross-engine arithmetic; bands are pure
+    * div/mod 2¹⁶. Hamming = bit_count(hi⊕hi') + bit_count(lo⊕lo').
+    *
+    * Scale shape: one scan → mapPartitions codec work (per-row
+    * encode+decode+hash, embarrassingly parallel) → 4-way band
+    * explode → equi-join on (band, value, dims) buckets — never
+    * all-pairs — → exact hamming verify on candidates only. At 100 TB
+    * this is the standard billion-image dedup plan (pHash + LSH).
+    */
+  def mmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("w", IntegerType, nullable = false),
+      StructField("h", IntegerType, nullable = false),
+      StructField("h_hi", LongType, nullable = false),
+      StructField("h_lo", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val hashed = in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w0, h0) = synthDims(id / PhashGroup)
+        val img0 = new java.awt.image.BufferedImage(w0, h0,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val ras0 = img0.getRaster
+        var y = 0
+        while (y < h0) {
+          var x = 0
+          while (x < w0) {
+            ras0.setSample(x, y, 0, synthVariantPixel(id, x, y)); x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img0, "png", bos)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        require(img != null, s"PNG decode failed for doc $id")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val cellSum = new Array[Long](64)
+        val cellPx = new Array[Long](64)
+        var total = 0L
+        y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val c = cy * 8 + x * 8 / w
+            val v = raster.getSample(x, y, 0).toLong
+            cellSum(c) += v; cellPx(c) += 1; total += v
+            x += 1
+          }
+          y += 1
+        }
+        val nPx = w.toLong * h
+        var hi = 0L; var lo = 0L
+        var c = 0
+        while (c < 64) {
+          if (cellSum(c) * nPx > total * cellPx(c)) {
+            if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+          }
+          c += 1
+        }
+        Row(id, w, h, hi, lo)
+      }
+    }(encoder)
+    val banded = hashed.select(col("doc_id"), col("w"), col("h"),
+      col("h_hi"), col("h_lo"),
+      explode(array(
+        struct(lit(0).as("bi"), expr("h_lo % 65536L").as("bv")),
+        struct(lit(1).as("bi"), expr("h_lo div 65536L").as("bv")),
+        struct(lit(2).as("bi"), expr("h_hi % 65536L").as("bv")),
+        struct(lit(3).as("bi"), expr("h_hi div 65536L").as("bv"))))
+        .as("band"))
+      .select(col("doc_id"), col("w"), col("h"), col("h_hi"),
+        col("h_lo"), col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val cands = banded.as("x").join(banded.as("y"),
+      col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+        col("x.w") === col("y.w") && col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.h_hi").as("ahi"), col("x.h_lo").as("alo"),
+        col("y.h_hi").as("bhi"), col("y.h_lo").as("blo"))
+      .distinct()
+    cands
+      .withColumn("hamming",
+        expr("bit_count(ahi ^ bhi) + bit_count(alo ^ blo)"))
+      .filter(col("hamming") <= PhashHamMax)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
+  /** Oracle for [[mmPhashDedup]]: replays the variant-raster pixel
+    * arithmetic, the 8×8 block aHash (integer cross-multiplication),
+    * the unsigned-half band split, the bucket join, and the
+    * bit_count(xor) verify — any lossy codec step or band mismatch in
+    * the Spark run hash-mismatches.
+    */
+  val mmPhashDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id // $PhashGroup AS gid,
+       |    (doc_id % $PhashGroup) * 3 AS off,
+       |    (8 + ((doc_id // $PhashGroup) % 9))::INT AS w,
+       |    (8 + (((doc_id // $PhashGroup) // 9) % 9))::INT AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h,
+       |    (i % w) AS x, (i // w) AS y,
+       |    ((gid * 31 + (i % w) * 7 + (i // w) * 13
+       |      + (gid % 97) * (i % w) * (i // w)
+       |      + ((gid // 97) % 89) * (i % w) * (i % w)) % 256 + off) % 256
+       |      AS v
+       |  FROM d, unnest(generate_series(0, w * h - 1)) AS t(i)),
+       |cells AS (
+       |  SELECT doc_id, w, h,
+       |    (y * 8 // h) * 8 + (x * 8 // w) AS c,
+       |    sum(v)::BIGINT AS cs, count(*)::BIGINT AS cp
+       |  FROM px GROUP BY 1, 2, 3, 4),
+       |tot AS (
+       |  SELECT doc_id, sum(cs)::BIGINT AS ts FROM cells GROUP BY 1),
+       |bits AS (
+       |  SELECT cells.doc_id, w, h, c,
+       |    CASE WHEN cs * (w * h) > ts * cp THEN 1::BIGINT
+       |      ELSE 0::BIGINT END AS bit
+       |  FROM cells JOIN tot ON tot.doc_id = cells.doc_id),
+       |hashes AS (
+       |  SELECT doc_id, w, h,
+       |    sum(CASE WHEN c >= 32 THEN bit << (c - 32) ELSE 0 END)::BIGINT
+       |      AS h_hi,
+       |    sum(CASE WHEN c < 32 THEN bit << c ELSE 0 END)::BIGINT AS h_lo
+       |  FROM bits GROUP BY 1, 2, 3),
+       |banded AS (
+       |  SELECT doc_id, w, h, h_hi, h_lo, b.bi, b.bv
+       |  FROM hashes, LATERAL (VALUES
+       |    (0, h_lo % 65536), (1, h_lo // 65536),
+       |    (2, h_hi % 65536), (3, h_hi // 65536)) AS b(bi, bv)),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    x.h_hi AS ahi, x.h_lo AS alo, y.h_hi AS bhi, y.h_lo AS blo
+       |  FROM banded x
+       |  JOIN banded y ON x.bi = y.bi AND x.bv = y.bv
+       |    AND x.w = y.w AND x.h = y.h AND x.doc_id < y.doc_id)
+       |SELECT a, b,
+       |  (bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)))::BIGINT
+       |    AS hamming
+       |FROM cands
+       |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
+       |  <= $PhashHamMax
+       |ORDER BY a, b""".stripMargin
+
   /** Deterministic synthetic PCM track for `id`: 64..164 mono int16
     * samples, each pure integer arithmetic on (id, i) — the audio
     * analog of [[synthDims]]/[[synthPixel]], shared by the operator,
@@ -543,6 +745,7 @@ object MultimodalOps {
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("mm_binary_meta", mmBinaryMeta _, mmBinaryMetaSql),
     ("mm_image_decode", mmImageDecode _, mmImageDecodeSql),
+    ("mm_phash_dedup", mmPhashDedup _, mmPhashDedupSql),
     ("mm_audio_decode", mmAudioDecode _, mmAudioDecodeSql),
     ("mm_chunk_ranges",
       (s: SparkSession, d: String) => mmChunkRanges(s, d),
