@@ -662,8 +662,13 @@ object MultimodalOps {
     * audio stack (javax.sound.sampled ships with every JRE, like
     * ImageIO): 8 kHz, 16-bit, mono, little-endian PCM.
     */
-  def synthWav(id: Long): Array[Byte] = {
-    val samples = synthAudioSamples(id)
+  def synthWav(id: Long): Array[Byte] = pcmWav(synthAudioSamples(id))
+
+  /** Encode any int16 mono track as REAL WAV bytes (8 kHz, 16-bit,
+    * little-endian PCM) — shared by [[synthWav]] and
+    * [[mmAudioFingerprint]]'s gain variants.
+    */
+  def pcmWav(samples: Array[Short]): Array[Byte] = {
     val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     samples.foreach(pcm.putShort)
@@ -742,11 +747,168 @@ object MultimodalOps {
       |GROUP BY doc_id, n
       |ORDER BY doc_id""".stripMargin
 
+  /** Constants of [[mmAudioFingerprint]], shared with its oracle and
+    * spec: 32 relative-energy bits, gain variants (8+q)/8 per
+    * [[PhashGroup]]-sized group, and the exact hamming budget the
+    * double-sided 1-bit probe join recalls.
+    */
+  val AudioFpWindows = 32
+  val AudioFpHamMax = 2
+
+  /** Base PCM for fingerprint group `gid` — like [[phashBasePixel]],
+    * NOT [[synthAudioSamples]]: the (gid mod 97)·i² term decorrelates
+    * groups so cross-group fingerprints behave like independent
+    * 32-bit draws and the pair output stays linear in N.
+    */
+  def audioFpBaseSamples(gid: Long): Array[Short] = {
+    val n = 64 + (gid % 101).toInt
+    Array.tabulate(n)(i =>
+      (((gid * 31 + i.toLong * 17 + (gid % 97) * i.toLong * i) % 65536)
+        - 32768).toShort)
+  }
+
+  /** Gain-variant track for `docId`: the group base scaled by
+    * (8 + doc mod 8)/8 with TRUNCATING division (plain JVM `/` —
+    * DuckDB's `//` also truncates toward zero on negatives, measured:
+    * (-9)//8 = -1; Math.floorDiv here cost 3 near-tie rows at sf0.1)
+    * and int16 clipping. A pure gain change leaves every
+    * relative-energy comparison invariant; the clipped samples are
+    * what perturb a few bits — the realistic near-dup.
+    */
+  def audioFpVariant(docId: Long): Array[Short] = {
+    val g = 8 + (docId % PhashGroup).toInt
+    audioFpBaseSamples(docId / PhashGroup).map { s =>
+      val v = s.toInt * g / 8
+      math.max(-32768, math.min(32767, v)).toShort
+    }
+  }
+
+  /** Gain-invariant audio fingerprint dedup over REAL decoded WAV —
+    * the audio twin of [[mmPhashDedup]] and the third real-codec
+    * operator: per document, encode the gain-variant PCM to actual
+    * RIFF/WAVE bytes, DECODE them back through javax.sound.sampled,
+    * and fingerprint the decoded samples with [[AudioFpWindows]]
+    * RELATIVE energy bits (bit w = energy(window w) > energy(window
+    * w+1 mod 32) — the Chromaprint-style comparison that cancels any
+    * uniform gain). Near-dup pairs come from a DOUBLE-SIDED 1-bit
+    * hamming-ball probe join (multi-index hashing): each side emits
+    * its fingerprint plus all 32 one-bit flips, keyed with the track
+    * length; two fingerprints collide on some probe iff their XOR has
+    * ≤ 2 bits — so unlike a banding screen this join has EXACT recall
+    * AND exact precision for hamming ≤ [[AudioFpHamMax]], no verify
+    * contract needed (the bit_count filter only dedups multi-probe
+    * hits).
+    *
+    * Scale shape: one scan → mapPartitions codec work → 33-way probe
+    * explode → one equi-join on (probe, n) — candidate buckets are
+    * genuine near-collisions only (32-bit space), never all-pairs.
+    */
+  def mmAudioFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val fps = in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(pcmWav(audioFpVariant(id))))
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / 2
+        val e = new Array[Long](AudioFpWindows)
+        var i = 0
+        while (i < n) {
+          val v = bb.getShort(i * 2).toLong
+          e(i * AudioFpWindows / n) += v * v
+          i += 1
+        }
+        var fp = 0L
+        var w = 0
+        while (w < AudioFpWindows) {
+          if (e(w) > e((w + 1) % AudioFpWindows)) fp |= 1L << w
+          w += 1
+        }
+        Row(id, n, fp)
+      }
+    }(encoder).localCheckpoint() // both probe-join sides read the
+    // fingerprints once — a mapPartitions lambda never canonicalizes
+    // equal, so without this the WAV codec work runs TWICE
+    val probeExpr = (Seq("fp") ++
+      (0 until AudioFpWindows).map(k => s"fp ^ ${1L << k}L"))
+      .mkString("array(", ", ", ")")
+    val probes = fps.select(col("doc_id"), col("n"), col("fp"),
+      explode(expr(probeExpr)).as("probe"))
+    probes.as("x").join(probes.as("y"),
+        col("x.probe") === col("y.probe") && col("x.n") === col("y.n") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.fp").as("afp"), col("y.fp").as("bfp"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(afp ^ bfp)"))
+      .filter(col("hamming") <= AudioFpHamMax)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
+  /** Oracle for [[mmAudioFingerprint]]: replays the gain-variant
+    * sample arithmetic (floor division and clipping included), the
+    * windowed energies, the relative bits, and the same double-sided
+    * probe join — a codec that drops or reorders one sample flips an
+    * energy comparison and hash-mismatches.
+    */
+  val mmAudioFingerprintSql: String = {
+    val w = AudioFpWindows
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id // $PhashGroup AS gid,
+       |    8 + doc_id % $PhashGroup AS g,
+       |    (64 + ((doc_id // $PhashGroup) % 101))::INT AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n, i,
+       |    least(32767, greatest(-32768,
+       |      (((gid * 31 + i * 17 + (gid % 97) * i * i) % 65536 - 32768)
+       |        * g) // 8)) AS v
+       |  FROM d, unnest(generate_series(0, n - 1)) AS t(i)),
+       |e AS (
+       |  SELECT doc_id, n, (i * $w) // n AS w, sum(v * v)::BIGINT AS en
+       |  FROM s GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT a.doc_id, a.n, a.w,
+       |    CASE WHEN a.en > b.en THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM e a JOIN e b
+       |    ON b.doc_id = a.doc_id AND b.w = (a.w + 1) % $w),
+       |f AS (
+       |  SELECT doc_id, n, sum(bit << w)::BIGINT AS fp
+       |  FROM bits GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT doc_id, n, fp,
+       |    unnest(list_prepend(fp,
+       |      list_transform(range($w), k -> xor(fp, 1::BIGINT << k))))
+       |      AS probe
+       |  FROM f),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    x.fp AS afp, y.fp AS bfp
+       |  FROM probes x JOIN probes y
+       |    ON x.probe = y.probe AND x.n = y.n AND x.doc_id < y.doc_id)
+       |SELECT a, b, bit_count(xor(afp, bfp))::BIGINT AS hamming
+       |FROM cands WHERE bit_count(xor(afp, bfp)) <= $AudioFpHamMax
+       |ORDER BY a, b""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("mm_binary_meta", mmBinaryMeta _, mmBinaryMetaSql),
     ("mm_image_decode", mmImageDecode _, mmImageDecodeSql),
     ("mm_phash_dedup", mmPhashDedup _, mmPhashDedupSql),
     ("mm_audio_decode", mmAudioDecode _, mmAudioDecodeSql),
+    ("mm_audio_fingerprint", mmAudioFingerprint _, mmAudioFingerprintSql),
     ("mm_chunk_ranges",
       (s: SparkSession, d: String) => mmChunkRanges(s, d),
       mmChunkRangesSql),
