@@ -54,14 +54,15 @@ class PlanAuditSpec extends SparkSuite {
     //  - text_dsir_weight: the totals window's input is the ≤1024-row
     //    bucket census (domain-bounded); the former crossJoin(agg)
     //    re-derived the census and defeated exchange reuse.
-    //  - stat_ks_test / stat_mannwhitney: the ECDF/rank windows run
-    //    over the rankCells cents-grid census, bounded by the PRICE
-    //    domain (≤ max_cents+1 ≈ 56 K rows at ANY corpus size), never
-    //    corpus rows — same bounded-domain argument as text_ppl_bucket
-    //    (KsMwSpec re-derives D, U, and z on the driver).
+    //  - stat_ks_test / stat_mannwhitney / stat_gini: the ECDF/rank/
+    //    prefix windows run over the rankCells cents-grid census,
+    //    bounded by the PRICE domain (≤ max_cents+1 ≈ 56 K rows at ANY
+    //    corpus size), never corpus rows — same bounded-domain argument
+    //    as text_ppl_bucket (KsMwSpec re-derives D, U, and z; GiniSpec
+    //    re-derives both Gini coefficients on the driver).
     val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk", "pipe_curriculum",
       "ev_gapfill", "text_zipf_fit", "text_ppl_bucket", "text_dsir_weight",
-      "stat_ks_test", "stat_mannwhitney")
+      "stat_ks_test", "stat_mannwhitney", "stat_gini")
     val offenders = plans.filter { case (name, p) =>
       !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
