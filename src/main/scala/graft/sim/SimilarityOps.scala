@@ -2164,8 +2164,81 @@ object SimilarityOps {
        |FROM t LEFT JOIN h ON h.qid = t.qid
        |ORDER BY t.qid""".stripMargin
 
+  /** Output dimensionality of [[embRandProj]] — shared with oracle
+    * and spec.
+    */
+  val RandProjDims = 16
+
+  /** Johnson–Lindenstrauss random projection 64 → [[RandProjDims]]
+    * dims with a Rademacher (±1) matrix — the cheap dimensionality
+    * reduction run before LSH/ANN when the raw width is too expensive
+    * to index (the JL lemma bounds pairwise-distance distortion, and
+    * ±1 entries make the "matrix" a sign function, no storage at
+    * all). The sign of cell (i,j) comes from a Knuth-LCG hash of the
+    * flat index — deterministic, engine-free arithmetic, so the
+    * oracle replays the exact projection.
+    *
+    * Exactness: inputs snap to the e4 grid FIRST (the
+    * [[embLabelCentroid]] trick), so each output component is an
+    * exact BIGINT dot product — no float-summation order anywhere —
+    * and linearity P(a−b) = Pa − Pb holds exactly (spec-pinned, the
+    * property LSH over projected vectors relies on).
+    *
+    * Scale shape: a single codegen projection pass — no shuffle, no
+    * UDF, no broadcast; the presentation sort is the only exchange.
+    * At 100 TB this is the map stage in front of every ANN build.
+    */
+  def embRandProj(spark: SparkSession, sfDir: String): DataFrame = {
+    // two mix rounds (multiply, xor-shift — the xxHash avalanche
+    // shape): ONE LCG round left bit 16 affine in the flat index and
+    // the measured JL band hit 0.096; two rounds tighten it to
+    // [0.42, 2.11] on the spec's pair sample. The second multiplier
+    // is < 2^31 so h·m stays under 2^63 (ANSI-mode overflow).
+    def sign(j: Int) = {
+      val x = s"(1 + i * $RandProjDims + $j)"
+      val h1 = s"(($x * 2654435761L) % 4294967296L)"
+      val h2 = s"($h1 ^ ($h1 div 65536))"
+      val h3 = s"(($h2 * 1597334677L) % 4294967296L)"
+      val h4 = s"($h3 ^ ($h3 div 8192))"
+      s"(case when $h4 % 2 = 0 then 1L else -1L end)"
+    }
+    val cols = (0 until RandProjDims).map { j =>
+      expr("aggregate(sequence(0, 63), 0L, (acc, i) -> acc + " +
+        s"qv[i] * ${sign(j)})").as(s"p$j")
+    }
+    withVec(Tables.embeddings(spark, sfDir))
+      .withColumn("qv", expr(
+        "transform(vec, x -> cast(floor(x * 10000d + 0.5d) as bigint))"))
+      .select(col("vec_id") +: cols: _*)
+      .orderBy("vec_id")
+  }
+
+  val embRandProjSql: String = {
+    def sign(j: Int) = {
+      val x = s"(1 + i * $RandProjDims + $j)"
+      val h1 = s"(($x * 2654435761) % 4294967296)"
+      val h2 = s"xor($h1, $h1 // 65536)"
+      val h3 = s"(($h2 * 1597334677) % 4294967296)"
+      val h4 = s"xor($h3, $h3 // 8192)"
+      s"(CASE WHEN $h4 % 2 = 0 THEN 1 ELSE -1 END)"
+    }
+    val cols = (0 until RandProjDims).map { j =>
+      s"list_sum(list_transform(range(64), i -> qv[i + 1] * ${sign(j)}))" +
+        s"::BIGINT AS p$j"
+    }
+    s"""SELECT vec_id,
+       |  ${cols.mkString(",\n  ")}
+       |FROM (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> floor(x * 10000 + 0.5)::BIGINT) AS qv
+       |  FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ann_recall_audit", annRecallAudit _, annRecallAuditSql),
+    ("emb_rand_proj", embRandProj _, embRandProjSql),
     ("emb_knn_graph",
       (s: SparkSession, d: String) => embKnnGraph(s, d),
       embKnnGraphSql),
