@@ -761,6 +761,83 @@ object StatsOps {
         count(when(col("event_type") === "purchase", 1)).as("ca"),
         count(when(col("event_type") === "click", 1)).as("cb"))
 
+  /** Expected Benford mass of leading digit d in e6 fixed point —
+    * computed ONCE in Scala and inlined as an identical literal into
+    * both engines, so no engine evaluates log10 at query time.
+    */
+  private def benfordE6(d: Int): Long =
+    math.round(math.log10(1.0 + 1.0 / d) * 1e6)
+
+  /** Benford first-digit audit of the event `value` column — the
+    * classic fabricated-/degenerate-data screen: naturally occurring
+    * multiplicative amounts follow P(d) = log10(1+1/d); synthetic or
+    * truncated feeds don't, and the per-digit chi-square cells point
+    * at which digit mass is off. The leading digit comes from the
+    * CENTS integer's decimal string (leading significant digit is
+    * invariant under ×100, and BIGINT→string never goes scientific in
+    * either engine), so no float log touches the bucketing; expected
+    * masses are Scala-side literals mirrored verbatim.
+    *
+    * Scale shape: one corpus scan to a 9-row census; the digit spine
+    * is densified (a digit that never occurs still shows its expected
+    * mass — the chi2 zero-cell lesson); everything after the census
+    * is arithmetic over 9 rows.
+    */
+  def statBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .filter(col("value") > 0)
+      .select(expr("cast(substring(cast(cast(floor(value * 100 + 0.5)" +
+        " as bigint) as string), 1, 1) as int)").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val expCase = (1 to 9).map(d =>
+      s"when digit = $d then ${benfordE6(d)}L").mkString(
+      "case ", " ", " else 0L end")
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    spine.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(counts.agg(sum("n").as("tot"))))
+      .withColumn("exp_e6", expr(expCase))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000L + tot div 2) div tot").as("obs_e6"),
+        col("exp_e6"),
+        round((dbl(col("n")) - dbl(col("tot")) * dbl(col("exp_e6"))
+          / lit(1e6))
+          * (dbl(col("n")) - dbl(col("tot")) * dbl(col("exp_e6"))
+            / lit(1e6))
+          / (dbl(col("tot")) * dbl(col("exp_e6")) / lit(1e6)), 4)
+          .as("chi2_cell"))
+      .orderBy("digit")
+  }
+
+  val statBenfordSql: String = {
+    def expCase(ref: String) = (1 to 9).map(d =>
+      s"WHEN $ref = $d THEN ${benfordE6(d)}").mkString(
+      "CASE ", " ", " ELSE 0 END")
+    val dev = s"(CAST(coalesce(c.n, 0) AS DOUBLE)" +
+      s" - CAST(tot AS DOUBLE) * (${expCase("s.digit")}) / 1e6)"
+    s"""WITH counts AS (
+       |  SELECT digit, count(*)::BIGINT AS n FROM (
+       |    SELECT substring(floor(value * 100 + 0.5)::BIGINT::VARCHAR,
+       |      1, 1)::INT AS digit
+       |    FROM events WHERE value > 0)
+       |  WHERE digit >= 1
+       |  GROUP BY 1),
+       |tot AS (SELECT sum(n)::BIGINT AS tot FROM counts),
+       |spine AS (SELECT unnest(generate_series(1, 9))::INT AS digit)
+       |SELECT s.digit, coalesce(c.n, 0)::BIGINT AS n,
+       |  (coalesce(c.n, 0) * 1000000 + tot // 2) // tot AS obs_e6,
+       |  (${expCase("s.digit")})::BIGINT AS exp_e6,
+       |  round($dev * $dev
+       |    / (CAST(tot AS DOUBLE) * (${expCase("s.digit")}) / 1e6), 4)
+       |    AS chi2_cell
+       |FROM spine s
+       |LEFT JOIN counts c ON c.digit = s.digit
+       |CROSS JOIN tot
+       |ORDER BY s.digit""".stripMargin
+  }
+
   /** Exact Gini concentration coefficient of the purchase and click
     * `value` distributions — the inequality audit that tells a
     * pipeline whether its value (or token-count, or sample-weight)
@@ -1117,6 +1194,7 @@ object StatsOps {
       statChi2Independence _, statChi2IndependenceSql),
     ("stat_mutual_info", statMutualInfo _, statMutualInfoSql),
     ("stat_gini", statGini _, statGiniSql),
+    ("stat_benford", statBenford _, statBenfordSql),
     ("stat_ttest", statTtest _, statTtestSql),
     ("stat_cuped", statCuped _, statCupedSql),
     ("stat_winsorize", statWinsorize _, statWinsorizeSql),

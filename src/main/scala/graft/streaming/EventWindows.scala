@@ -1104,7 +1104,60 @@ object EventWindows {
       |FROM pairs JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Seasonal-naive forecast evaluation over the per-type hourly
+    * census — the monitoring baseline every traffic-forecast model
+    * must beat before it ships: score each hour with both the
+    * persistence forecast (previous hour) and the seasonal-naive
+    * forecast (same hour yesterday, lag 24 on the DENSIFIED grid so
+    * silent hours align correctly), and report per type the exact
+    * integer MAE of each and which baseline wins. All integers until
+    * the final half-up e4 division; the densified grid reuses
+    * [[denseHourly]] (one corpus scan; the anomaly monitors' spine),
+    * so the lag windows run over an HOURS×TYPES-bounded table, never
+    * event rows.
+    */
+  def forecastBaseline(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+    denseHourly(spark, sfDir)
+      .withColumn("p1", lag("n", 1).over(w))
+      .withColumn("p24", lag("n", 24).over(w))
+      .filter(col("p24").isNotNull)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_scored"),
+        sum(abs(col("n") - col("p1"))).as("ae1"),
+        sum(abs(col("n") - col("p24"))).as("ae24"))
+      .select(col("event_type"), col("n_scored"),
+        expr("(ae1 * 10000L + n_scored div 2) div n_scored")
+          .as("mae_naive_e4"),
+        expr("(ae24 * 10000L + n_scored div 2) div n_scored")
+          .as("mae_seasonal_e4"),
+        (col("ae24") < col("ae1")).as("seasonal_wins"))
+      .orderBy("event_type")
+  }
+
+  val forecastBaselineSql: String =
+    s"""WITH $denseHourlySqlPrefix,
+       |lagged AS (
+       |  SELECT event_type, n,
+       |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY hour_us)
+       |      AS p1,
+       |    lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour_us)
+       |      AS p24
+       |  FROM hourly),
+       |agg AS (
+       |  SELECT event_type, count(*)::BIGINT AS n_scored,
+       |    sum(abs(n - p1))::BIGINT AS ae1,
+       |    sum(abs(n - p24))::BIGINT AS ae24
+       |  FROM lagged WHERE p24 IS NOT NULL GROUP BY 1)
+       |SELECT event_type, n_scored,
+       |  (ae1 * 10000 + n_scored // 2) // n_scored AS mae_naive_e4,
+       |  (ae24 * 10000 + n_scored // 2) // n_scored AS mae_seasonal_e4,
+       |  ae24 < ae1 AS seasonal_wins
+       |FROM agg ORDER BY event_type""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_forecast_baseline", forecastBaseline _, forecastBaselineSql),
     ("ev_markov", markovTransitions _, markovTransitionsSql),
     ("ev_attribution", attribution _, attributionSql),
     ("ev_funnel_bounded",
