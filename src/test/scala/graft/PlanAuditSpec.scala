@@ -60,9 +60,15 @@ class PlanAuditSpec extends SparkSuite {
     //    corpus size), never corpus rows — same bounded-domain argument
     //    as text_ppl_bucket (KsMwSpec re-derives D, U, and z; GiniSpec
     //    re-derives both Gini coefficients on the driver).
+    //  - ev_forecast_baseline: the SinglePartition is denseHourly's
+    //    global-max spine bound (a 1-value scalar agg, the ev_gapfill
+    //    shape); the lag windows partition by event_type over the
+    //    hours×types-bounded grid (ForecastBaselineSpec re-derives
+    //    every MAE cell on the driver).
     val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk", "pipe_curriculum",
       "ev_gapfill", "text_zipf_fit", "text_ppl_bucket", "text_dsir_weight",
-      "stat_ks_test", "stat_mannwhitney", "stat_gini")
+      "stat_ks_test", "stat_mannwhitney", "stat_gini",
+      "ev_forecast_baseline")
     val offenders = plans.filter { case (name, p) =>
       !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
