@@ -1156,7 +1156,117 @@ object EventWindows {
        |  ae24 < ae1 AS seasonal_wins
        |FROM agg ORDER BY event_type""".stripMargin
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic marketing-analytics cube: per purchasing user, days
+    * since last purchase, purchase count, and total cents, each
+    * scored 1-4 by exact lower-quartile thresholds, then rolled up to
+    * the 64-cell segment census.
+    *
+    * The scale point is HOW the quartiles are computed: ntile(4) over
+    * users is a corpus-sized global sort, so instead each dimension
+    * builds a value CENSUS (distinct days / counts / 10-dollar
+    * buckets — all DOMAIN-bounded like [[graft.operators.StatsOps]]'
+    * rankCells), takes threshold t_k = min{v : cum(v) ≥ ⌈k·n/4⌉} from
+    * an ordered prefix sum over that tiny table, and broadcasts the
+    * nine scalars back — users are scored by comparison, never
+    * globally sorted. All integers end to end; ties score
+    * deterministically by the ≥-threshold rule in both engines.
+    */
+  def rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+    val users = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(
+        count(lit(1)).as("f"),
+        sum(expr("cast(floor(value * 100 + 0.5) as long)")).as("m_cents"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .crossJoin(broadcast(ev.agg(max(unix_micros(col("ts"))).as("now_us"))))
+      .select(col("user_id"), col("f"), col("m_cents"),
+        expr(s"(now_us - last_us) div $dayUs").as("r_days"),
+        expr("m_cents div 1000").as("m_bucket"))
+      .localCheckpoint() // three censuses + the scoring pass read once
+    def thresholds(dim: String): DataFrame = {
+      val census = users.groupBy(dim).agg(count(lit(1)).as("c"))
+      val cum = census
+        .withColumn("cum", sum("c").over(Window.orderBy(dim)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(census.agg(sum("c").as("n"))))
+      val ths = (1 to 3).map(k => cum
+        .filter(expr(s"cum >= ($k * n + 3) div 4"))
+        .agg(min(dim).as(s"${dim}_t$k")))
+      ths.reduce(_.crossJoin(_))
+    }
+    val scored = users
+      .crossJoin(broadcast(thresholds("r_days")))
+      .crossJoin(broadcast(thresholds("f")))
+      .crossJoin(broadcast(thresholds("m_bucket")))
+      .select(col("user_id"), col("m_cents"),
+        // recency: fresher (smaller r_days) is better
+        (lit(4) - (col("r_days") >= col("r_days_t1")).cast("int")
+          - (col("r_days") >= col("r_days_t2")).cast("int")
+          - (col("r_days") >= col("r_days_t3")).cast("int")).as("r_score"),
+        (lit(1) + (col("f") >= col("f_t1")).cast("int")
+          + (col("f") >= col("f_t2")).cast("int")
+          + (col("f") >= col("f_t3")).cast("int")).as("f_score"),
+        (lit(1) + (col("m_bucket") >= col("m_bucket_t1")).cast("int")
+          + (col("m_bucket") >= col("m_bucket_t2")).cast("int")
+          + (col("m_bucket") >= col("m_bucket_t3")).cast("int"))
+          .as("m_score"))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum("m_cents").as("m_cents_total"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val rfmSql: String = {
+    def th(dim: String, src: String) = {
+      val cums =
+        s"""SELECT $dim AS v, sum(c) OVER (ORDER BY $dim
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |  (SELECT sum(c) FROM ${src}_census) AS n
+           |FROM ${src}_census""".stripMargin
+      (1 to 3).map(k =>
+        s"""(SELECT min(v) FROM ($cums)
+           | WHERE cum >= ($k * n + 3) // 4) AS ${dim}_t$k""".stripMargin)
+        .mkString(",\n  ")
+    }
+    s"""WITH users AS (
+       |  SELECT user_id, count(*)::BIGINT AS f,
+       |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS m_cents,
+       |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT // 1000
+       |      AS m_bucket,
+       |    ((SELECT max(epoch_us(ts)) FROM events) - max(epoch_us(ts)))
+       |      // 86400000000 AS r_days
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY user_id),
+       |r_census AS (SELECT r_days, count(*)::BIGINT AS c FROM users
+       |  GROUP BY 1),
+       |f_census AS (SELECT f, count(*)::BIGINT AS c FROM users
+       |  GROUP BY 1),
+       |m_census AS (SELECT m_bucket, count(*)::BIGINT AS c FROM users
+       |  GROUP BY 1),
+       |ths AS (SELECT
+       |  ${th("r_days", "r")},
+       |  ${th("f", "f")},
+       |  ${th("m_bucket", "m")}),
+       |scored AS (
+       |  SELECT user_id, m_cents,
+       |    4 - (r_days >= r_days_t1)::INT - (r_days >= r_days_t2)::INT
+       |      - (r_days >= r_days_t3)::INT AS r_score,
+       |    1 + (f >= f_t1)::INT + (f >= f_t2)::INT + (f >= f_t3)::INT
+       |      AS f_score,
+       |    1 + (m_bucket >= m_bucket_t1)::INT
+       |      + (m_bucket >= m_bucket_t2)::INT
+       |      + (m_bucket >= m_bucket_t3)::INT AS m_score
+       |  FROM users CROSS JOIN ths)
+       |SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_users,
+       |  sum(m_cents)::BIGINT AS m_cents_total
+       |FROM scored GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_rfm", rfm _, rfmSql),
     ("ev_forecast_baseline", forecastBaseline _, forecastBaselineSql),
     ("ev_markov", markovTransitions _, markovTransitionsSql),
     ("ev_attribution", attribution _, attributionSql),

@@ -65,10 +65,14 @@ class PlanAuditSpec extends SparkSuite {
     //    shape); the lag windows partition by event_type over the
     //    hours×types-bounded grid (ForecastBaselineSpec re-derives
     //    every MAE cell on the driver).
+    //  - ev_rfm: the ordered prefix windows run over the three value
+    //    CENSUSES (distinct days / counts / 10-dollar buckets — all
+    //    domain-bounded), never user rows; users are scored against
+    //    nine broadcast scalars (RfmSpec re-derives every segment).
     val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk", "pipe_curriculum",
       "ev_gapfill", "text_zipf_fit", "text_ppl_bucket", "text_dsir_weight",
       "stat_ks_test", "stat_mannwhitney", "stat_gini",
-      "ev_forecast_baseline")
+      "ev_forecast_baseline", "ev_rfm")
     val offenders = plans.filter { case (name, p) =>
       !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
