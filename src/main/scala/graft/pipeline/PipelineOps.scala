@@ -1130,6 +1130,19 @@ object PipelineOps {
     */
   val BpeRounds = 8
 
+  /** Persist cadence for the training corpus (r13 verdict #1): every
+    * [[BpePersistEvery]] merge rounds the rewritten corpus is
+    * re-persisted and the predecessor snapshot dropped, so round k's
+    * plan applies at most [[BpePersistEvery]] rewrite layers
+    * (2·[[BpePersistEvery]] literal `replace`s) to the NEWEST
+    * in-memory snapshot instead of k layers to corpus0. Total rewrite
+    * work falls from O(R²/2) corpus passes to O(R·E) with
+    * ⌈R/E⌉ snapshot materializations — linear in the round count.
+    * [[BpeTrainSpec]] pins the bound by counting `replace` nodes in
+    * the final round's plan.
+    */
+  val BpePersistEvery = 4
+
   /** Normalized-prefix length feeding the pair statistics. Small so
     * the sf0.01 corpus stays cheap under the oracle's 8 unrolled
     * replays; the algebra is identical at full-document length.
@@ -1159,19 +1172,28 @@ object PipelineOps {
     * artifact a tokenizer build actually ships. Ties break on
     * (count DESC, left ASC, right ASC) in both engines.
     *
-    * Scale shape: the normalized char corpus is persisted ONCE; each
-    * round is a single explode→groupBy(count) aggregation (the word-
-    * count shuffle shape, fully map-side combinable since the pair
-    * domain is vocab², tiny) plus a `limit(1)` collect of exactly one
-    * row — the only driver state is the 8-row merge table itself. The
-    * corpus rewrite is a pure codegen string projection layered on the
-    * cached round-0 relation, so round k scans cached data through k
-    * cheap `replace` stages and the parquet is read once total. At
-    * real vocab scale (50K merges) the per-round rewrite amortizes via
-    * pair-count DELTAS instead of full rescans; the 8-round form keeps
-    * the oracle's unrolled replay tractable while exercising the full
-    * distributed loop, including multi-character merges (round 8 on
-    * this corpus merges `m`+`er`).
+    * Scale shape — the honest per-round cost model: each round is a
+    * single explode→groupBy(count) aggregation (the word-count shuffle
+    * shape, fully map-side combinable since the pair domain is vocab²,
+    * tiny) plus a `limit(1)` collect of exactly one row — the only
+    * driver state is the [[BpeRounds]]-row merge table itself. The
+    * corpus rewrite is a pure codegen string projection; the lineage
+    * is CUT every [[BpePersistEvery]] rounds by re-persisting the
+    * rewritten corpus and dropping the predecessor (r13 verdict #1),
+    * so round k applies at most 2·[[BpePersistEvery]] `replace` layers
+    * to the newest in-memory snapshot — total rewrite work is
+    * O(R·[[BpePersistEvery]]) corpus passes, not O(R²/2), and parquet
+    * is read once total. Even so, the loop is inherently O(R) driver
+    * round-trips (one Spark job per learned merge): at real vocab
+    * scale (≈50K merges) a production trainer does NOT run this loop
+    * 50K times — it batches the top-M mutually non-interacting pairs
+    * per round (pairs sharing no token can merge together without
+    * changing each other's counts) and maintains pair-count deltas
+    * instead of recounting, collapsing 50K merges into a few hundred
+    * rounds of this exact aggregate→rewrite shape. The 8-round form
+    * keeps the oracle's unrolled replay tractable while exercising
+    * the full distributed loop, including multi-character merges
+    * (round 8 on this corpus merges `m`+`er`).
     *
     * Merge semantics, mirrored bit-exactly by the oracle: the rewrite
     * is ` l r ` → ` lr ` applied as TWO passes of non-overlapping
@@ -1199,34 +1221,66 @@ object PipelineOps {
     */
   private def bpeMerges(spark: SparkSession,
       sfDir: String): Seq[(Int, String, String, Long)] = {
+    val t = bpeTrainLoop(spark, sfDir)
+    try t.merges finally t.snapshots.foreach(_.unpersist())
+  }
+
+  /** Result of [[bpeTrainLoop]]: the learned merge table, the
+    * final-round corpus relation (exposed so [[BpeTrainSpec]] can pin
+    * the bounded-lineage invariant on its plan), and every persisted
+    * snapshot still live — the CALLER unpersists.
+    */
+  private[pipeline] final case class BpeTraining(
+      merges: Seq[(Int, String, String, Long)],
+      finalCorpus: DataFrame,
+      snapshots: Seq[DataFrame])
+
+  /** The merge-training loop proper. Snapshot cadence: after every
+    * [[BpePersistEvery]]-th rewrite the corpus is persisted,
+    * materialized (one count job — BEFORE the predecessor is dropped,
+    * so the build never recomputes through an evicted parent), and
+    * the predecessor snapshot unpersisted; subsequent rounds scan the
+    * new snapshot through ≤2·[[BpePersistEvery]] `replace` layers.
+    * Driver state per round is exactly one collected row (the winning
+    * pair); the merge table itself is [[BpeRounds]] rows.
+    */
+  private[pipeline] def bpeTrainLoop(spark: SparkSession,
+      sfDir: String): BpeTraining = {
     val corpus0 = bpeCorpus0(spark, sfDir).persist()
-    try {
-      var corpus = corpus0
-      val merges =
-        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (k <- 1 to BpeRounds) {
-        val t = split(col("s"), " ")
-        val top = corpus
-          .select(explode(arrays_zip(
-            slice(t, lit(1), size(t) - 1).as("l"),
-            slice(t, lit(2), size(t) - 1).as("r"))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(count(lit(1)).as("c"))
-          .orderBy(desc("c"), asc("l"), asc("r"))
-          .limit(1)
-          .collect()(0)
-        val l = top.getString(0)
-        val r = top.getString(1)
-        val c = top.getLong(2)
-        merges += ((k, l, r, c))
-        val pat = lit(s" $l $r ")
-        val rep = lit(s" $l$r ")
-        val padded = concat(lit(" "), col("s"), lit(" "))
-        corpus = corpus.select(
-          trim(replace(replace(padded, pat, rep), pat, rep)).as("s"))
+    var snapshot = corpus0
+    var corpus = corpus0
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (k <- 1 to BpeRounds) {
+      val t = split(col("s"), " ")
+      val top = corpus
+        .select(explode(arrays_zip(
+          slice(t, lit(1), size(t) - 1).as("l"),
+          slice(t, lit(2), size(t) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r"))
+        .limit(1)
+        .collect()(0)
+      val l = top.getString(0)
+      val r = top.getString(1)
+      val c = top.getLong(2)
+      merges += ((k, l, r, c))
+      val pat = lit(s" $l $r ")
+      val rep = lit(s" $l$r ")
+      val padded = concat(lit(" "), col("s"), lit(" "))
+      corpus = corpus.select(
+        trim(replace(replace(padded, pat, rep), pat, rep)).as("s"))
+      if (k % BpePersistEvery == 0 && k < BpeRounds) {
+        val snap = corpus.persist()
+        snap.count() // materialize before the parent snapshot goes away
+        if (snapshot ne corpus0) snapshot.unpersist()
+        snapshot = snap
+        corpus = snap
       }
-      merges.toSeq
-    } finally corpus0.unpersist()
+    }
+    BpeTraining(merges.toSeq, corpus,
+      if (snapshot ne corpus0) Seq(corpus0, snapshot) else Seq(corpus0))
   }
 
   /** BPE ENCODING with the merges [[bpeTrain]] learns: re-trains the
@@ -1236,13 +1290,19 @@ object PipelineOps {
     * tokenizer build is judged on before it ships.
     *
     * The apply stage is the part that matters at 100 TB: the merge
-    * table is a bounded driver constant ([[BpeRounds]] rows; 50K in a
-    * production build — still broadcast-sized), so tokenization is a
-    * PURE CODEGEN string projection (2·[[BpeRounds]] literal
-    * `replace` stages, same double-pass non-overlapping semantics as
-    * training — see [[bpeTrain]]'s merge-semantics note), with no
-    * shuffle, no UDF, no per-row state. Training cost is the same
-    * bounded loop bpeTrain already pays.
+    * table is a bounded driver constant ([[BpeRounds]] rows; even a
+    * production 50K-merge vocabulary is ~1 MB — broadcast-sized), so
+    * tokenization here is a PURE CODEGEN string projection
+    * (2·[[BpeRounds]] literal `replace` stages, same double-pass
+    * non-overlapping semantics as training — see [[bpeTrain]]'s
+    * merge-semantics note), with no shuffle, no UDF, no per-row
+    * state. The literal-replace-chain SHAPE is for bounded round
+    * counts: at vocab-scale R the same broadcast table would instead
+    * drive a per-partition tokenizer (mapPartitions over the
+    * broadcast merge ranks — still shuffle-free and embarrassingly
+    * parallel), since a 100K-deep expression tree would defeat
+    * codegen. Training cost is the same bounded loop bpeTrain
+    * already pays.
     *
     * Unlike training (which drops <2-char docs — they can't vote on
     * pairs), apply keeps every doc with ≥1 usable char: a 1-char doc

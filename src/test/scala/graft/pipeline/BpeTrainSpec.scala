@@ -56,6 +56,36 @@ class BpeTrainSpec extends SparkSuite {
     }
   }
 
+  test("final-round lineage is cut by the snapshot cadence (r13 #1)") {
+    // the O(R²) recompute fix: round k must apply at most
+    // 2·BpePersistEvery replace layers to the NEWEST persisted
+    // snapshot, never k layers to corpus0. Pin it by counting replace
+    // nodes in the final corpus's optimized plan and asserting the
+    // scan source is an in-memory snapshot, not the parquet relation.
+    val t = PipelineOps.bpeTrainLoop(spark, sf0001)
+    try {
+      val plan = t.finalCorpus.queryExecution.optimizedPlan.toString
+      assert(plan.contains("InMemoryRelation"),
+        "final round must read a persisted snapshot, not recompute " +
+          "from parquet")
+      // only the layers ABOVE the snapshot scan count against the
+      // bound (InMemoryRelation prints its cached child plan, which
+      // legitimately holds the pre-snapshot rounds); \b keeps
+      // regexp_replace from round 0's normalization out of the tally
+      val above = plan.substring(0, plan.indexOf("InMemoryRelation"))
+      val replaces = "\\breplace\\(".r.findAllIn(above).size
+      assert(replaces <= 2 * PipelineOps.BpePersistEvery,
+        s"$replaces replace layers above the snapshot — lineage " +
+          s"not cut (bound: ${2 * PipelineOps.BpePersistEvery})")
+      assert(!above.contains("Parquet"),
+        "final-round plan still reaches the parquet scan above the " +
+          "snapshot — the cadence is not cutting lineage")
+      // ⌈R/E⌉ live generations at most: corpus0 plus the newest snap
+      assert(t.snapshots.size <= PipelineOps.BpeRounds /
+        PipelineOps.BpePersistEvery + 1)
+    } finally t.snapshots.foreach(_.unpersist())
+  }
+
   test("sf0.01 learns a multi-char merge — the loop is iterative") {
     // at least one learned merge must touch a multi-char token, or the
     // iteration would be indistinguishable from a one-shot bigram
