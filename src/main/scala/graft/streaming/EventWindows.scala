@@ -1164,13 +1164,24 @@ object EventWindows {
     *
     * The scale point is HOW the quartiles are computed: ntile(4) over
     * users is a corpus-sized global sort, so instead each dimension
-    * builds a value CENSUS (distinct days / counts / 10-dollar
+    * builds a value CENSUS (distinct days / counts / log-scale spend
     * buckets — all DOMAIN-bounded like [[graft.operators.StatsOps]]'
     * rankCells), takes threshold t_k = min{v : cum(v) ≥ ⌈k·n/4⌉} from
     * an ordered prefix sum over that tiny table, and broadcasts the
     * nine scalars back — users are scored by comparison, never
     * globally sorted. All integers end to end; ties score
     * deterministically by the ≥-threshold rule in both engines.
+    *
+    * The monetary bucket is LOG-scale (r13 verdict #2): bucket =
+    * 32·max(bitlen(m_cents)−5, 0) + (m_cents >> max(bitlen−5, 0)) —
+    * the MSB position with a 5-bit linear mantissa (≈3% relative
+    * resolution), strictly monotone in m_cents and exact in 64-bit
+    * integer arithmetic in BOTH engines (`bin`+`shiftright` here,
+    * `bin`+`>>` in DuckDB; neither pads leading zeros). Unlike the
+    * former cents/1000 bucket — whose census grew with the MAX
+    * spender, so one $100M whale meant a 10M-row single-partition
+    * prefix sum — this census is ≤ 32·59+31 < 1,920 rows under ANY
+    * spend distribution.
     */
   def rfm(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1184,7 +1195,9 @@ object EventWindows {
       .crossJoin(broadcast(ev.agg(max(unix_micros(col("ts"))).as("now_us"))))
       .select(col("user_id"), col("f"), col("m_cents"),
         expr(s"(now_us - last_us) div $dayUs").as("r_days"),
-        expr("m_cents div 1000").as("m_bucket"))
+        expr("cast(greatest(length(bin(m_cents)) - 5, 0) * 32 + " +
+          "shiftright(m_cents, greatest(length(bin(m_cents)) - 5, 0)) " +
+          "as bigint)").as("m_bucket"))
       .localCheckpoint() // three censuses + the scoring pass read once
     def thresholds(dim: String): DataFrame = {
       val census = users.groupBy(dim).agg(count(lit(1)).as("c"))
@@ -1230,15 +1243,18 @@ object EventWindows {
            | WHERE cum >= ($k * n + 3) // 4) AS ${dim}_t$k""".stripMargin)
         .mkString(",\n  ")
     }
-    s"""WITH users AS (
+    s"""WITH users0 AS (
        |  SELECT user_id, count(*)::BIGINT AS f,
        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS m_cents,
-       |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT // 1000
-       |      AS m_bucket,
        |    ((SELECT max(epoch_us(ts)) FROM events) - max(epoch_us(ts)))
        |      // 86400000000 AS r_days
        |  FROM events WHERE event_type = 'purchase'
        |  GROUP BY user_id),
+       |users AS (
+       |  SELECT *, (greatest(length(bin(m_cents)) - 5, 0) * 32
+       |    + (m_cents >> greatest(length(bin(m_cents)) - 5, 0)))::BIGINT
+       |    AS m_bucket
+       |  FROM users0),
        |r_census AS (SELECT r_days, count(*)::BIGINT AS c FROM users
        |  GROUP BY 1),
        |f_census AS (SELECT f, count(*)::BIGINT AS c FROM users

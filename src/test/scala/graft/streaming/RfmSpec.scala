@@ -19,13 +19,28 @@ class RfmSpec extends SparkSuite {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val nowUs = ev.map(_._3).max
+    // log-scale monetary bucket (r13 #2): MSB position × 32 + top-5-bit
+    // mantissa — strictly monotone, ≤ 32·59+31 buckets for ANY spend
+    def mBucket(m: Long): Long = {
+      val bits = 64 - java.lang.Long.numberOfLeadingZeros(m)
+      val shift = math.max(bits - 5, 0)
+      shift.toLong * 32 + (m >> shift)
+    }
     val users = ev.filter(_._1 == "purchase").groupBy(_._2).map {
       case (u, xs) =>
         val f = xs.length.toLong
         val m = xs.map(_._4).sum
         val r = (nowUs - xs.map(_._3).max) / dayUs
-        (u, f, m, m / 1000, r)
+        (u, f, m, mBucket(m), r)
     }.toSeq
+    // domain-boundedness: the census cap holds at the adversarial max
+    assert(mBucket(Long.MaxValue) < 1920)
+    // strict monotonicity of the bucketing across octave boundaries
+    val probes = Seq(0L, 1L, 15L, 31L, 32L, 33L, 63L, 64L, 1L << 20,
+      (1L << 20) + 1, Long.MaxValue - 1, Long.MaxValue)
+    probes.sliding(2).foreach { case Seq(a, b) =>
+      assert(mBucket(a) <= mBucket(b), s"bucket not monotone at $a,$b")
+    }
     val n = users.length.toLong
     def ths(vals: Seq[Long]): Seq[Long] = {
       val census = vals.groupBy(identity).view.mapValues(_.length.toLong)
