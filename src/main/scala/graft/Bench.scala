@@ -313,33 +313,56 @@ object Bench {
     // One run at EXACTLY those volumes makes the 2×-faster headline
     // audit-proof at like-for-like load — batch sizes 16/15 sum to
     // 10,000 across 639 triggers. Gated to the per-round sf0.1 run.
+    // r13 verdict #4: the full-volume point is the headline
+    // baseline-parity number, and a single measurement let a +27%
+    // host-load drift masquerade as a regression. Run it N=3 times
+    // and publish the MIN of the per-run trigger means (the same
+    // agreeing-evidence rule as the batch bench's pass_totals — a
+    // genuinely slow pipeline is slow three times, a noisy host
+    // isn't) plus the max/min spread so drift is attributable from
+    // the artifact alone.
     val streamingFull: Map[String, Double] =
       if (!sfDir.endsWith("sf0.1")) Map.empty
       else try {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_bench_stream_full")
-        try {
-          var off = 0
-          val batches = (0 until 639).map { i =>
-            val sz = if (i < 415) 16 else 15
-            val b = graft.streaming.FeedbackGenerator.batch("random", off, sz)
-            off += sz
-            b
-          }
-          val res = graft.streaming.ModesBenchmark.run(spark, batches, dir,
-            backlogRows = 146626)
-          Map(
-            "st_append_fullvolume_mean" -> res.append.meanMs / 1000.0,
-            "st_append_fullvolume_median" -> res.append.medianMs / 1000.0,
-            "st_append_fullvolume_triggers" -> res.append.n.toDouble,
-            "st_update_earliest_fullvolume_mean" ->
-              res.updateEarliest.meanMs / 1000.0,
-            "st_update_earliest_fullvolume_median" ->
-              res.updateEarliest.medianMs / 1000.0,
-            "st_fullvolume_epoch0_replay_sec" -> res.epoch0ReplayMs / 1000.0,
-            "st_fullvolume_msgs" -> 10000.0,
-            "st_fullvolume_backlog_rows" -> 146626.0)
-        } finally rmrf(dir)
+        def once(): graft.streaming.ModesBenchmark.Result = {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_bench_stream_full")
+          try {
+            var off = 0
+            val batches = (0 until 639).map { i =>
+              val sz = if (i < 415) 16 else 15
+              val b =
+                graft.streaming.FeedbackGenerator.batch("random", off, sz)
+              off += sz
+              b
+            }
+            graft.streaming.ModesBenchmark.run(spark, batches, dir,
+              backlogRows = 146626)
+          } finally rmrf(dir)
+        }
+        val n = 3
+        val runs = Seq.fill(n)(once())
+        def spreadPct(xs: Seq[Double]): Double =
+          math.round((xs.max / math.max(xs.min, 1e-9) - 1) * 1000) / 10.0
+        val appendMeans = runs.map(_.append.meanMs)
+        val updateMeans = runs.map(_.updateEarliest.meanMs)
+        val best = runs.minBy(_.append.meanMs)
+        Map(
+          "st_append_fullvolume_mean" -> appendMeans.min / 1000.0,
+          "st_append_fullvolume_mean_spread_pct" -> spreadPct(appendMeans),
+          "st_append_fullvolume_median" -> best.append.medianMs / 1000.0,
+          "st_append_fullvolume_triggers" -> best.append.n.toDouble,
+          "st_update_earliest_fullvolume_mean" -> updateMeans.min / 1000.0,
+          "st_update_earliest_fullvolume_mean_spread_pct" ->
+            spreadPct(updateMeans),
+          "st_update_earliest_fullvolume_median" ->
+            runs.minBy(_.updateEarliest.meanMs).updateEarliest
+              .medianMs / 1000.0,
+          "st_fullvolume_epoch0_replay_sec" ->
+            runs.map(_.epoch0ReplayMs).min / 1000.0,
+          "st_fullvolume_runs" -> n.toDouble,
+          "st_fullvolume_msgs" -> 10000.0,
+          "st_fullvolume_backlog_rows" -> 146626.0)
       } catch { case _: Throwable => Map.empty[String, Double] }
 
     // 10× the reference's volume (r12 verdict #5): same 639 triggers,
@@ -349,33 +372,51 @@ object Bench {
     // claim for ST2/ST3 is that per-trigger latency grows with the
     // PER-TRIGGER batch, not with how long the stream has been running
     // — mean/median ~flat vs the 1× run is that evidence.
+    // min-of-2 (same agreeing-evidence rule; 2 not 3 because this run
+    // is ~10× the data of the full-volume point and the 1× point
+    // above already anchors the host-noise estimate with N=3)
     val streaming10x: Map[String, Double] =
       if (!sfDir.endsWith("sf0.1")) Map.empty
       else try {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_bench_stream_10x")
-        try {
-          var off = 0
-          val batches = (0 until 639).map { i =>
-            val sz = if (i < 415) 160 else 150
-            val b = graft.streaming.FeedbackGenerator.batch("random", off, sz)
-            off += sz
-            b
-          }
-          val res = graft.streaming.ModesBenchmark.run(spark, batches, dir,
-            backlogRows = 1466260)
-          Map(
-            "st_append_10x_mean" -> res.append.meanMs / 1000.0,
-            "st_append_10x_median" -> res.append.medianMs / 1000.0,
-            "st_append_10x_triggers" -> res.append.n.toDouble,
-            "st_update_earliest_10x_mean" ->
-              res.updateEarliest.meanMs / 1000.0,
-            "st_update_earliest_10x_median" ->
-              res.updateEarliest.medianMs / 1000.0,
-            "st_10x_epoch0_replay_sec" -> res.epoch0ReplayMs / 1000.0,
-            "st_10x_msgs" -> 100000.0,
-            "st_10x_backlog_rows" -> 1466260.0)
-        } finally rmrf(dir)
+        def once(): graft.streaming.ModesBenchmark.Result = {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_bench_stream_10x")
+          try {
+            var off = 0
+            val batches = (0 until 639).map { i =>
+              val sz = if (i < 415) 160 else 150
+              val b =
+                graft.streaming.FeedbackGenerator.batch("random", off, sz)
+              off += sz
+              b
+            }
+            graft.streaming.ModesBenchmark.run(spark, batches, dir,
+              backlogRows = 1466260)
+          } finally rmrf(dir)
+        }
+        val n = 2
+        val runs = Seq.fill(n)(once())
+        def spreadPct(xs: Seq[Double]): Double =
+          math.round((xs.max / math.max(xs.min, 1e-9) - 1) * 1000) / 10.0
+        val appendMeans = runs.map(_.append.meanMs)
+        val updateMeans = runs.map(_.updateEarliest.meanMs)
+        val best = runs.minBy(_.append.meanMs)
+        Map(
+          "st_append_10x_mean" -> appendMeans.min / 1000.0,
+          "st_append_10x_mean_spread_pct" -> spreadPct(appendMeans),
+          "st_append_10x_median" -> best.append.medianMs / 1000.0,
+          "st_append_10x_triggers" -> best.append.n.toDouble,
+          "st_update_earliest_10x_mean" -> updateMeans.min / 1000.0,
+          "st_update_earliest_10x_mean_spread_pct" ->
+            spreadPct(updateMeans),
+          "st_update_earliest_10x_median" ->
+            runs.minBy(_.updateEarliest.meanMs).updateEarliest
+              .medianMs / 1000.0,
+          "st_10x_epoch0_replay_sec" ->
+            runs.map(_.epoch0ReplayMs).min / 1000.0,
+          "st_10x_runs" -> n.toDouble,
+          "st_10x_msgs" -> 100000.0,
+          "st_10x_backlog_rows" -> 1466260.0)
       } catch { case _: Throwable => Map.empty[String, Double] }
 
     // ONE-OFF sf1-equivalent probe (round-8 stretch item): the scale
@@ -561,7 +602,7 @@ object Bench {
       val short = if (i < 0) probeCoverage else probeCoverage.substring(0, i)
       if (short.endsWith(",")) short else short + ","
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"big_probe_copies":$BigProbeCopies,"big_probe_flag_threshold":$ScaleFlagRatio,"noisy_queries":$nqJson,"st_append_fullvolume_mean":${streamingFull.getOrElse("st_append_fullvolume_mean", -1.0)},"st_update_earliest_fullvolume_mean":${streamingFull.getOrElse("st_update_earliest_fullvolume_mean", -1.0)},"st_fullvolume_epoch0_replay_sec":${streamingFull.getOrElse("st_fullvolume_epoch0_replay_sec", -1.0)},"st_append_10x_mean":${streaming10x.getOrElse("st_append_10x_mean", -1.0)},"st_update_earliest_10x_mean":${streaming10x.getOrElse("st_update_earliest_10x_mean", -1.0)},"st_10x_epoch0_replay_sec":${streaming10x.getOrElse("st_10x_epoch0_replay_sec", -1.0)},${probeCoverageSummary}"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,"codegen_compiles_total":${compiles()}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"big_probe_copies":$BigProbeCopies,"big_probe_flag_threshold":$ScaleFlagRatio,"noisy_queries":$nqJson,"st_append_fullvolume_mean":${streamingFull.getOrElse("st_append_fullvolume_mean", -1.0)},"st_append_fullvolume_mean_spread_pct":${streamingFull.getOrElse("st_append_fullvolume_mean_spread_pct", -1.0)},"st_update_earliest_fullvolume_mean":${streamingFull.getOrElse("st_update_earliest_fullvolume_mean", -1.0)},"st_update_earliest_fullvolume_mean_spread_pct":${streamingFull.getOrElse("st_update_earliest_fullvolume_mean_spread_pct", -1.0)},"st_fullvolume_epoch0_replay_sec":${streamingFull.getOrElse("st_fullvolume_epoch0_replay_sec", -1.0)},"st_fullvolume_runs":${streamingFull.getOrElse("st_fullvolume_runs", 0.0).toInt},"st_append_10x_mean":${streaming10x.getOrElse("st_append_10x_mean", -1.0)},"st_append_10x_mean_spread_pct":${streaming10x.getOrElse("st_append_10x_mean_spread_pct", -1.0)},"st_update_earliest_10x_mean":${streaming10x.getOrElse("st_update_earliest_10x_mean", -1.0)},"st_update_earliest_10x_mean_spread_pct":${streaming10x.getOrElse("st_update_earliest_10x_mean_spread_pct", -1.0)},"st_10x_epoch0_replay_sec":${streaming10x.getOrElse("st_10x_epoch0_replay_sec", -1.0)},"st_10x_runs":${streaming10x.getOrElse("st_10x_runs", 0.0).toInt},${probeCoverageSummary}"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,"codegen_compiles_total":${compiles()}}""")
     // FULL machine-readable artifact (r10 verdict item #2): stdout-tail
     // truncation eats the long per-query maps, so everything a verdict
     // needs to diff round-over-round — every per-query min AND median,

@@ -197,6 +197,84 @@ object GraphOps {
       |FROM item, norm
       |ORDER BY pagerank_q DESC, id""".stripMargin
 
+  // ---- shared item-graph prelude (r13 verdict #8) -------------------
+  // cooccur / triangle / label-prop / k-core all build the same
+  // cap-bounded item interaction graph. ONE definition each for the
+  // Spark prelude and its SQL twin, so a cap or shape change cannot
+  // drift between the four operators and their oracles.
+
+  /** Per-user degree cap of the item-graph family: each user
+    * contributes at most this many items (deterministic keep-smallest
+    * truncation), so per-user pair fan-out is bounded by cap²/2 and
+    * edge generation is LINEAR in users — one crawler account that
+    * touched every item would otherwise generate |items|² pairs and a
+    * single hot partition.
+    */
+  val ItemGraphCap = 32
+
+  /** Distinct (user, item) interactions from the event props,
+    * truncated to the `cap` smallest items per user via a per-user
+    * rank window (map-side WindowGroupLimit).
+    */
+  private def cappedInteractions(spark: SparkSession, sfDir: String,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("item")))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+  }
+
+  /** Per-user item pairs (a < b), NOT deduplicated — cooccur counts
+    * multiplicity across users, the others `.distinct()` this.
+    */
+  private def userItemPairs(capped: DataFrame): DataFrame =
+    capped.as("x")
+      .join(capped.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.item") < col("y.item"))
+      .select(col("x.item").as("a"), col("y.item").as("b"))
+
+  /** Both directions of an (a, b, …) edge list: the swapped copy
+    * keeps every other column.
+    */
+  private def symmetrized(pairs: DataFrame): DataFrame =
+    pairs.unionByName(pairs
+      .withColumnRenamed("a", "__swap")
+      .withColumnRenamed("b", "a")
+      .withColumnRenamed("__swap", "b"))
+
+  /** SQL twin of [[cappedInteractions]] — the `inter` + `capped` CTEs
+    * every item-graph oracle starts with.
+    */
+  private def interCappedSql(cap: Int): String =
+    s"""inter AS (
+       |  SELECT DISTINCT user_id,
+       |    json_extract_string(props, '$$.k')::INT AS item
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |capped AS (
+       |  SELECT user_id, item FROM (
+       |    SELECT user_id, item,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+       |    FROM inter)
+       |  WHERE rn <= $cap)""".stripMargin
+
+  /** SQL twin of `userItemPairs(capped).distinct()` under the given
+    * CTE alias.
+    */
+  private def distinctPairsSql(alias: String): String =
+    s"""$alias AS (
+       |  SELECT DISTINCT x.item AS a, y.item AS b
+       |  FROM capped x
+       |  JOIN capped y ON x.user_id = y.user_id AND x.item < y.item)"""
+      .stripMargin
+
   /** Item-item co-occurrence neighborhood (the "users who touched X
     * also touched Y" item2item primitive every co-visitation
     * recommender starts from): distinct (user, item) interactions →
@@ -214,27 +292,14 @@ object GraphOps {
     * rank-window with the map-side WindowGroupLimit pushdown.
     */
   def graphItemCooccur(spark: SparkSession, sfDir: String,
-      cap: Int = 32, k: Int = 5): DataFrame = {
+      cap: Int = ItemGraphCap, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val inter = graft.core.Tables.events(spark, sfDir)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull)
-      .distinct()
-    val capped = inter
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("user_id").orderBy("item")))
-      .filter(col("rn") <= cap)
-      .drop("rn")
+    val capped = cappedInteractions(spark, sfDir, cap)
     val deg = capped.groupBy("item").agg(count(lit(1)).as("d"))
-    val pairs = capped.as("x")
-      .join(capped.as("y"),
-        col("x.user_id") === col("y.user_id") &&
-          col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+    val pairs = userItemPairs(capped)
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("co"))
-    val sym = pairs.unionByName(
-      pairs.select(col("b").as("a"), col("a").as("b"), col("co")))
+    val sym = symmetrized(pairs)
     // no broadcast hint on deg: it has one row per distinct item — an
     // UNBOUNDED cardinality when items are open-ended (URLs, doc ids)
     // at 100 TB. AQE still broadcasts it while it measures small; past
@@ -253,17 +318,7 @@ object GraphOps {
   }
 
   val graphItemCooccurSql: String =
-    """WITH inter AS (
-      |  SELECT DISTINCT user_id,
-      |    json_extract_string(props, '$.k')::INT AS item
-      |  FROM events
-      |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
-      |capped AS (
-      |  SELECT user_id, item FROM (
-      |    SELECT user_id, item,
-      |      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
-      |    FROM inter)
-      |  WHERE rn <= 32),
+    s"""WITH ${interCappedSql(ItemGraphCap)},
       |deg AS (SELECT item, count(*)::BIGINT AS d FROM capped GROUP BY 1),
       |pairs AS (
       |  SELECT x.item AS a, y.item AS b, count(*)::BIGINT AS co
@@ -312,23 +367,8 @@ object GraphOps {
     * agg is a constant-width accumulator.
     */
   def graphTriangleCount(spark: SparkSession, sfDir: String,
-      cap: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val inter = graft.core.Tables.events(spark, sfDir)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull)
-      .distinct()
-    val capped = inter
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("user_id").orderBy("item")))
-      .filter(col("rn") <= cap)
-      .drop("rn")
-    val edges = capped.as("x")
-      .join(capped.as("y"),
-        col("x.user_id") === col("y.user_id") &&
-          col("x.item") < col("y.item"))
-      .select(col("x.item").as("a"), col("y.item").as("b"))
+      cap: Int = ItemGraphCap): DataFrame = {
+    val edges = userItemPairs(cappedInteractions(spark, sfDir, cap))
       .distinct()
     val deg = edges.select(col("a").as("v"))
       .unionByName(edges.select(col("b").as("v")))
@@ -369,21 +409,8 @@ object GraphOps {
   }
 
   val graphTriangleCountSql: String =
-    """WITH inter AS (
-      |  SELECT DISTINCT user_id,
-      |    json_extract_string(props, '$.k')::INT AS item
-      |  FROM events
-      |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
-      |capped AS (
-      |  SELECT user_id, item FROM (
-      |    SELECT user_id, item,
-      |      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
-      |    FROM inter)
-      |  WHERE rn <= 32),
-      |edges AS (
-      |  SELECT DISTINCT x.item AS a, y.item AS b
-      |  FROM capped x
-      |  JOIN capped y ON x.user_id = y.user_id AND x.item < y.item),
+    s"""WITH ${interCappedSql(ItemGraphCap)},
+      |${distinctPairsSql("edges")},
       |deg AS (
       |  SELECT v, count(*)::BIGINT AS d FROM (
       |    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
@@ -449,27 +476,11 @@ object GraphOps {
     * [[graft.pipeline.PipelineOps]]).
     */
   def graphLabelProp(spark: SparkSession, sfDir: String,
-      cap: Int = 32): DataFrame = {
+      cap: Int = ItemGraphCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val inter = graft.core.Tables.events(spark, sfDir)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull)
+    val pairs = userItemPairs(cappedInteractions(spark, sfDir, cap))
       .distinct()
-    val capped = inter
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("user_id").orderBy("item")))
-      .filter(col("rn") <= cap)
-      .drop("rn")
-    val pairs = capped.as("x")
-      .join(capped.as("y"),
-        col("x.user_id") === col("y.user_id") &&
-          col("x.item") < col("y.item"))
-      .select(col("x.item").as("a"), col("y.item").as("b"))
-      .distinct()
-    val sym = pairs.unionByName(
-      pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    val sym = symmetrized(pairs).localCheckpoint()
     val nodes = sym.select(col("a").as("item")).distinct()
     val seeded = nodes.withColumn("lab",
       when(col("item") % 7 === 0, col("item") % 4).otherwise(lit(-1)))
@@ -513,21 +524,8 @@ object GraphOps {
          |  JOIN l${k - 1} p ON p.item = n.item
          |  LEFT JOIN (SELECT item, lab FROM b$k WHERE rn = 1) b
          |    ON b.item = n.item)""".stripMargin
-    s"""WITH inter AS (
-       |  SELECT DISTINCT user_id,
-       |    json_extract_string(props, '$$.k')::INT AS item
-       |  FROM events
-       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
-       |capped AS (
-       |  SELECT user_id, item FROM (
-       |    SELECT user_id, item,
-       |      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
-       |    FROM inter)
-       |  WHERE rn <= 32),
-       |pairs AS (
-       |  SELECT DISTINCT x.item AS a, y.item AS b
-       |  FROM capped x
-       |  JOIN capped y ON x.user_id = y.user_id AND x.item < y.item),
+    s"""WITH ${interCappedSql(ItemGraphCap)},
+       |${distinctPairsSql("pairs")},
        |sym AS (
        |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
        |nodes AS (SELECT DISTINCT a AS item FROM sym),
@@ -574,27 +572,10 @@ object GraphOps {
     * [[graphItemCooccur]]).
     */
   def graphKcore(spark: SparkSession, sfDir: String,
-      cap: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val inter = graft.core.Tables.events(spark, sfDir)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull)
+      cap: Int = ItemGraphCap): DataFrame = {
+    val pairs = userItemPairs(cappedInteractions(spark, sfDir, cap))
       .distinct()
-    val capped = inter
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("user_id").orderBy("item")))
-      .filter(col("rn") <= cap)
-      .drop("rn")
-    val pairs = capped.as("x")
-      .join(capped.as("y"),
-        col("x.user_id") === col("y.user_id") &&
-          col("x.item") < col("y.item"))
-      .select(col("x.item").as("a"), col("y.item").as("b"))
-      .distinct()
-    val sym = pairs.unionByName(
-      pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    val sym = symmetrized(pairs).localCheckpoint()
     var alive = sym.select(col("a").as("item")).distinct()
     var deg: DataFrame = null
     for (_ <- 1 to KcoreRounds) {
@@ -619,21 +600,8 @@ object GraphOps {
          |  GROUP BY 1),
          |alive$r AS (SELECT item FROM deg$r WHERE d >= $KcoreK)"""
         .stripMargin
-    s"""WITH inter AS (
-       |  SELECT DISTINCT user_id,
-       |    json_extract_string(props, '$$.k')::INT AS item
-       |  FROM events
-       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
-       |capped AS (
-       |  SELECT user_id, item FROM (
-       |    SELECT user_id, item,
-       |      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
-       |    FROM inter)
-       |  WHERE rn <= 32),
-       |pairs AS (
-       |  SELECT DISTINCT x.item AS a, y.item AS b
-       |  FROM capped x
-       |  JOIN capped y ON x.user_id = y.user_id AND x.item < y.item),
+    s"""WITH ${interCappedSql(ItemGraphCap)},
+       |${distinctPairsSql("pairs")},
        |sym AS (
        |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
        |alive0 AS (SELECT DISTINCT a AS item FROM sym),

@@ -396,6 +396,32 @@ object SimilarityOps {
   private[sim] def ivfSampleSize(nCells: Int): Int =
     math.max(4096, math.min(262144, 16 * nCells))
 
+  /** Embedding dimensionality of the engine's vector tables (the
+    * embeddings.parquet contract; every quantizer in this file
+    * assumes it).
+    */
+  private[sim] val VecDims = 64
+
+  /** Declared driver-side byte budget for quantizer-training collects
+    * (r13 verdict #5): any training sample materialized on the driver
+    * must satisfy rows × dims × 8 ≤ this. The largest shipped collect
+    * is [[ivfSampleSize]]'s 256 K-row cap × [[VecDims]] doubles
+    * ≈ 134 MB — just over half the budget — so the guard is headroom,
+    * not slack: a dims or cap change that would double the
+    * materialization fails loudly at the `require` instead of
+    * silently eating the driver heap. AnnSpec pins both the
+    * arithmetic and the failure mode.
+    */
+  private[sim] val TrainingCollectBudgetBytes: Long = 256L << 20
+
+  private[sim] def assertTrainingBudget(rows: Int, dims: Int): Unit = {
+    val bytes = rows.toLong * dims * 8
+    require(bytes <= TrainingCollectBudgetBytes,
+      s"quantizer training collect of $rows rows x $dims dims = " +
+        s"$bytes bytes exceeds the $TrainingCollectBudgetBytes-byte " +
+        "driver budget (TrainingCollectBudgetBytes)")
+  }
+
   /** In-memory Lloyd's over a vec_id-ordered sample: stride init from
     * the sample, strict-< first-wins assignment, means snapped to the
     * 1e-6 grid each iteration (so the SQL replays land bit-identical),
@@ -437,6 +463,7 @@ object SimilarityOps {
     */
   private def trainIvfCentroids(e: DataFrame, nCells: Int,
       iters: Int = 5): Array[Array[Double]] = {
+    assertTrainingBudget(ivfSampleSize(nCells), VecDims)
     val sample: Array[Array[Double]] = e.orderBy("vec_id")
       .limit(ivfSampleSize(nCells))
       .select("vec").collect().map(_.getSeq[Double](0).toArray)
@@ -462,6 +489,7 @@ object SimilarityOps {
   private[sim] def trainTwoLevel(e: DataFrame, l1Cells: Int, l2Per: Int,
       sampN: Int, l1SampN: Int, iters: Int = 5)
       : (Array[Array[Double]], Array[(Int, Int, Array[Double])]) = {
+    assertTrainingBudget(sampN, VecDims)
     val sample: Array[Array[Double]] = e.orderBy("vec_id").limit(sampN)
       .select("vec").collect().map(_.getSeq[Double](0).toArray)
     val l1 = lloyd(sample.take(l1SampN), l1Cells, iters)

@@ -66,13 +66,19 @@ class PlanAuditSpec extends SparkSuite {
     //    hours×types-bounded grid (ForecastBaselineSpec re-derives
     //    every MAE cell on the driver).
     //  - ev_rfm: the ordered prefix windows run over the three value
-    //    CENSUSES (distinct days / counts / 10-dollar buckets — all
+    //    CENSUSES (distinct days / counts / log-scale spend buckets,
+    //    the last capped <1,920 rows under ANY distribution — all
     //    domain-bounded), never user rows; users are scored against
     //    nine broadcast scalars (RfmSpec re-derives every segment).
+    //  - dedup_recall_audit: the SinglePartition nodes are the three
+    //    1-row scalar COUNTS (n_exact/n_lsh/n_hit broadcast back); the
+    //    only windows are the prefix-filter ranks, partitioned by
+    //    doc_id exactly as in dedup_ngram_jaccard/dedup_minhash_lsh
+    //    (both unexempt and clean — the audit merely composes them).
     val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk", "pipe_curriculum",
       "ev_gapfill", "text_zipf_fit", "text_ppl_bucket", "text_dsir_weight",
       "stat_ks_test", "stat_mannwhitney", "stat_gini",
-      "ev_forecast_baseline", "ev_rfm")
+      "ev_forecast_baseline", "ev_rfm", "dedup_recall_audit")
     val offenders = plans.filter { case (name, p) =>
       !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
@@ -80,6 +86,29 @@ class PlanAuditSpec extends SparkSuite {
     }.keys
     assert(offenders.isEmpty,
       s"unbounded global window in: ${offenders.mkString(", ")}")
+  }
+
+  test("item-cooccur degree join is AQE-broadcast with no hint (r13 #6)") {
+    // r12 directive 3 removed the forced broadcast hint on the degree
+    // table (one row per distinct item — unbounded cardinality at
+    // 100 TB); the design claim is that AQE still broadcasts it while
+    // it measures small. Machine-verify the claim at sf0.1: (a) no
+    // hint node anywhere in the logical/optimized plan, (b) after
+    // execution (AQE decisions only exist in the FINAL plan) every
+    // join in the query — including both degree joins, whose build
+    // side shows as the reused deg BroadcastExchange — is a
+    // BroadcastHashJoin, with zero sort-merge/shuffled-hash fallback.
+    val df = graft.graph.GraphOps.graphItemCooccur(spark, sf01)
+    assert(!df.queryExecution.logical.toString.contains("UnresolvedHint") &&
+      !df.queryExecution.optimizedPlan.toString.contains("ResolvedHint"),
+      "a broadcast hint crept back into graph_item_cooccur")
+    df.count() // drive AQE to its final plan
+    val plan = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"degree joins not AQE-broadcast at sf0.1:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"a join fell back to a shuffle at sf0.1:\n$plan")
   }
 
   test("kmeans assignment plans a single Exchange (the final sort)") {

@@ -15,4 +15,5 @@ trait SparkSuite extends AnyFunSuite {
 
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+  val sf01 = "/root/testdata/sf0.1"
 }

@@ -442,6 +442,24 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("quantizer training collects respect the declared driver budget") {
+    // r13 verdict #5: the IVF training sample is the largest driver
+    // materialization in the codebase. Pin (a) the shipped ceiling —
+    // the 256 K-row sample cap at the engine's 64-dim vectors stays
+    // under TrainingCollectBudgetBytes — and (b) the failure mode: an
+    // over-budget request dies at the require, BEFORE any collect.
+    val maxSample = SimilarityOps.ivfSampleSize(Int.MaxValue / 32)
+    assert(maxSample == 262144, "sample cap drifted — revisit the budget")
+    assert(maxSample.toLong * SimilarityOps.VecDims * 8 <=
+      SimilarityOps.TrainingCollectBudgetBytes)
+    val e = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.trainTwoLevel(e, l1Cells = 4, l2Per = 4,
+        sampN = 600 * 1000 * 1000, l1SampN = 1024)
+    }
+    assert(ex.getMessage.contains("driver budget"))
+  }
+
   test("brute-force ranks are dense and cosines descend per query") {
     val rows = SimilarityOps.annBruteTopK(spark, sf0001)
       .collect()
