@@ -180,7 +180,17 @@ object DedupOps {
     * hashes identically, and the DedupSpec differential checks the
     * output against a string-shingled brute force.
     */
-  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    exactJaccardPairs(spark, sfDir, jacNum, jacDen)
+
+  /** The exact-Jaccard prefix-filter pipeline behind
+    * [[dedupNgramJaccard]], parameterized by the num/den threshold so
+    * [[dedupRecallAudit]] can reuse it as the ground truth at the LSH
+    * threshold (the prefix filter is EXACT at any threshold — only
+    * its pruning strength changes).
+    */
+  private[dedup] def exactJaccardPairs(spark: SparkSession, sfDir: String,
+      num: Long, den: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // HASHED-shingle formulation (round 9): every downstream stage —
     // df counts, the prefix window, the candidate equi-join, and the
@@ -219,7 +229,7 @@ object DedupOps {
     val prefix = ex.join(dfs, Seq("ngram"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= expr(
-        s"n - (($jacNum * n + ${jacDen - 1}) div $jacDen) + 1"))
+        s"n - (($num * n + ${den - 1}) div $den) + 1"))
       // a df=1 prefix entry is carried by exactly one doc (per-doc
       // shingle sets are distinct), so it cannot produce a candidate —
       // dropping it is EXACT; rn was computed before the cut, so the
@@ -234,12 +244,12 @@ object DedupOps {
       .filter(col("da") < col("db"))
       // length filter: den·min(n) >= num·max(n)
       .filter(expr(
-        s"$jacDen * least(na, nb) >= $jacNum * greatest(na, nb)"))
+        s"$den * least(na, nb) >= $num * greatest(na, nb)"))
       // positional filter: 1 + min(na-ra, nb-rb) >=
       // ceil(num·(na+nb)/(num+den))
       .filter(expr(s"1 + least(na - ra, nb - rb) >= " +
-        s"($jacNum * (na + nb) + ${jacNum + jacDen - 1}) div " +
-        s"${jacNum + jacDen}"))
+        s"($num * (na + nb) + ${num + den - 1}) div " +
+        s"${num + den}"))
       .select("da", "db", "na", "nb")
       .distinct()
     // verify candidates against FULL shingle sets with array_intersect:
@@ -262,14 +272,19 @@ object DedupOps {
       // positional filters prune with (a rounded-double acceptance
       // admitted jaccard in [0.79995, 0.8) that the candidate stage
       // prunes)
-      .filter(expr(s"inter * ${jacNum + jacDen} >= (na + nb) * $jacNum"))
+      .filter(expr(s"inter * ${num + den} >= (na + nb) * $num"))
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))
       .select("da", "db", "jac")
       .orderBy("da", "db")
   }
 
-  val dedupNgramJaccardSql: String =
+  val dedupNgramJaccardSql: String = exactJaccardPairsSql(jacNum, jacDen)
+
+  /** SQL twin of [[exactJaccardPairs]], threshold-parameterized for
+    * the same two callers.
+    */
+  private def exactJaccardPairsSql(jacNum: Long, jacDen: Long): String =
     s"""WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
@@ -1012,7 +1027,57 @@ object DedupOps {
       |    SELECT 1 FROM d c WHERE c.doc_id % 4 <> 0 AND c.h = b.h)
       |ORDER BY doc_id""".stripMargin
 
+  /** Recall audit of the MinHash-LSH screen against exact Jaccard —
+    * the metric a banded index ships with (the dedup twin of
+    * `ann_recall_audit`): ground truth is [[exactJaccardPairs]] at the
+    * LSH verify threshold ([[lshNum]]/[[lshDen]]) — the prefix filter
+    * is exact at any threshold — and the candidate side is
+    * [[dedupMinhashLsh]]'s output, whose pairs all passed the same
+    * exact verify, so misses are pure BAND misses (no shared bucket in
+    * [[bands]]×[[rowsPerBand]] minhashes). One caveat keeps `n_extra`
+    * in the output: the truth side intersects 60-bit HASHED shingle
+    * sets while LSH's verify intersects the string sets, so a hash
+    * collision could in principle produce an LSH pair outside the
+    * truth set (odds ~10⁻¹⁶ per doc; DedupSpec pins extra = 0 on the
+    * fixture, and the oracle replays both sides bit-exactly either
+    * way).
+    *
+    * Scale shape: both sides are the already-bounded pipelines; the
+    * audit adds one left-semi equi-join on (da, db) and three scalar
+    * counts.
+    */
+  def dedupRecallAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = exactJaccardPairs(spark, sfDir, lshNum, lshDen)
+      .select("da", "db")
+    val lsh = dedupMinhashLsh(spark, sfDir).select("da", "db")
+    val hit = lsh.join(exact, Seq("da", "db"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        (col("n_lsh") - col("n_hit")).as("n_extra"),
+        expr("(n_hit * 1000000 + n_exact div 2) div n_exact")
+          .as("recall_e6"))
+  }
+
+  val dedupRecallAuditSql: String =
+    s"""WITH ex AS (
+       |  SELECT da, db FROM (${exactJaccardPairsSql(lshNum, lshDen)}) e),
+       |got AS (SELECT da, db FROM ($dedupMinhashLshSql) m),
+       |hit AS (
+       |  SELECT da, db FROM got
+       |  WHERE EXISTS (SELECT 1 FROM ex
+       |    WHERE ex.da = got.da AND ex.db = got.db)),
+       |c AS (
+       |  SELECT (SELECT count(*) FROM ex)::BIGINT AS n_exact,
+       |    (SELECT count(*) FROM got)::BIGINT AS n_lsh,
+       |    (SELECT count(*) FROM hit)::BIGINT AS n_hit)
+       |SELECT n_exact, n_lsh, n_hit, n_lsh - n_hit AS n_extra,
+       |  (n_hit * 1000000 + n_exact // 2) // n_exact AS recall_e6
+       |FROM c""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("dedup_recall_audit", dedupRecallAudit _, dedupRecallAuditSql),
     ("dedup_exact", dedupExact _, dedupExactSql),
     ("dedup_fingerprint", dedupFingerprint _, dedupFingerprintSql),
     ("dedup_ngram_jaccard", dedupNgramJaccard _, dedupNgramJaccardSql),

@@ -1186,7 +1186,176 @@ object StatsOps {
        |ORDER BY var_x, var_y""".stripMargin
   }
 
+  /** Exact one-vs-rest ROC-AUC per embedding class — the classifier
+    * eval primitive a training pipeline runs after every model push:
+    * treating the first embedding coordinate as a score, for each
+    * label ℓ report P(score(pos) > score(neg)) with ties at half
+    * credit, i.e. the tie-corrected U statistic normalized by
+    * n_pos·n_neg (the same doubled-integer rank algebra as
+    * [[statMannWhitney]], generalized to a per-group one-vs-rest
+    * sweep).
+    *
+    * Scale shape: ONE corpus aggregation to a (score-bucket × label)
+    * census whose cardinality is bounded by the SCORE DOMAIN (e4
+    * quantization of a [−1, 1]-ish coordinate → ≤ ~20 K buckets) times
+    * the label domain — never corpus rows. The grid is densified
+    * per-label (every label must see every bucket's totals for the
+    * exclusive prefix sums), the cumulative windows partition BY LABEL
+    * over that bounded grid, and U2 accumulates in DECIMAL(38,0) —
+    * exact to n ≈ 10¹⁹ corpus rows. Quantization uses the
+    * floor(x·10⁴ + 0.5) idiom ([[rankCells]]' proof of
+    * rounding-mode-proofness applies verbatim); float→double widening
+    * of the stored FLOAT coordinate is exact in both engines.
+    */
+  def statAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val cells = Tables.embeddings(spark, sfDir)
+      .select(expr("cast(floor(element_at(embedding, 1) * 10000d + 0.5d)" +
+        " as bigint)").as("q"), col("label"))
+      .groupBy("q", "label").agg(count(lit(1)).as("n"))
+    val btot = cells.groupBy("q").agg(sum("n").as("tot"))
+    val labels = cells.select("label").distinct()
+    val grid = btot.crossJoin(broadcast(labels))
+      .join(cells, Seq("q", "label"), "left")
+      .na.fill(0L, Seq("n"))
+    val wExcl = Window.partitionBy("label").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = grid
+      .withColumn("cum_pos", coalesce(sum("n").over(wExcl), lit(0L)))
+      .withColumn("cum_tot", coalesce(sum("tot").over(wExcl), lit(0L)))
+    scored.groupBy("label").agg(
+      sum("n").as("n_pos"),
+      sum("tot").as("n_all"),
+      // each positive in bucket q beats the negatives strictly below
+      // (×2) and half-ties the negatives sharing its bucket (×1)
+      sum(dec(col("n")) *
+        dec(lit(2L) * (col("cum_tot") - col("cum_pos")) +
+          (col("tot") - col("n")))).as("u2"))
+      .withColumn("n_neg", col("n_all") - col("n_pos"))
+      .withColumn("auc_e6", expr(
+        "cast((u2 * 500000 + cast(n_pos as decimal(38,0)) * n_neg div 2)" +
+          " div (cast(n_pos as decimal(38,0)) * n_neg) as bigint)"))
+      .select("label", "n_pos", "n_neg", "auc_e6")
+      .orderBy("label")
+  }
+
+  val statAucSql: String =
+    """WITH cells AS (
+      |  SELECT floor(embedding[1]::DOUBLE * 10000 + 0.5)::BIGINT AS q,
+      |    label, count(*)::BIGINT AS n
+      |  FROM embeddings GROUP BY 1, 2),
+      |btot AS (SELECT q, sum(n)::BIGINT AS tot FROM cells GROUP BY 1),
+      |grid AS (
+      |  SELECT b.q, l.label, b.tot, coalesce(c.n, 0)::BIGINT AS n
+      |  FROM btot b
+      |  CROSS JOIN (SELECT DISTINCT label FROM cells) l
+      |  LEFT JOIN cells c ON c.q = b.q AND c.label = l.label),
+      |cum AS (
+      |  SELECT label, n, tot,
+      |    coalesce(sum(n) OVER (PARTITION BY label ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_pos,
+      |    coalesce(sum(tot) OVER (PARTITION BY label ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_tot
+      |  FROM grid),
+      |agg AS (
+      |  SELECT label, sum(n)::BIGINT AS n_pos,
+      |    (sum(tot) - sum(n))::BIGINT AS n_neg,
+      |    -- DECIMAL(19,0) products for exactness, then BIGINT for the
+      |    -- final // (DuckDB's // on DECIMAL degrades to double; on
+      |    -- BIGINT both engines truncate toward zero identically)
+      |    sum(n::DECIMAL(19,0) *
+      |      (2 * (cum_tot - cum_pos) + (tot - n)))::BIGINT AS u2
+      |  FROM cum GROUP BY label)
+      |SELECT label, n_pos, n_neg,
+      |  (u2 * 500000 + n_pos * n_neg // 2) // (n_pos * n_neg) AS auc_e6
+      |FROM agg ORDER BY label""".stripMargin
+
+  /** Per-event-type OLS trend of daily revenue — the "is this segment
+    * growing" monitoring regression: y = total cents per observed day,
+    * x = day index relative to the corpus's first day, slope and fit
+    * reported per type. The census shape again: one corpus scan to a
+    * (type × day) table bounded by the TIME domain, then closed-form
+    * least squares over those few hundred rows — no iterative solver,
+    * no collect.
+    *
+    * Exactness: Σx, Σy, Σxy, Σx² accumulate in DECIMAL(38,0) (x is
+    * day-scale, y is exact cents — products stay far inside 38
+    * digits); slope_e6 = (nΣxy − ΣxΣy)·10⁶ div (nΣx² − (Σx)²) is
+    * exact integer division with half-up on the positive axis handled
+    * by both engines' identical `div`/`//`; r² alone divides the same
+    * exact integer operands as doubles (the [[statKsTest]] display
+    * rule).
+    */
+  def statOlsTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dayUs = 86400L * 1000000L
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div $dayUs").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as long)").as("cents"))
+      .groupBy("event_type", "day").agg(sum("cents").as("y"))
+      .crossJoin(broadcast(Tables.events(spark, sfDir)
+        .agg(expr(s"min(unix_micros(ts)) div $dayUs").as("day0"))))
+      .select(col("event_type"), (col("day") - col("day0")).as("x"),
+        col("y"))
+    daily.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      sum("y").as("sum_cents"),
+      sum(dec(col("x"))).as("sx"),
+      sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .withColumn("cov_n", expr("n_days * sxy - sx * sy"))
+      .withColumn("var_x", expr("n_days * sxx - sx * sx"))
+      .withColumn("var_y", expr("n_days * syy - sy * sy"))
+      .select(col("event_type"), col("n_days"), col("sum_cents"),
+        expr("cast((cov_n * 1000000) div var_x as bigint)")
+          .as("slope_cents_per_day_e6"),
+        round(d(col("cov_n")) * d(col("cov_n")) /
+          (d(col("var_x")) * d(col("var_y"))), 6).as("r2"))
+      .orderBy("event_type")
+  }
+
+  val statOlsTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |rel AS (
+      |  SELECT event_type,
+      |    day - (SELECT min(epoch_us(ts)) // 86400000000 FROM events)
+      |      AS x,
+      |    y
+      |  FROM daily),
+      |agg AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_days,
+      |    sum(y)::BIGINT AS sum_cents,
+      |    sum(x::DECIMAL(38,0)) AS sx, sum(y::DECIMAL(38,0)) AS sy,
+      |    sum(x::DECIMAL(38,0) * y) AS sxy,
+      |    sum(x::DECIMAL(38,0) * x) AS sxx,
+      |    sum(y::DECIMAL(38,0) * y) AS syy
+      |  FROM rel GROUP BY 1),
+      |terms AS (
+      |  -- BIGINT for the final // (exact at oracle scale; the Spark
+      |  -- side keeps DECIMAL div for the 100 TB headroom)
+      |  SELECT event_type, n_days, sum_cents,
+      |    (n_days * sxy - sx * sy)::BIGINT AS cov_n,
+      |    (n_days * sxx - sx * sx)::BIGINT AS var_x,
+      |    (n_days * syy - sy * sy) AS var_y
+      |  FROM agg)
+      |SELECT event_type, n_days, sum_cents,
+      |  (cov_n * 1000000) // var_x AS slope_cents_per_day_e6,
+      |  round(cov_n::DOUBLE * cov_n::DOUBLE
+      |    / (var_x::DOUBLE * var_y::DOUBLE), 6) AS r2
+      |FROM terms ORDER BY event_type""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("stat_auc", statAuc _, statAucSql),
+    ("stat_ols_trend", statOlsTrend _, statOlsTrendSql),
     ("stat_cov_matrix", statCovMatrix _, statCovMatrixSql),
     ("stat_ks_test", statKsTest _, statKsTestSql),
     ("stat_mannwhitney", statMannWhitney _, statMannWhitneySql),

@@ -1156,6 +1156,66 @@ object EventWindows {
        |  ae24 < ae1 AS seasonal_wins
        |FROM agg ORDER BY event_type""".stripMargin
 
+  /** Cohort lifetime-value matrix — the acquisition-economics cube
+    * next to [[retention]]'s activity matrix: users are grouped by
+    * their FIRST-EVENT epoch week (the acquisition cohort), and every
+    * later purchase lands in the (cohort_week, weeks-since-signup)
+    * cell with its buyer count, exact cents revenue, and the running
+    * cumulative LTV per cohort.
+    *
+    * Scale shape: one groupBy(user) for first-touch, one equi-join of
+    * purchases against it ON user_id (both sides shuffle-keyed the
+    * same way), one (cohort × week) aggregation — the output spine is
+    * bounded by WEEKS², so the cumulative window (partitioned by
+    * cohort over week_idx) runs over a calendar-bounded table, never
+    * event rows. countDistinct(user) inside a (cohort, week) cell is
+    * the standard two-phase distinct agg, keyed and skew-free. All
+    * integer cents end to end.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+    val firsts = ev.groupBy("user_id")
+      .agg(expr(s"min(unix_micros(ts)) div $weekUs").as("cohort_week"))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $weekUs").as("w"),
+        expr("cast(floor(value * 100 + 0.5) as long)").as("cents"))
+      .join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("w") - col("cohort_week"))
+        .as("week_idx"))
+      .agg(countDistinct("user_id").as("n_buyers"),
+        sum("cents").as("revenue_cents"))
+    cells
+      .withColumn("cum_revenue_cents",
+        sum("revenue_cents").over(Window.partitionBy("cohort_week")
+          .orderBy("week_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("cohort_week", "week_idx")
+  }
+
+  val cohortLtvSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, min(epoch_us(ts)) // 604800000000 AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT f.cohort_week,
+      |    epoch_us(e.ts) // 604800000000 - f.cohort_week AS week_idx,
+      |    count(DISTINCT e.user_id)::BIGINT AS n_buyers,
+      |    sum(floor(e.value * 100 + 0.5)::BIGINT)::BIGINT
+      |      AS revenue_cents
+      |  FROM events e JOIN firsts f USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, week_idx, n_buyers, revenue_cents,
+      |  sum(revenue_cents) OVER (PARTITION BY cohort_week
+      |    ORDER BY week_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |    AS cum_revenue_cents
+      |FROM cells
+      |ORDER BY cohort_week, week_idx""".stripMargin
+
   /** RFM (recency / frequency / monetary) customer segmentation — the
     * classic marketing-analytics cube: per purchasing user, days
     * since last purchase, purchase count, and total cents, each
@@ -1282,6 +1342,7 @@ object EventWindows {
   }
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_cohort_ltv", cohortLtv _, cohortLtvSql),
     ("ev_rfm", rfm _, rfmSql),
     ("ev_forecast_baseline", forecastBaseline _, forecastBaselineSql),
     ("ev_markov", markovTransitions _, markovTransitionsSql),

@@ -188,6 +188,39 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.8, s"LSH recall $recall of ${strong.size} pairs")
   }
 
+  test("recall audit: truth side exact, LSH side a subset, recall pinned") {
+    val row = DedupOps.dedupRecallAudit(spark, sf0001).collect()(0)
+    val (nExact, nLsh, nHit, nExtra, recallE6) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+    // the truth side must equal an independent all-pairs computation
+    // with the EXACT integer acceptance at the LSH threshold (the
+    // rounded-jac groundTruth helper would blur the 0.69995 boundary)
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("ng", array_distinct(expr(
+        "transform(sequence(1, size(tk) - 2), i -> " +
+          "concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), " +
+          "element_at(tk, i + 2)))")))
+      .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
+    val truth = docs.as("x").crossJoin(docs.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("x.ng"), col("y.ng"))))
+      .filter(expr(s"inter * ${DedupOps.lshNum + DedupOps.lshDen}" +
+        s" >= (x.n + y.n) * ${DedupOps.lshNum}"))
+      .count()
+    assert(nExact == truth,
+      s"audit truth side $nExact != brute-force $truth")
+    // every LSH pair passed the same exact verify → subset (no hash
+    // collision on the fixture), and recall is the band-miss rate
+    assert(nExtra == 0 && nHit == nLsh)
+    assert(nLsh <= nExact)
+    assert(recallE6 == (nHit * 1000000L + nExact / 2) / nExact)
+    assert(recallE6 > 500000, s"band recall surprisingly low: $recallE6")
+  }
+
   test("bloom incremental dedup equals the exact anti-join (no false drops)") {
     // independent ground truth on the FULL 128-bit md5 of the canonical
     // fingerprint (the operator uses a 60-bit prefix + bloom screen)
