@@ -610,8 +610,48 @@ object GraphOps {
        |ORDER BY item""".stripMargin
   }
 
+  /** Log₂-bucketed degree distribution of the item co-occurrence
+    * graph — the first plot anyone draws before believing a graph is
+    * power-law (and the skew audit that says whether a hot-node guard
+    * is needed at all): per bucket ⌊log₂ d⌋+1, the node count, degree
+    * range, and total incident-edge mass. The bucket comes from
+    * `length(bin(d))` — the same exact bit-length idiom as ev_rfm's
+    * monetary census, so the histogram is ≤64 rows under ANY degree
+    * distribution and no float log touches the bucketing.
+    *
+    * Scale shape: the shared cap-bounded prelude, one node-keyed
+    * degree aggregation, one ≤64-row census. Reuses
+    * [[cappedInteractions]]/[[userItemPairs]]/[[symmetrized]] and the
+    * SQL prelude verbatim.
+    */
+  def graphDegreeHist(spark: SparkSession, sfDir: String,
+      cap: Int = ItemGraphCap): DataFrame = {
+    val sym = symmetrized(
+      userItemPairs(cappedInteractions(spark, sfDir, cap)).distinct())
+    sym.groupBy("a").agg(count(lit(1)).as("d"))
+      .groupBy(expr("length(bin(d))").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("d").as("min_degree"), max("d").as("max_degree"),
+        sum("d").as("degree_mass"))
+      .orderBy("bucket")
+  }
+
+  val graphDegreeHistSql: String =
+    s"""WITH ${interCappedSql(ItemGraphCap)},
+       |${distinctPairsSql("pairs")},
+       |sym AS (
+       |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |deg AS (SELECT a, count(*)::BIGINT AS d FROM sym GROUP BY a)
+       |SELECT length(bin(d))::INT AS bucket, count(*)::BIGINT AS n_nodes,
+       |  min(d) AS min_degree, max(d) AS max_degree,
+       |  sum(d)::BIGINT AS degree_mass
+       |FROM deg
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
+      ("graph_degree_hist", graphDegreeHist(_, _), graphDegreeHistSql),
       ("graph_event_degrees", graphEventDegrees _, graphEventDegreesSql),
       ("graph_event_pagerank", graphEventPageRank _, graphEventPageRankSql),
       ("graph_item_cooccur", graphItemCooccur(_, _), graphItemCooccurSql),

@@ -1514,8 +1514,141 @@ object PipelineOps {
        |ORDER BY lang, source""".stripMargin
   }
 
+  /** Shard count of [[shardManifest]] — a power of two like a real
+    * dataset release, small enough that the oracle's 64-row output
+    * stays eyeballable.
+    */
+  val ManifestShards = 64
+
+  /** Deterministic shard-assignment manifest — the artifact a dataset
+    * RELEASE ships next to its shards so any consumer can verify
+    * completeness without re-reading the corpus: every document is
+    * assigned shard = md5₆₀(doc_id) mod [[ManifestShards]] (the
+    * engine-portable 60-bit hash idiom — content-independent, so a
+    * text edit never moves a doc between shards), and per shard the
+    * manifest records the doc count, total chars, id range, and an
+    * ORDER-INDEPENDENT bit_xor checksum of the per-doc hashes — two
+    * manifests diff shard-by-shard even if either side wrote its
+    * shards in a different order.
+    *
+    * Scale shape: one corpus scan (3 pruned columns) into a
+    * [[ManifestShards]]-row hash aggregation; bit_xor and min/max are
+    * fully map-side combinable, so the shuffle carries exactly
+    * shards × partial-state rows.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)" +
+      " as bigint)"
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), expr(h).as("h"))
+      .groupBy(expr(s"h % $ManifestShards").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars_total"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy("shard")
+  }
+
+  val shardManifestSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, n_chars,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM documents)
+       |SELECT h % $ManifestShards AS shard, count(*)::BIGINT AS n_docs,
+       |  sum(n_chars)::BIGINT AS n_chars_total,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       |  bit_xor(h) AS checksum
+       |FROM h
+       |GROUP BY 1
+       |ORDER BY shard""".stripMargin
+
+  /** Budget-constrained greedy data selection — "fill a 10%-of-corpus
+    * token budget with the highest-quality documents": rank documents
+    * by the shared [[graft.text.TextOps.qualityE4Expr]] score and
+    * admit score buckets from the top while the bucket STARTS inside
+    * the budget (so the boundary bucket is admitted whole and
+    * utilization_ppm may exceed 1e6 by at most that bucket — the
+    * never-empty greedy a packing run actually uses; a ≤-budget
+    * variant can leave zero rows when the top bucket alone
+    * overflows). Whole-BUCKET admission is the
+    * documented granularity: the e4 score domain gives ≤10⁴+1
+    * buckets, so the greedy frontier is a census row, not a document
+    * — no corpus-sized sort, no per-doc prefix sum (the same
+    * bounded-census argument as text_ppl_bucket). Emits the
+    * selection summary a curation run logs: budget, the admitted
+    * cutoff score, docs/tokens selected, and budget utilization in
+    * ppm.
+    *
+    * Scale shape: one corpus scan to the (q_e4 → docs, tokens)
+    * census; the ordered prefix sum and cutoff pick run over those
+    * ≤10⁴ rows; the budget scalar is one broadcast aggregate of the
+    * same census (no second corpus pass).
+    */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextOps.{inList, qualityE4Expr, stopwords}
+    import org.apache.spark.sql.expressions.Window
+    val census = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("tk"))
+      .select(size(col("tk")).cast("long").as("n"),
+        expr("aggregate(tk, 0L, (acc, x) -> acc + length(x))").as("tl"),
+        expr(s"cast(size(filter(tk, x -> x in ${inList(stopwords)}))" +
+          " as long)").as("sh"))
+      .select(expr(qualityE4Expr("div")).as("q_e4"), col("n"))
+      .groupBy("q_e4")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
+    val wCum = Window.orderBy(desc("q_e4"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val admitted = census
+      .crossJoin(broadcast(
+        census.agg(expr("sum(tokens) div 10").as("budget_tokens"))))
+      .withColumn("cum_tokens", sum("tokens").over(wCum))
+      .filter(col("cum_tokens") - col("tokens") < col("budget_tokens"))
+    admitted.groupBy("budget_tokens")
+      .agg(min("q_e4").as("cutoff_q_e4"),
+        sum("n_docs").as("n_docs_selected"),
+        sum("tokens").as("tokens_selected"))
+      .select(col("budget_tokens"), col("cutoff_q_e4"),
+        col("n_docs_selected"), col("tokens_selected"),
+        expr("tokens_selected * 1000000L div budget_tokens")
+          .as("utilization_ppm"))
+  }
+
+  val tokenBudgetSql: String = {
+    import graft.text.TextOps.{inList, qualityE4Expr, stopwords}
+    s"""WITH scored AS (
+       |  SELECT ${qualityE4Expr("//")} AS q_e4, n
+       |  FROM (
+       |    SELECT len(tk)::BIGINT AS n,
+       |      list_sum(list_transform(tk, x -> length(x)))::BIGINT AS tl,
+       |      len(list_filter(tk, x -> x in ${inList(stopwords)}))::BIGINT
+       |        AS sh
+       |    FROM (SELECT string_split(text, ' ') AS tk FROM documents))),
+       |census AS (
+       |  SELECT q_e4, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS tokens
+       |  FROM scored GROUP BY 1),
+       |cum AS (
+       |  SELECT q_e4, n_docs, tokens,
+       |    sum(tokens) OVER (ORDER BY q_e4 DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS cum_tokens,
+       |    (SELECT sum(tokens)::BIGINT // 10 FROM census) AS budget_tokens
+       |  FROM census)
+       |SELECT budget_tokens::BIGINT AS budget_tokens,
+       |  min(q_e4) AS cutoff_q_e4,
+       |  sum(n_docs)::BIGINT AS n_docs_selected,
+       |  sum(tokens)::BIGINT AS tokens_selected,
+       |  sum(tokens)::BIGINT * 1000000 // budget_tokens::BIGINT
+       |    AS utilization_ppm
+       |FROM cum
+       |WHERE cum_tokens - tokens < budget_tokens
+       |GROUP BY budget_tokens""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
+      ("pipe_token_budget", tokenBudget _, tokenBudgetSql),
+      ("pipe_shard_manifest", shardManifest _, shardManifestSql),
       ("pipe_pref_pairs", prefPairs _, prefPairsSql),
       ("pipe_curriculum", curriculum _, curriculumSql),
       ("pipe_curation_funnel", curationFunnel _, curationFunnelSql),

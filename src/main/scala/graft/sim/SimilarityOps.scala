@@ -2264,7 +2264,97 @@ object SimilarityOps {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Fixed query-panel size for [[embSimHistogram]]: pairwise work is
+    * panel²/2 ≈ 131 K cosine evaluations — constant at any corpus
+    * size.
+    */
+  val SimHistPanel = 512
+
+  /** Pairwise-cosine histogram over a fixed vector panel — the
+    * embedding-collapse screen run before trusting any ANN index: a
+    * healthy embedding table shows pairwise cosine mass near zero; a
+    * collapsed encoder (all vectors alike) piles mass at +1, and the
+    * 20-bucket histogram localizes the drift. The panel is the
+    * [[SimHistPanel]] lowest vec_ids — a deterministic fixed-size
+    * sample, so the all-pairs stage is CONSTANT work while the corpus
+    * grows (the one legitimate all-pairs shape: bounded by
+    * construction, never by data).
+    *
+    * Cross-engine exactness: components snap to the e4 integer grid
+    * first, so dot products and squared norms are exact BIGINTs; the
+    * bucket index floor(dot·10 / √(na·nb)) + 10 is the SAME IEEE
+    * mul/sqrt/div on identical integers in both engines —
+    * bit-identical doubles, so the floor can't straddle a boundary
+    * differently.
+    */
+  def embSimHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val panel = graft.core.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < SimHistPanel)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(x * 10000d + 0.5d)" +
+          " as bigint))").as("q"))
+      .withColumn("n2", expr(
+        "aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+      .filter(col("n2") > 0)
+      .localCheckpoint() // both sides of the bounded self-join
+    // broadcast hint: the build side is ≤ SimHistPanel rows by
+    // construction, so the inequality join is a BNLJ over a bounded
+    // broadcast, never a CartesianProduct shuffle
+    val pairs = panel.select(col("vec_id").as("ida"), col("q").as("qa"),
+        col("n2").as("na"))
+      .join(broadcast(panel.select(col("vec_id").as("idb"),
+        col("q").as("qb"), col("n2").as("nb"))),
+        col("ida") < col("idb"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L," +
+          " (acc, v) -> acc + v)"))
+      .select(expr("greatest(0L, least(19L, cast(floor(" +
+        "cast(dot as double) * 10.0 / sqrt(cast(na as double)" +
+        " * cast(nb as double))) as bigint) + 10))").as("bucket"))
+    val hist = pairs.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val spine = spark.range(0, 20).select(col("id").as("bucket"))
+    spine.join(hist, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(pairs.groupBy().agg(count(lit(1)).as("tot"))))
+      .select(col("bucket"), col("n"),
+        expr("n * 1000000L div tot").as("pct_ppm"))
+      .orderBy("bucket")
+  }
+
+  val embSimHistogramSql: String =
+    s"""WITH panel AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> floor(x::DOUBLE * 10000 + 0.5)::BIGINT) AS q
+       |  FROM embeddings WHERE vec_id < $SimHistPanel),
+       |norms AS (
+       |  SELECT vec_id, q,
+       |    list_sum(list_transform(q, x -> x * x))::BIGINT AS n2
+       |  FROM panel),
+       |pairs AS (
+       |  SELECT greatest(0, least(19, floor(
+       |      dot::DOUBLE * 10.0 / sqrt(na::DOUBLE * nb::DOUBLE)
+       |    )::BIGINT + 10)) AS bucket
+       |  FROM (
+       |    SELECT
+       |      list_sum(list_transform(generate_series(1, len(a.q)),
+       |        i -> a.q[i] * b.q[i]))::BIGINT AS dot,
+       |      a.n2 AS na, b.n2 AS nb
+       |    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+       |    WHERE a.n2 > 0 AND b.n2 > 0)),
+       |hist AS (SELECT bucket, count(*)::BIGINT AS n FROM pairs
+       |  GROUP BY 1),
+       |spine AS (SELECT unnest(range(20))::BIGINT AS bucket)
+       |SELECT s.bucket, coalesce(h.n, 0)::BIGINT AS n,
+       |  coalesce(h.n, 0) * 1000000
+       |    // (SELECT count(*) FROM pairs) AS pct_ppm
+       |FROM spine s LEFT JOIN hist h USING (bucket)
+       |ORDER BY bucket""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("emb_sim_histogram",
+      (s: SparkSession, d: String) => embSimHistogram(s, d),
+      embSimHistogramSql),
     ("ann_recall_audit", annRecallAudit _, annRecallAuditSql),
     ("emb_rand_proj", embRandProj _, embRandProjSql),
     ("emb_knn_graph",

@@ -1156,6 +1156,49 @@ object EventWindows {
        |  ae24 < ae1 AS seasonal_wins
        |FROM agg ORDER BY event_type""".stripMargin
 
+  /** Day-of-week seasonality profile per event type — the census every
+    * traffic dashboard draws before anyone trusts an anomaly flag:
+    * per (type, weekday) the event count, exact cents value, and the
+    * lift of that weekday vs the type's flat-week expectation in e6
+    * fixed point (lift = n·7 / n_type — >1e6 means the weekday runs
+    * hot). Weekday 0 is Monday: dow = (epoch_days + 3) mod 7, the
+    * classic epoch-anchor shift (1970-01-01 was a Thursday, index 3
+    * under Monday=0), pure
+    * integer arithmetic in both engines.
+    *
+    * Scale shape: one corpus scan to a (type × 7)-bounded census;
+    * the per-type totals come from a window over those ≤35 rows.
+    */
+  def dowProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val census = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) div $dayUs + 3) % 7").as("dow"),
+        expr("cast(floor(value * 100 + 0.5) as long)").as("cents"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_total"))
+    census
+      .withColumn("n_type",
+        sum("n").over(Window.partitionBy("event_type")))
+      .select(col("event_type"), col("dow"), col("n"), col("cents_total"),
+        expr("n * 7000000L div n_type").as("lift_e6"))
+      .orderBy("event_type", "dow")
+  }
+
+  val dowProfileSql: String =
+    """WITH census AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+      |    count(*)::BIGINT AS n,
+      |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents_total
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, dow, n, cents_total,
+      |  n * 7000000 // (sum(n) OVER (PARTITION BY event_type))::BIGINT
+      |    AS lift_e6
+      |FROM census
+      |ORDER BY event_type, dow""".stripMargin
+
   /** Cohort lifetime-value matrix — the acquisition-economics cube
     * next to [[retention]]'s activity matrix: users are grouped by
     * their FIRST-EVENT epoch week (the acquisition cohort), and every
@@ -1342,6 +1385,7 @@ object EventWindows {
   }
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_dow_profile", dowProfile _, dowProfileSql),
     ("ev_cohort_ltv", cohortLtv _, cohortLtvSql),
     ("ev_rfm", rfm _, rfmSql),
     ("ev_forecast_baseline", forecastBaseline _, forecastBaselineSql),

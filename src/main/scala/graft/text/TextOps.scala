@@ -1796,7 +1796,75 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Vocabulary-growth (Heaps'-law) curve — the corpus health check
+    * that catches template/duplicate floods (vocabulary saturates far
+    * too early) and tokenizer blow-ups (it never saturates): distinct
+    * BIGRAM vocabulary size after each 10%-of-doc-ids prefix of the
+    * corpus (bigrams, because this synthetic corpus's unigram
+    * vocabulary saturates inside the first decile — a flat one-row
+    * curve; the combinatorial bigram space keeps growing like a real
+    * corpus's long-tail vocabulary does).
+    *
+    * The trick that makes a PREFIX-CUMULATIVE statistic one-pass: a
+    * token enters the vocabulary at its FIRST document, so
+    * min(doc_id) per token — a single word-count-shaped aggregation —
+    * is the entire computation; the growth curve is then a 10-row
+    * decile census of those first-occurrence ids with a running sum
+    * (new_tokens per decile, cumulative vocab, exact per-decile
+    * token-type rate in e6). No sequential scan, no per-prefix
+    * re-aggregation — the shape is identical at 100 TB.
+    */
+  def textVocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val d = docs.agg((max("doc_id") + 1).as("n_docs"))
+    val firsts = docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> " +
+          "concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"))
+        .as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+    val census = firsts
+      .crossJoin(broadcast(d))
+      .groupBy(expr("least(9, first_doc * 10 div n_docs)").as("decile"))
+      .agg(count(lit(1)).as("new_tokens"))
+    census
+      .withColumn("vocab_cum", sum("new_tokens").over(
+        Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("decile")
+  }
+
+  val textVocabGrowthSql: String =
+    """WITH d AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+      |firsts AS (
+      |  SELECT tok, min(doc_id) AS first_doc
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(tk) - 1),
+      |      i -> concat_ws(' ', tk[i], tk[i + 1]))) AS tok
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS tk
+      |          FROM documents)
+      |    WHERE len(tk) >= 2)
+      |  GROUP BY tok),
+      |census AS (
+      |  SELECT least(9, first_doc * 10 // n_docs) AS decile,
+      |    count(*)::BIGINT AS new_tokens
+      |  FROM firsts CROSS JOIN d
+      |  GROUP BY 1)
+      |SELECT decile, new_tokens,
+      |  sum(new_tokens) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |    AS vocab_cum
+      |FROM census
+      |ORDER BY decile""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("text_vocab_growth",
+      (s: SparkSession, d: String) => textVocabGrowth(s, d),
+      textVocabGrowthSql),
     ("text_domain_classifier",
       (s: SparkSession, d: String) => textDomainClassifier(s, d),
       textDomainClassifierSql),

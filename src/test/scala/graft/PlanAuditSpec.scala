@@ -70,6 +70,14 @@ class PlanAuditSpec extends SparkSuite {
     //    the last capped <1,920 rows under ANY distribution — all
     //    domain-bounded), never user rows; users are scored against
     //    nine broadcast scalars (RfmSpec re-derives every segment).
+    //  - pipe_token_budget: the ordered prefix-sum window runs over
+    //    the (q_e4 → docs, tokens) census, bounded by the e4 SCORE
+    //    domain (≤10⁴+1 rows at ANY corpus size) — the text_ppl_bucket
+    //    argument verbatim (TokenBudgetSpec re-derives the greedy).
+    //  - text_vocab_growth: the running-sum window's input is the
+    //    10-row DECILE census (bounded by construction at any corpus
+    //    size); the corpus-sized stage is the min-first-doc hash agg
+    //    below it (TextVocabGrowthSpec re-derives every decile).
     //  - dedup_recall_audit: the SinglePartition nodes are the three
     //    1-row scalar COUNTS (n_exact/n_lsh/n_hit broadcast back); the
     //    only windows are the prefix-filter ranks, partitioned by
@@ -78,7 +86,8 @@ class PlanAuditSpec extends SparkSuite {
     val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk", "pipe_curriculum",
       "ev_gapfill", "text_zipf_fit", "text_ppl_bucket", "text_dsir_weight",
       "stat_ks_test", "stat_mannwhitney", "stat_gini",
-      "ev_forecast_baseline", "ev_rfm", "dedup_recall_audit")
+      "ev_forecast_baseline", "ev_rfm", "dedup_recall_audit",
+      "text_vocab_growth", "pipe_token_budget")
     val offenders = plans.filter { case (name, p) =>
       !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
