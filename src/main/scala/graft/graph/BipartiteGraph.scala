@@ -649,8 +649,85 @@ object GraphOps {
        |GROUP BY 1
        |ORDER BY bucket""".stripMargin
 
+  /** Degree assortativity of the item co-occurrence graph — Pearson
+    * correlation of endpoint degrees over all directed edges, the
+    * single number that says whether hubs attach to hubs (assortative,
+    * r > 0: social-graph-like) or to leaves (disassortative, r < 0:
+    * web/interaction-like). The sign decides which skew mitigations
+    * matter: a disassortative graph concentrates wedge work on
+    * hub-leaf stars — exactly what the family's degree cap and
+    * triangle orientation defend against — so this is the audit that
+    * justifies them.
+    *
+    * Exactness: the moment sums (Σx, Σxy, Σx², … over directed edges,
+    * x = source degree, y = target degree) accumulate in
+    * DECIMAL(19,0) products like [[graft.operators.StatsOps]]'
+    * statOlsTrend; only the final r divides the identical exact
+    * operands as doubles (round 6). By edge symmetry sx = sy and
+    * sxx = syy — the spec asserts both identities instead of trusting
+    * them.
+    *
+    * Scale shape: the shared capped prelude, one degree agg, two
+    * node-keyed joins to attach endpoint degrees, one constant-width
+    * scalar aggregation. No window, no collect.
+    */
+  def graphAssortativity(spark: SparkSession, sfDir: String,
+      cap: Int = ItemGraphCap): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val sym = symmetrized(
+      userItemPairs(cappedInteractions(spark, sfDir, cap)).distinct())
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("d"))
+    val edges = sym
+      .join(deg.select(col("a"), col("d").as("dx")), "a")
+      .join(deg.select(col("a").as("b"), col("d").as("dy")), "b")
+    edges.agg(
+      count(lit(1)).as("n_directed"),
+      sum(dec(col("dx"))).as("sx"), sum(dec(col("dy"))).as("sy"),
+      sum(dec(col("dx")) * dec(col("dy"))).as("sxy"),
+      sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+      sum(dec(col("dy")) * dec(col("dy"))).as("syy"))
+      .select(expr("n_directed div 2").as("n_edges"),
+        expr("cast((sx * 1000000) div n_directed as bigint)")
+          .as("mean_degree_e6"),
+        round((d(col("n_directed")) * d(col("sxy")) -
+          d(col("sx")) * d(col("sy"))) /
+          sqrt((d(col("n_directed")) * d(col("sxx")) -
+            d(col("sx")) * d(col("sx"))) *
+            (d(col("n_directed")) * d(col("syy")) -
+              d(col("sy")) * d(col("sy")))), 6)
+          .as("assortativity"))
+  }
+
+  val graphAssortativitySql: String =
+    s"""WITH ${interCappedSql(ItemGraphCap)},
+       |${distinctPairsSql("pairs")},
+       |sym AS (
+       |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |deg AS (SELECT a, count(*)::BIGINT AS d FROM sym GROUP BY a),
+       |edges AS (
+       |  SELECT dx.d AS dx, dy.d AS dy
+       |  FROM sym s JOIN deg dx ON dx.a = s.a JOIN deg dy ON dy.a = s.b),
+       |agg AS (
+       |  SELECT count(*)::BIGINT AS n_directed,
+       |    sum(dx::DECIMAL(19,0))::BIGINT AS sx,
+       |    sum(dy::DECIMAL(19,0))::BIGINT AS sy,
+       |    sum(dx::DECIMAL(19,0) * dy)::BIGINT AS sxy,
+       |    sum(dx::DECIMAL(19,0) * dx)::BIGINT AS sxx,
+       |    sum(dy::DECIMAL(19,0) * dy)::BIGINT AS syy
+       |  FROM edges)
+       |SELECT n_directed // 2 AS n_edges,
+       |  (sx * 1000000) // n_directed AS mean_degree_e6,
+       |  round((n_directed::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       |    / sqrt((n_directed::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+       |      * (n_directed::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+       |    6) AS assortativity
+       |FROM agg""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
+      ("graph_assortativity",
+        graphAssortativity(_, _), graphAssortativitySql),
       ("graph_degree_hist", graphDegreeHist(_, _), graphDegreeHistSql),
       ("graph_event_degrees", graphEventDegrees _, graphEventDegreesSql),
       ("graph_event_pagerank", graphEventPageRank _, graphEventPageRankSql),

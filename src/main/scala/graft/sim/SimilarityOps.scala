@@ -119,6 +119,57 @@ object SimilarityOps {
       |WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
 
+  /** FILTERED exact top-k — the metadata-constrained search every
+    * production vector store benchmarks separately from plain top-k
+    * ("nearest neighbors WHERE label = X"): for the same query panel
+    * as [[annBruteTopK]], the top-5 cosine neighbors restricted to
+    * the QUERY'S OWN label class (same-class retrieval, the
+    * find-more-like-this-within-a-category shape). The filter lands
+    * in the JOIN CONDITION, so Spark prunes candidate pairs before
+    * any distance math — with an IVF index the same predicate rides
+    * into the cell probe; this exact form is the recall-1.0 baseline
+    * a filtered index is audited against (per-class candidate
+    * fan-out is corpus/|classes|, so the brute cost already drops
+    * 10× vs unfiltered here).
+    */
+  def annFilteredTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = withVec(Tables.embeddings(spark, sfDir))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("norm").as("qnorm"), col("label").as("qlabel"))
+    val c = e.select(col("vec_id").as("nid"), col("vec").as("nvec"),
+      col("norm").as("nnorm"), col("label").as("nlabel"))
+    val scored = c.join(broadcast(q),
+        col("qid") =!= col("nid") && col("qlabel") === col("nlabel"))
+      .withColumn("cos", round(cosine("qvec", "nvec"), 4))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("qlabel").as("label"), col("nid"),
+        col("rank"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  val annFilteredTopKSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+      |      AS norm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, q.label AS label, c.vec_id AS nid,
+      |    round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm), 4)
+      |      AS cos
+      |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id != q.vec_id
+      |    AND c.label = q.label)
+      |SELECT qid, label, nid, rank, cos FROM (
+      |  SELECT qid, label, nid, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)
+      |      AS rank
+      |  FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   /** Near-duplicate embedding pairs: cosine >= 0.3 within the same
     * label block. Label blocking is the poor man's IVF — at 100 TB the
     * block key is a coarse quantizer cell id, same plan shape.
@@ -2355,6 +2406,9 @@ object SimilarityOps {
     ("emb_sim_histogram",
       (s: SparkSession, d: String) => embSimHistogram(s, d),
       embSimHistogramSql),
+    ("ann_filtered_topk",
+      (s: SparkSession, d: String) => annFilteredTopK(s, d),
+      annFilteredTopKSql),
     ("ann_recall_audit", annRecallAudit _, annRecallAuditSql),
     ("emb_rand_proj", embRandProj _, embRandProjSql),
     ("emb_knn_graph",

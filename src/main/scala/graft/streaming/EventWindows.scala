@@ -1156,6 +1156,38 @@ object EventWindows {
        |  ae24 < ae1 AS seasonal_wins
        |FROM agg ORDER BY event_type""".stripMargin
 
+  /** Log₂-bucketed events-per-user histogram — the user-skew audit
+    * that justifies every per-user cap in the engine (the graph
+    * family's ItemGraphCap, the dedup prefix guards): per bucket
+    * ⌊log₂ n⌋+1 the user count, activity range, and total event mass,
+    * so a crawler account shows up as a lonely high bucket carrying
+    * disproportionate mass. Same exact `length(bin(n))` bit-length
+    * idiom as graph_degree_hist / ev_rfm — ≤64 rows under ANY skew,
+    * no float log.
+    *
+    * Scale shape: one corpus scan into a user-keyed count, then a
+    * ≤64-row census; both aggregations map-side combinable.
+    */
+  def userActivityHist(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .groupBy(expr("length(bin(n))").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min("n").as("min_events"), max("n").as("max_events"),
+        sum("n").as("event_mass"))
+      .orderBy("bucket")
+  }
+
+  val userActivityHistSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1)
+      |SELECT length(bin(n))::INT AS bucket, count(*)::BIGINT AS n_users,
+      |  min(n) AS min_events, max(n) AS max_events,
+      |  sum(n)::BIGINT AS event_mass
+      |FROM per_user
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   /** Day-of-week seasonality profile per event type — the census every
     * traffic dashboard draws before anyone trusts an anomaly flag:
     * per (type, weekday) the event count, exact cents value, and the
@@ -1385,6 +1417,7 @@ object EventWindows {
   }
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_user_activity_hist", userActivityHist _, userActivityHistSql),
     ("ev_dow_profile", dowProfile _, dowProfileSql),
     ("ev_cohort_ltv", cohortLtv _, cohortLtvSql),
     ("ev_rfm", rfm _, rfmSql),
