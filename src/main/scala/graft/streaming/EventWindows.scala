@@ -1156,6 +1156,69 @@ object EventWindows {
        |  ae24 < ae1 AS seasonal_wins
        |FROM agg ORDER BY event_type""".stripMargin
 
+  /** Revenue-concentration (Lorenz) curve over purchasing users — the
+    * "top x% of users hold y% of revenue" audit, the per-USER
+    * companion to stat_gini's per-value mass curve: users bucket by
+    * total spend on the same exact log-scale grid as [[rfm]]'s
+    * monetary census (MSB×32 + 5-bit mantissa — <1,920 buckets under
+    * ANY spend distribution), and the curve reads top-down: each row
+    * is a bucket with the cumulative user share and revenue share (in
+    * ppm) of it and every richer bucket. All integer arithmetic; the
+    * unpartitioned cumulative window runs over the domain-bounded
+    * census, never user rows.
+    */
+  def lorenzCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(expr("cast(floor(value * 100 + 0.5) as long)"))
+        .as("m_cents"))
+      .groupBy(expr("cast(greatest(length(bin(m_cents)) - 5, 0) * 32 + " +
+        "shiftright(m_cents, greatest(length(bin(m_cents)) - 5, 0)) " +
+        "as bigint)").as("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum("m_cents").as("cents_total"))
+    val wTop = Window.orderBy(desc("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("cum_users", sum("n_users").over(wTop))
+      .withColumn("cum_cents", sum("cents_total").over(wTop))
+      .crossJoin(broadcast(census.agg(
+        sum("n_users").as("tot_users"), sum("cents_total").as("tot_cents"))))
+      .select(col("bucket"), col("n_users"), col("cents_total"),
+        expr("cum_users * 1000000L div tot_users").as("cum_users_ppm"),
+        expr("cum_cents * 1000000L div tot_cents").as("cum_cents_ppm"))
+      .orderBy(desc("bucket"))
+  }
+
+  val lorenzCurveSql: String =
+    """WITH users AS (
+      |  SELECT user_id, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT
+      |    AS m_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |census AS (
+      |  SELECT (greatest(length(bin(m_cents)) - 5, 0) * 32
+      |      + (m_cents >> greatest(length(bin(m_cents)) - 5, 0)))::BIGINT
+      |      AS bucket,
+      |    count(*)::BIGINT AS n_users, sum(m_cents)::BIGINT AS cents_total
+      |  FROM users GROUP BY 1),
+      |cum AS (
+      |  SELECT bucket, n_users, cents_total,
+      |    sum(n_users) OVER (ORDER BY bucket DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |      AS cum_users,
+      |    sum(cents_total) OVER (ORDER BY bucket DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |      AS cum_cents,
+      |    (SELECT sum(n_users) FROM census)::BIGINT AS tot_users,
+      |    (SELECT sum(cents_total) FROM census)::BIGINT AS tot_cents
+      |  FROM census)
+      |SELECT bucket, n_users, cents_total,
+      |  cum_users * 1000000 // tot_users AS cum_users_ppm,
+      |  cum_cents * 1000000 // tot_cents AS cum_cents_ppm
+      |FROM cum
+      |ORDER BY bucket DESC""".stripMargin
+
   /** Log₂-bucketed events-per-user histogram — the user-skew audit
     * that justifies every per-user cap in the engine (the graph
     * family's ItemGraphCap, the dedup prefix guards): per bucket
@@ -1417,6 +1480,7 @@ object EventWindows {
   }
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_lorenz_curve", lorenzCurve _, lorenzCurveSql),
     ("ev_user_activity_hist", userActivityHist _, userActivityHistSql),
     ("ev_dow_profile", dowProfile _, dowProfileSql),
     ("ev_cohort_ltv", cohortLtv _, cohortLtvSql),

@@ -70,6 +70,10 @@ class PlanAuditSpec extends SparkSuite {
     //    the last capped <1,920 rows under ANY distribution — all
     //    domain-bounded), never user rows; users are scored against
     //    nine broadcast scalars (RfmSpec re-derives every segment).
+    //  - ev_lorenz_curve: the top-down cumulative window runs over
+    //    ev_rfm's log-scale spend census (<1,920 rows under ANY spend
+    //    distribution — the same bounded-domain argument; LorenzSpec
+    //    re-derives every cumulative share).
     //  - pipe_token_budget: the ordered prefix-sum window runs over
     //    the (q_e4 → docs, tokens) census, bounded by the e4 SCORE
     //    domain (≤10⁴+1 rows at ANY corpus size) — the text_ppl_bucket
@@ -87,7 +91,7 @@ class PlanAuditSpec extends SparkSuite {
       "ev_gapfill", "text_zipf_fit", "text_ppl_bucket", "text_dsir_weight",
       "stat_ks_test", "stat_mannwhitney", "stat_gini",
       "ev_forecast_baseline", "ev_rfm", "dedup_recall_audit",
-      "text_vocab_growth", "pipe_token_budget")
+      "text_vocab_growth", "pipe_token_budget", "ev_lorenz_curve")
     val offenders = plans.filter { case (name, p) =>
       !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
