@@ -1056,7 +1056,12 @@ object DedupOps {
       .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
       .select(col("n_exact"), col("n_lsh"), col("n_hit"),
         (col("n_lsh") - col("n_hit")).as("n_extra"),
-        expr("(n_hit * 1000000 + n_exact div 2) div n_exact")
+        // empty truth set → recall is vacuously perfect; without the
+        // guard Spark's integer div yields null while DuckDB errors —
+        // a cross-engine divergence on a corpus with no near-dups
+        // (r14 advice)
+        expr("case when n_exact = 0 then 1000000 " +
+          "else (n_hit * 1000000 + n_exact div 2) div n_exact end")
           .as("recall_e6"))
   }
 
@@ -1073,7 +1078,9 @@ object DedupOps {
        |    (SELECT count(*) FROM got)::BIGINT AS n_lsh,
        |    (SELECT count(*) FROM hit)::BIGINT AS n_hit)
        |SELECT n_exact, n_lsh, n_hit, n_lsh - n_hit AS n_extra,
-       |  (n_hit * 1000000 + n_exact // 2) // n_exact AS recall_e6
+       |  CASE WHEN n_exact = 0 THEN 1000000
+       |    ELSE (n_hit * 1000000 + n_exact // 2) // n_exact
+       |  END AS recall_e6
        |FROM c""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(

@@ -629,7 +629,7 @@ object GraphOps {
     val sym = symmetrized(
       userItemPairs(cappedInteractions(spark, sfDir, cap)).distinct())
     sym.groupBy("a").agg(count(lit(1)).as("d"))
-      .groupBy(expr("length(bin(d))").cast("int").as("bucket"))
+      .groupBy(expr(graft.functions.LogBuckets.bitLenExpr("d")).as("bucket"))
       .agg(count(lit(1)).as("n_nodes"),
         min("d").as("min_degree"), max("d").as("max_degree"),
         sum("d").as("degree_mass"))
@@ -642,7 +642,8 @@ object GraphOps {
        |sym AS (
        |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
        |deg AS (SELECT a, count(*)::BIGINT AS d FROM sym GROUP BY a)
-       |SELECT length(bin(d))::INT AS bucket, count(*)::BIGINT AS n_nodes,
+       |SELECT ${graft.functions.LogBuckets.bitLenSql("d")} AS bucket,
+       |  count(*)::BIGINT AS n_nodes,
        |  min(d) AS min_degree, max(d) AS max_degree,
        |  sum(d)::BIGINT AS degree_mass
        |FROM deg
@@ -689,7 +690,7 @@ object GraphOps {
       sum(dec(col("dy")) * dec(col("dy"))).as("syy"))
       .select(expr("n_directed div 2").as("n_edges"),
         expr("cast((sx * 1000000) div n_directed as bigint)")
-          .as("mean_degree_e6"),
+          .as("endpoint_mean_degree_e6"),
         round((d(col("n_directed")) * d(col("sxy")) -
           d(col("sx")) * d(col("sy"))) /
           sqrt((d(col("n_directed")) * d(col("sxx")) -
@@ -717,7 +718,7 @@ object GraphOps {
        |    sum(dy::DECIMAL(19,0) * dy)::BIGINT AS syy
        |  FROM edges)
        |SELECT n_directed // 2 AS n_edges,
-       |  (sx * 1000000) // n_directed AS mean_degree_e6,
+       |  (sx * 1000000) // n_directed AS endpoint_mean_degree_e6,
        |  round((n_directed::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
        |    / sqrt((n_directed::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
        |      * (n_directed::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),

@@ -1313,10 +1313,17 @@ object StatsOps {
       .withColumn("var_x", expr("n_days * sxx - sx * sx"))
       .withColumn("var_y", expr("n_days * syy - sy * sy"))
       .select(col("event_type"), col("n_days"), col("sum_cents"),
-        expr("cast((cov_n * 1000000) div var_x as bigint)")
+        // a type observed on a single day (or with constant day index)
+        // has var_x = 0: no trend is defined, so emit null explicitly
+        // in BOTH engines instead of Spark-null vs DuckDB
+        // division-by-zero (r14 advice)
+        expr("case when n_days < 2 or var_x = 0 then cast(null as bigint) " +
+          "else cast((cov_n * 1000000) div var_x as bigint) end")
           .as("slope_cents_per_day_e6"),
-        round(d(col("cov_n")) * d(col("cov_n")) /
-          (d(col("var_x")) * d(col("var_y"))), 6).as("r2"))
+        when(col("n_days") < 2 || col("var_x") === 0 ||
+            col("var_y") === 0, lit(null).cast("double"))
+          .otherwise(round(d(col("cov_n")) * d(col("cov_n")) /
+            (d(col("var_x")) * d(col("var_y"))), 6)).as("r2"))
       .orderBy("event_type")
   }
 
@@ -1348,9 +1355,13 @@ object StatsOps {
       |    (n_days * syy - sy * sy) AS var_y
       |  FROM agg)
       |SELECT event_type, n_days, sum_cents,
-      |  (cov_n * 1000000) // var_x AS slope_cents_per_day_e6,
-      |  round(cov_n::DOUBLE * cov_n::DOUBLE
-      |    / (var_x::DOUBLE * var_y::DOUBLE), 6) AS r2
+      |  CASE WHEN n_days < 2 OR var_x = 0 THEN NULL
+      |    ELSE (cov_n * 1000000) // var_x
+      |  END AS slope_cents_per_day_e6,
+      |  CASE WHEN n_days < 2 OR var_x = 0 OR var_y = 0 THEN NULL
+      |    ELSE round(cov_n::DOUBLE * cov_n::DOUBLE
+      |      / (var_x::DOUBLE * var_y::DOUBLE), 6)
+      |  END AS r2
       |FROM terms ORDER BY event_type""".stripMargin
 
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(

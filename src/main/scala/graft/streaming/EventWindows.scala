@@ -1174,9 +1174,8 @@ object EventWindows {
       .groupBy("user_id")
       .agg(sum(expr("cast(floor(value * 100 + 0.5) as long)"))
         .as("m_cents"))
-      .groupBy(expr("cast(greatest(length(bin(m_cents)) - 5, 0) * 32 + " +
-        "shiftright(m_cents, greatest(length(bin(m_cents)) - 5, 0)) " +
-        "as bigint)").as("bucket"))
+      .groupBy(expr(graft.functions.LogBuckets.moneyExpr("m_cents"))
+        .as("bucket"))
       .agg(count(lit(1)).as("n_users"), sum("m_cents").as("cents_total"))
     val wTop = Window.orderBy(desc("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1192,13 +1191,12 @@ object EventWindows {
   }
 
   val lorenzCurveSql: String =
-    """WITH users AS (
+    s"""WITH users AS (
       |  SELECT user_id, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT
       |    AS m_cents
       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
       |census AS (
-      |  SELECT (greatest(length(bin(m_cents)) - 5, 0) * 32
-      |      + (m_cents >> greatest(length(bin(m_cents)) - 5, 0)))::BIGINT
+      |  SELECT ${graft.functions.LogBuckets.moneySql("m_cents")}
       |      AS bucket,
       |    count(*)::BIGINT AS n_users, sum(m_cents)::BIGINT AS cents_total
       |  FROM users GROUP BY 1),
@@ -1234,7 +1232,7 @@ object EventWindows {
   def userActivityHist(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.events(spark, sfDir)
       .groupBy("user_id").agg(count(lit(1)).as("n"))
-      .groupBy(expr("length(bin(n))").cast("int").as("bucket"))
+      .groupBy(expr(graft.functions.LogBuckets.bitLenExpr("n")).as("bucket"))
       .agg(count(lit(1)).as("n_users"),
         min("n").as("min_events"), max("n").as("max_events"),
         sum("n").as("event_mass"))
@@ -1242,9 +1240,10 @@ object EventWindows {
   }
 
   val userActivityHistSql: String =
-    """WITH per_user AS (
+    s"""WITH per_user AS (
       |  SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1)
-      |SELECT length(bin(n))::INT AS bucket, count(*)::BIGINT AS n_users,
+      |SELECT ${graft.functions.LogBuckets.bitLenSql("n")} AS bucket,
+      |  count(*)::BIGINT AS n_users,
       |  min(n) AS min_events, max(n) AS max_events,
       |  sum(n)::BIGINT AS event_mass
       |FROM per_user
@@ -1393,9 +1392,8 @@ object EventWindows {
       .crossJoin(broadcast(ev.agg(max(unix_micros(col("ts"))).as("now_us"))))
       .select(col("user_id"), col("f"), col("m_cents"),
         expr(s"(now_us - last_us) div $dayUs").as("r_days"),
-        expr("cast(greatest(length(bin(m_cents)) - 5, 0) * 32 + " +
-          "shiftright(m_cents, greatest(length(bin(m_cents)) - 5, 0)) " +
-          "as bigint)").as("m_bucket"))
+        expr(graft.functions.LogBuckets.moneyExpr("m_cents"))
+          .as("m_bucket"))
       .localCheckpoint() // three censuses + the scoring pass read once
     def thresholds(dim: String): DataFrame = {
       val census = users.groupBy(dim).agg(count(lit(1)).as("c"))
@@ -1449,8 +1447,7 @@ object EventWindows {
        |  FROM events WHERE event_type = 'purchase'
        |  GROUP BY user_id),
        |users AS (
-       |  SELECT *, (greatest(length(bin(m_cents)) - 5, 0) * 32
-       |    + (m_cents >> greatest(length(bin(m_cents)) - 5, 0)))::BIGINT
+       |  SELECT *, ${graft.functions.LogBuckets.moneySql("m_cents")}
        |    AS m_bucket
        |  FROM users0),
        |r_census AS (SELECT r_days, count(*)::BIGINT AS c FROM users
