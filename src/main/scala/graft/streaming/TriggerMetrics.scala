@@ -48,7 +48,13 @@ object TriggerMetrics {
     * analysis (`Explorativa2.ipynb` cells 16-18): mean/median trigger
     * duration and the improvement percentage between two runs.
     */
-  final case class LatencyStats(n: Int, meanMs: Double, medianMs: Double)
+  /** p95/p99 (nearest-rank over the sorted per-trigger durations)
+    * ship alongside mean/median so a tail-dominated mean is
+    * attributable from the artifact alone — the r14 verdict's 10×
+    * run had mean 57 ms vs median 39 ms with nothing in the numbers
+    * saying whether the gap was GC pauses or state-store growth. */
+  final case class LatencyStats(n: Int, meanMs: Double, medianMs: Double,
+      p95Ms: Double = 0.0, p99Ms: Double = 0.0)
 
   def stats(path: Path): LatencyStats = {
     val lines = scala.jdk.CollectionConverters
@@ -60,7 +66,10 @@ object TriggerMetrics {
       if (ds.isEmpty) 0.0
       else if (ds.size % 2 == 1) ds(ds.size / 2)
       else (ds(ds.size / 2 - 1) + ds(ds.size / 2)) / 2.0
-    LatencyStats(ds.size, mean, median)
+    def pct(p: Double): Double =
+      if (ds.isEmpty) 0.0
+      else ds(math.min(ds.size - 1, math.ceil(p * ds.size).toInt - 1).max(0))
+    LatencyStats(ds.size, mean, median, pct(0.95), pct(0.99))
   }
 
   /** `(mean_b / mean_a - 1) * 100` — "Porcentaje de mejora",
