@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Emit the ScalaTest counts from the LAST `sbt test` run, mechanically.
+
+sbt writes a JUnit XML report per suite to target/test-reports/; this
+sums them into TESTCOUNTS.json so docs can reference an artifact
+instead of a hand-maintained literal (r14 verdict #6: the README's
+"364 tests, 133 suites" was correct but rotted one catalog-add away).
+
+Usage: python3 scripts/test_counts.py   (run after `sbt test`)
+"""
+import glob
+import json
+import sys
+import xml.etree.ElementTree as ET
+
+reports = sorted(glob.glob("target/test-reports/*.xml"))
+if not reports:
+    sys.exit("no target/test-reports/*.xml - run `sbt test` first")
+
+suites = tests = failures = errors = skipped = 0
+for path in reports:
+    root = ET.parse(path).getroot()
+    nodes = [root] if root.tag == "testsuite" \
+        else root.findall("testsuite")
+    for s in nodes:
+        suites += 1
+        tests += int(s.get("tests", 0))
+        failures += int(s.get("failures", 0))
+        errors += int(s.get("errors", 0))
+        skipped += int(s.get("skipped", 0))
+
+out = {
+    "suites": suites,
+    "tests": tests,
+    "failures": failures,
+    "errors": errors,
+    # canceled/ignored tests land in "skipped" in the sbt JUnit
+    # format - the env-gated KafkaSmokeSpec cancel shows up here
+    "skipped": skipped,
+}
+with open("TESTCOUNTS.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))

@@ -1645,8 +1645,70 @@ object PipelineOps {
        |GROUP BY budget_tokens""".stripMargin
   }
 
+  /** Tokenizer-fertility audit per (lang, source) — the
+    * subwords-per-word census every tokenizer/data-mix decision reads
+    * first: a language whose fertility (BPE-ish pieces per whitespace
+    * word) runs hot pays proportionally more sequence length for the
+    * same text, and a source whose chars-per-piece runs low is
+    * symbol/markup-heavy. Uses the exact tokenizations the catalog
+    * already pins cross-engine ([[graft.text.TextOps.textTokens]]'
+    * whitespace split and ASCII-class regexp piece count), so the
+    * per-doc and per-corpus views can never disagree.
+    *
+    * Guards (the r14-advice discipline, applied at birth): a source
+    * whose text is all spaces yields pieces = 0 — both ratios emit
+    * NULL explicitly in both engines instead of Spark-null vs DuckDB
+    * divide-by-zero. words ≥ 1 always (split('') is ['']).
+    *
+    * Scale shape: one scan with codegen'd projections folded into a
+    * (lang × source)-bounded census — map-side combinable, no
+    * shuffle beyond the ≤25-group agg, no window, no collect.
+    */
+  def tokenFertility(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"),
+        col("n_chars").cast("long").as("chars"),
+        size(split(col("text"), " ")).cast("long").as("words"),
+        expr("cast(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') " +
+          "as long)").as("pieces"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("words").as("words"),
+        sum("pieces").as("pieces"), sum("chars").as("chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("words"),
+        col("pieces"), col("chars"),
+        expr("case when words = 0 then cast(null as bigint) " +
+          "else (pieces * 1000000L + words div 2) div words end")
+          .as("fertility_e6"),
+        expr("case when pieces = 0 then cast(null as bigint) " +
+          "else (chars * 1000000L + pieces div 2) div pieces end")
+          .as("chars_per_piece_e6"))
+      .orderBy("lang", "source")
+
+  val tokenFertilitySql: String =
+    """WITH d AS (
+      |  SELECT lang, source, n_chars::BIGINT AS chars,
+      |    len(string_split(text, ' '))::BIGINT AS words,
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+      |      ::BIGINT AS pieces
+      |  FROM documents),
+      |a AS (
+      |  SELECT lang, source, count(*)::BIGINT AS n_docs,
+      |    sum(words)::BIGINT AS words, sum(pieces)::BIGINT AS pieces,
+      |    sum(chars)::BIGINT AS chars
+      |  FROM d GROUP BY 1, 2)
+      |SELECT lang, source, n_docs, words, pieces, chars,
+      |  CASE WHEN words = 0 THEN NULL
+      |    ELSE (pieces * 1000000 + words // 2) // words
+      |  END AS fertility_e6,
+      |  CASE WHEN pieces = 0 THEN NULL
+      |    ELSE (chars * 1000000 + pieces // 2) // pieces
+      |  END AS chars_per_piece_e6
+      |FROM a
+      |ORDER BY lang, source""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
+      ("pipe_token_fertility", tokenFertility _, tokenFertilitySql),
       ("pipe_token_budget", tokenBudget _, tokenBudgetSql),
       ("pipe_shard_manifest", shardManifest _, shardManifestSql),
       ("pipe_pref_pairs", prefPairs _, prefPairsSql),

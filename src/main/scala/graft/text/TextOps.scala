@@ -1861,7 +1861,62 @@ object TextOps {
       |FROM census
       |ORDER BY decile""".stripMargin
 
+  /** Type-token ratio + hapax census per source — the lexical-richness
+    * audit run per corpus slice before mixing sources: a boilerplate-
+    * heavy or template-generated source shows a low TTR (few distinct
+    * tokens per total token) and a low hapax share (few once-only
+    * tokens), while natural prose runs high on both. The per-source
+    * numbers are what a data-mix decision actually compares —
+    * [[textVocabGrowth]] answers "does vocabulary saturate over TIME",
+    * this answers "which SOURCE is lexically degenerate".
+    *
+    * Exact integers end to end: vocab/total/hapax are counts, the two
+    * ratios are half-up e6 fixed-point divisions — bit-identical in
+    * both engines.
+    *
+    * Scale shape: one tokenize+explode pass folded straight into a
+    * per-(source, token) count — the only corpus-sized shuffle, the
+    * [[textBigramLm]] lesson, with map-side combine bounded per split
+    * — then a vocabulary-bounded (≤ sources × vocab) census feeds one
+    * ≤|sources|-row aggregation. No window, no collect.
+    */
+  def textTtr(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("k"))
+      .groupBy("source")
+      .agg(sum("k").as("total_tokens"),
+        count(lit(1)).as("vocab"),
+        count(when(col("k") === 1L, 1)).as("hapax"))
+      .select(col("source"), col("total_tokens"), col("vocab"),
+        col("hapax"),
+        expr("(vocab * 1000000L + total_tokens div 2) div total_tokens")
+          .as("ttr_e6"),
+        expr("(hapax * 1000000L + vocab div 2) div vocab")
+          .as("hapax_ratio_e6"))
+      .orderBy("source")
+
+  val textTtrSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |census AS (
+      |  SELECT source, tok, count(*)::BIGINT AS k
+      |  FROM toks GROUP BY 1, 2)
+      |SELECT source, sum(k)::BIGINT AS total_tokens,
+      |  count(*)::BIGINT AS vocab,
+      |  sum((k = 1)::INT)::BIGINT AS hapax,
+      |  (count(*)::BIGINT * 1000000 + sum(k)::BIGINT // 2)
+      |    // sum(k)::BIGINT AS ttr_e6,
+      |  (sum((k = 1)::INT)::BIGINT * 1000000 + count(*)::BIGINT // 2)
+      |    // count(*)::BIGINT AS hapax_ratio_e6
+      |FROM census
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("text_ttr", textTtr _, textTtrSql),
     ("text_vocab_growth",
       (s: SparkSession, d: String) => textVocabGrowth(s, d),
       textVocabGrowthSql),

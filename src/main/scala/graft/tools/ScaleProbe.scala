@@ -19,7 +19,14 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, copiesS, outJson, names) = args
+    // optional 5th arg: a REUSABLE corpus dir — generated there on
+    // first use, kept afterwards (r15: the ×100 sweep over the ~125
+    // remaining queries runs as several batches; regenerating the
+    // ~GB corpus per batch would dominate the sweep)
+    val (Array(sfDir, copiesS, outJson, names), keepDir) = args match {
+      case Array(a, b, c, d, k) => (Array(a, b, c, d), Some(k))
+      case _ => (args, None)
+    }
     val copies = copiesS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -45,10 +52,15 @@ object ScaleProbe {
       if (ok) math.round(dt * 1000) / 1000.0 else -1.0
     }
 
-    val dir = java.nio.file.Files.createTempDirectory("graft_scaleprobe")
+    val dir = keepDir.map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_scaleprobe"))
+    val reusing = keepDir.exists(k =>
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(k, "documents.parquet")))
     try {
-      ProbeCorpus.generate(spark, sfDir, dir.toString, copies,
-        includeTpch = true)
+      if (!reusing)
+        ProbeCorpus.generate(spark, sfDir, dir.toString, copies,
+          includeTpch = true)
       // one-time data-organization cost, outside the timed probes
       // (mirrors Bench.layoutSetup) so q26/q29/q30 probe the
       // exchange-free/pruned READ path, not a parquet write
@@ -89,9 +101,11 @@ object ScaleProbe {
       println(line)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), line)
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      if (keepDir.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       spark.stop()
     }
   }
