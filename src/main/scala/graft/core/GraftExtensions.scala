@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, TopKByScore}
+import graft.functions.{BottomKDistinct, CosineSimilarity, TopKByScore}
 
 /** Engine extensions installable via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
@@ -22,6 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[TopKByScore].getName, "topk_ids"),
         (exprs: Seq[Expression]) =>
           TopKByScore(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction(
+      (FunctionIdentifier("bottomk_distinct"),
+        new ExpressionInfo(classOf[BottomKDistinct].getName,
+          "bottomk_distinct"),
+        (exprs: Seq[Expression]) =>
+          BottomKDistinct(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.IntervalJoin.RewriteRule)
     e.injectPlannerStrategy(_ => graft.plans.IntervalJoin.JoinStrategy)
   }
