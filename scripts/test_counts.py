@@ -34,8 +34,10 @@ out = {
     "tests": tests,
     "failures": failures,
     "errors": errors,
-    # canceled/ignored tests land in "skipped" in the sbt JUnit
-    # format - the env-gated KafkaSmokeSpec cancel shows up here
+    # NOTE: ScalaTest's canceled tests (the env-gated KafkaSmokeSpec)
+    # serialize as plain testcases in sbt's JUnit XML (skipped="0"),
+    # so "tests" INCLUDES them; "skipped" counts only @Ignore-style
+    # skips
     "skipped": skipped,
 }
 with open("TESTCOUNTS.json", "w") as f:
