@@ -1476,7 +1476,140 @@ object EventWindows {
        |ORDER BY 1, 2, 3""".stripMargin
   }
 
+  /** Additive Holt-Winters (α=0.2, β=0.1, γ=0.3, weekly season m=7)
+    * over the dense per-type DAILY series — the classic
+    * level+trend+seasonality forecaster one step up from
+    * [[forecastBaseline]]'s seasonal-naive and [[ewmaHourly]]'s FIR
+    * smoothing: emits the 7-day-ahead forecast curve per event type.
+    *
+    * The cross-engine trick is EXACT IIR RECURSION — new ground for
+    * the catalog (EWMA stayed FIR precisely to avoid it): the coupled
+    * (level, trend, seasonal-queue) state is e6 fixed-point int64,
+    * every update a linear form with truncating integer division
+    * (`div` here, `//` in DuckDB — both truncate toward zero,
+    * verified on negatives), so Spark's `aggregate` HOF over the day
+    * array and the oracle's recursive CTE carrying a LIST column
+    * compute bit-identical states. Seasonals live in a 7-slot QUEUE:
+    * the head is always the seasonal of day t−7, and after the last
+    * day queue[h] is exactly the seasonal for horizon T+h. Init:
+    * l₀ = week-1 mean, b₀ = (week-2 − week-1 sums)/49, s = week-1
+    * residuals; types with <14 observed days are skipped (both
+    * engines filter identically). Overflow headroom: coefficients
+    * ≤3e5 × e6-scaled counts — int64-safe past 1e7 events/day.
+    *
+    * Scale shape: one corpus scan to the (type × day) census (time-
+    * domain-bounded), one ≤days-long array per type (collect_list
+    * bounded by the calendar, the [[graft.text.TextOps]] census
+    * argument), and the recursion is O(days) driver-free codegen.
+    */
+  def holtWinters(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val sparse = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    val grid = sparse.groupBy("event_type").agg(min("day").as("d0"))
+      .crossJoin(broadcast(sparse.agg(max("day").as("d1"))))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = grid.join(sparse, Seq("event_type", "day"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+    // L must be inlined wherever the new level is needed inside one
+    // lambda (no lets in SQL lambdas); the recursion is ≤ a few
+    // hundred steps so the duplicated subexpression costs nothing
+    val L = "((200000L * (y * 1000000L - element_at(st.s, 1)) " +
+      "+ 800000L * (st.l + st.b)) div 1000000L)"
+    val hw =
+      s"""aggregate(
+         |  slice(ys, 8, size(ys) - 7),
+         |  named_struct(
+         |    'l', l0, 'b', b0,
+         |    's', transform(slice(ys, 1, 7), y -> y * 1000000L - l0)),
+         |  (st, y) -> named_struct(
+         |    'l', $L,
+         |    'b', (100000L * ($L - st.l) + 900000L * st.b) div 1000000L,
+         |    's', concat(slice(st.s, 2, 6), array(
+         |      (300000L * (y * 1000000L - $L)
+         |        + 700000L * element_at(st.s, 1)) div 1000000L))))"""
+        .stripMargin
+    daily
+      .groupBy("event_type")
+      .agg(expr("transform(sort_array(collect_list(struct(day, y))), " +
+        "x -> x.y)").as("ys"))
+      .filter(size(col("ys")) >= 14)
+      .withColumn("l0", expr(
+        "(aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x) * 1000000L) div 7"))
+      .withColumn("b0", expr(
+        "((aggregate(slice(ys, 8, 7), 0L, (a, x) -> a + x) " +
+          "- aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x)) " +
+          "* 1000000L) div 49"))
+      .withColumn("fin", expr(hw))
+      .select(col("event_type"),
+        size(col("ys")).cast("long").as("n_days"),
+        expr("fin.l div 10000").as("level_e2"),
+        expr("fin.b div 10000").as("trend_e2"),
+        expr("transform(sequence(1, 7), h -> " +
+          "(fin.l + h * fin.b + element_at(fin.s, h)) div 10000)")
+          .as("fc"))
+      .select(col("event_type"), col("n_days"), col("level_e2"),
+        col("trend_e2"), posexplode(col("fc")))
+      .select(col("event_type"), col("n_days"), col("level_e2"),
+        col("trend_e2"), (col("pos") + 1).cast("long").as("h"),
+        col("col").as("forecast_e2"))
+      .orderBy("event_type", "h")
+  }
+
+  val holtWintersSql: String = {
+    val L = "((200000 * (ys[t] * 1000000 - s[1]) " +
+      "+ 800000 * (l + b)) // 1000000)"
+    s"""WITH RECURSIVE sparse AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    count(*)::BIGINT AS y
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT event_type,
+       |    unnest(generate_series(min(day),
+       |      (SELECT max(day) FROM sparse), 1)) AS day
+       |  FROM sparse GROUP BY event_type),
+       |daily AS (
+       |  SELECT g.event_type, g.day, coalesce(s.y, 0)::BIGINT AS y
+       |  FROM grid g LEFT JOIN sparse s
+       |    ON s.event_type = g.event_type AND s.day = g.day),
+       |series AS (
+       |  SELECT event_type, list(y ORDER BY day) AS ys
+       |  FROM daily GROUP BY event_type
+       |  HAVING count(*) >= 14),
+       |init AS (
+       |  SELECT event_type, ys,
+       |    (list_sum(ys[1:7]) * 1000000) // 7 AS l0,
+       |    ((list_sum(ys[8:14]) - list_sum(ys[1:7])) * 1000000) // 49
+       |      AS b0
+       |  FROM series),
+       |rec AS (
+       |  SELECT event_type, ys, 8 AS t, l0 AS l, b0 AS b,
+       |    list_transform(ys[1:7], y -> y * 1000000 - l0) AS s
+       |  FROM init
+       |  UNION ALL
+       |  SELECT event_type, ys, t + 1,
+       |    $L,
+       |    (100000 * ($L - l) + 900000 * b) // 1000000,
+       |    s[2:7] || [(300000 * (ys[t] * 1000000 - $L)
+       |      + 700000 * s[1]) // 1000000]
+       |  FROM rec WHERE t <= len(ys)),
+       |fin AS (
+       |  SELECT event_type, len(ys)::BIGINT AS n_days, l, b, s
+       |  FROM rec WHERE t = len(ys) + 1)
+       |SELECT event_type, n_days,
+       |  (l // 10000)::BIGINT AS level_e2, (b // 10000)::BIGINT AS trend_e2,
+       |  h::BIGINT AS h,
+       |  ((l + h * b + s[h]) // 10000)::BIGINT AS forecast_e2
+       |FROM fin, unnest(generate_series(1, 7)) AS u(h)
+       |ORDER BY event_type, h""".stripMargin
+  }
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_holt_winters", holtWinters _, holtWintersSql),
     ("ev_lorenz_curve", lorenzCurve _, lorenzCurveSql),
     ("ev_user_activity_hist", userActivityHist _, userActivityHistSql),
     ("ev_dow_profile", dowProfile _, dowProfileSql),
