@@ -1706,8 +1706,123 @@ object PipelineOps {
       |FROM a
       |ORDER BY lang, source""".stripMargin
 
+  /** Water-filling source-mix allocation under a token budget — the
+    * "cap the huge sources, keep the small ones whole" rebalancing
+    * step a data-mix pipeline runs between measuring per-source
+    * volumes and sampling the training set (the uniform-cap/
+    * temperature-1 special case of the DoReMi-style reweighting
+    * family): find the level λ such that Σ_s min(T_s, λ) = B for a
+    * budget B = 30% of corpus tokens, allocate min(T_s, λ) per
+    * source, and distribute the integer remainder one token each to
+    * the first r uncapped sources in name order so the allocations
+    * sum to EXACTLY B.
+    *
+    * Exact integers end to end, replayed identically in SQL: the
+    * census is one row per source; a name-ordered ascending prefix
+    * sum finds the unique break row k (the first source, scanning
+    * by volume, whose full inclusion would push the uncapped
+    * remainder below its own volume: T_s·(S−k+1) > B−prefix_{k−1});
+    * λ = (B − prefix_{k−1}) div (S−k+1) over the capped tail. Every
+    * step is a window over the ≤|sources| census — no corpus-sized
+    * shuffle beyond the first token-count aggregation.
+    */
+  def mixOptimizer(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"))
+      .localCheckpoint() // the spine below reads it thrice
+    val byVol = Window.orderBy("tokens", "source")
+    val spine = census
+      .crossJoin(broadcast(census.agg(
+        expr("sum(tokens) * 3 div 10").as("budget"),
+        count(lit(1)).as("n_src"))))
+      .withColumn("rk", row_number().over(byVol))
+      .withColumn("prefix_below",
+        coalesce(sum("tokens").over(byVol
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // capped ⟺ this source's volume alone exceeds the even split of
+      // what remains after everything smaller is taken whole
+      .withColumn("capped",
+        expr("tokens * (n_src - rk + 1) > budget - prefix_below"))
+    // capped is a SUFFIX of the volume order (proof in the doc above)
+    // and prefix_below is monotone in rk, so plain mins identify the
+    // break row and its prefix
+    val break0 = spine.filter(col("capped"))
+      .groupBy().agg(min("rk").as("brk"),
+        min("prefix_below").as("pfx"))
+    val lambda = broadcast(break0
+      .crossJoin(broadcast(census.agg(
+        expr("sum(tokens) * 3 div 10").as("budget"),
+        count(lit(1)).as("n_src"))))
+      .select(
+        expr("(budget - pfx) div (n_src - brk + 1)").as("lam"),
+        expr("(budget - pfx) % (n_src - brk + 1)").as("rem"),
+        col("brk")))
+    val wName = Window.orderBy("source")
+    spine.crossJoin(lambda)
+      .withColumn("alloc0",
+        expr("case when rk < brk then tokens else lam end"))
+      // remainder: +1 token to the first `rem` CAPPED sources in name
+      // order — deterministic and exactly budget-summing
+      .withColumn("cap_name_rk", row_number().over(
+        Window.partitionBy("capped").orderBy("source")))
+      .withColumn("alloc", expr(
+        "alloc0 + case when rk >= brk and cap_name_rk <= rem then 1 " +
+          "else 0 end"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("alloc").as("tokens_allocated"),
+        (col("rk") >= col("brk")).as("capped"),
+        expr("alloc * 1000000 div tokens").as("keep_ppm"))
+      .orderBy("source")
+  }
+
+  val mixOptimizerSql: String =
+    """WITH census AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs,
+      |    sum(len(string_split(text, ' ')))::BIGINT AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT sum(tokens) * 3 // 10 AS budget, count(*)::BIGINT AS n_src
+      |  FROM census),
+      |spine AS (
+      |  SELECT source, n_docs, tokens, budget, n_src,
+      |    row_number() OVER (ORDER BY tokens, source) AS rk,
+      |    coalesce(sum(tokens) OVER (ORDER BY tokens, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS prefix_below
+      |  FROM census, tot),
+      |flagged AS (
+      |  SELECT *,
+      |    tokens * (n_src - rk + 1) > budget - prefix_below AS capped
+      |  FROM spine),
+      |brk AS (
+      |  SELECT min(rk) AS brk, min(prefix_below) AS pfx
+      |  FROM flagged WHERE capped),
+      |lam AS (
+      |  SELECT brk, (budget - pfx) // (n_src - brk + 1) AS lam,
+      |    (budget - pfx) % (n_src - brk + 1) AS rem
+      |  FROM brk, tot),
+      |alloc AS (
+      |  SELECT f.source, f.n_docs, f.tokens, f.rk, l.brk, l.rem,
+      |    CASE WHEN f.rk < l.brk THEN f.tokens ELSE l.lam END AS alloc0,
+      |    row_number() OVER (PARTITION BY f.capped ORDER BY f.source)
+      |      AS cap_name_rk
+      |  FROM flagged f, lam l)
+      |SELECT source, n_docs, tokens,
+      |  (alloc0 + CASE WHEN rk >= brk AND cap_name_rk <= rem THEN 1
+      |    ELSE 0 END)::BIGINT AS tokens_allocated,
+      |  rk >= brk AS capped,
+      |  ((alloc0 + CASE WHEN rk >= brk AND cap_name_rk <= rem THEN 1
+      |    ELSE 0 END) * 1000000 // tokens)::BIGINT AS keep_ppm
+      |FROM alloc
+      |ORDER BY source""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
+      ("pipe_mix_optimizer", mixOptimizer _, mixOptimizerSql),
       ("pipe_token_fertility", tokenFertility _, tokenFertilitySql),
       ("pipe_token_budget", tokenBudget _, tokenBudgetSql),
       ("pipe_shard_manifest", shardManifest _, shardManifestSql),

@@ -91,7 +91,11 @@ class PlanAuditSpec extends SparkSuite {
       "ev_gapfill", "text_zipf_fit", "text_ppl_bucket", "text_dsir_weight",
       "stat_ks_test", "stat_mannwhitney", "stat_gini",
       "ev_forecast_baseline", "ev_rfm", "dedup_recall_audit",
-      "text_vocab_growth", "pipe_token_budget", "ev_lorenz_curve")
+      "text_vocab_growth", "pipe_token_budget", "ev_lorenz_curve",
+      // the water-filling spine: unpartitioned windows over the
+      // ≤|sources| census (never corpus rows), the pipe_token_budget
+      // argument verbatim
+      "pipe_mix_optimizer")
     val offenders = plans.filter { case (name, p) =>
       !exempt(name) &&
         p.contains("Window") && p.contains("SinglePartition") &&
