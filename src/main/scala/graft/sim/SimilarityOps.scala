@@ -667,7 +667,7 @@ object SimilarityOps {
        |    FROM e, cents$iters c)
        |  WHERE rn = 1),
        |probed AS (
-       |  SELECT qid, cell FROM (
+       |  SELECT qid, cell, cell_rank FROM (
        |    SELECT q.vec_id AS qid, c.cell,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${ivfD2("q.vec", "c.cent")} ASC, c.cell ASC)
@@ -2228,6 +2228,126 @@ object SimilarityOps {
       .orderBy("qid")
   }
 
+  /** Recall-vs-cost curve over the IVF probe depth — the tuning
+    * artifact an ANN deployment publishes before picking nProbe
+    * (the [[annRecallAudit]] point generalized to the whole
+    * trade-off): ONE index (same 16-cell coarse quantizer), one
+    * corpus assignment pass, probes ranked to depth 8, and each
+    * nprobe ∈ {1, 2, 4, 8} evaluated against the brute-force truth
+    * panel. Output per depth: pooled recall@5 over the panel AND the
+    * cost side — candidate rows scored, absolute and per query — so
+    * the knee of the curve is read off one 4-row table.
+    *
+    * Scale shape: the candidate join replicates per probe depth only
+    * AFTER the cell filter (4 bounded panels, never 4 corpus scans —
+    * the assignment runs once and is localCheckpointed); rank
+    * windows partition by (nprobe, qid). The oracle replays the
+    * identical index via [[ivfTrainSql]] — probed now carries
+    * cell_rank — so both engines walk one curve.
+    */
+  def annNprobeCurve(spark: SparkSession, sfDir: String,
+      nCells: Int = 16, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val pvals = Seq(1, 2, 4, 8)
+    val e = withVec(Tables.embeddings(spark, sfDir)).localCheckpoint()
+    val cents = trainIvfCentroids(e, nCells)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bestCell = udf { (v: Seq[Double]) =>
+      nearestCell(bcCents.value, v.toArray)
+    }
+    val assigned = e
+      .select(col("vec_id"), col("vec"), col("norm"),
+        bestCell(col("vec")).as("cell"))
+      .localCheckpoint()
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val q = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qvec, centroid, (p, c) -> (p - c) * (p - c)), " +
+          "cast(0 as double), (acc, v) -> acc + v)"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("cell_rank") <= pvals.max)
+      .select("qid", "qvec", "qnorm", "cell", "cell_rank")
+    val cand = assigned.join(broadcast(probed),
+        probed("cell") === assigned("cell") &&
+          col("qid") =!= col("vec_id"))
+      .crossJoin(broadcast(pvals.toDF("nprobe")))
+      .filter(col("cell_rank") <= col("nprobe"))
+      .select(col("nprobe"), col("qid"), col("vec_id").as("nid"),
+        round(cosine("qvec", "vec"), 4).as("cos"))
+      .localCheckpoint() // cost count + top-k both read it
+    val w = Window.partitionBy("nprobe", "qid")
+      .orderBy(desc("cos"), asc("nid"))
+    val topk = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("nprobe", "qid", "nid")
+    val truth = annBruteTopK(spark, sfDir)
+      .select(col("qid"), col("nid")).localCheckpoint()
+    val hits = topk.join(truth, Seq("qid", "nid"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hit"))
+    cand.groupBy("nprobe").agg(count(lit(1)).as("cand_rows"))
+      .join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"),
+        countDistinct("qid").as("n_q"))))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_true"),
+        col("n_hit"),
+        expr("(n_hit * 10000L + n_true div 2) div n_true")
+          .as("recall_e4"),
+        col("cand_rows"),
+        expr("cand_rows div n_q").as("scanned_per_query"))
+      .orderBy("nprobe")
+  }
+
+  val annNprobeCurveSql: String = {
+    val nCells = 16; val iters = 5; val k = 5
+    s"""WITH ${ivfTrainSql(nCells, 8, iters)},
+       |pv AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+       |cand AS (
+       |  SELECT v.nprobe, p.qid, a.vec_id AS nid,
+       |    round(list_dot_product(q.vec, a.vec) / (q.norm * a.norm), 4)
+       |      AS cos
+       |  FROM assigned a
+       |  JOIN probed p ON a.cell = p.cell AND a.vec_id != p.qid
+       |  JOIN e q ON q.vec_id = p.qid
+       |  CROSS JOIN pv v
+       |  WHERE p.cell_rank <= v.nprobe),
+       |topk AS (
+       |  SELECT nprobe, qid, nid FROM (
+       |    SELECT nprobe, qid, nid,
+       |      row_number() OVER (PARTITION BY nprobe, qid
+       |        ORDER BY cos DESC, nid ASC) AS rank
+       |    FROM cand)
+       |  WHERE rank <= $k),
+       |truth AS (${annBruteTopKSql.replace("ORDER BY qid, rank", "")}),
+       |t AS (
+       |  SELECT count(*)::BIGINT AS n_true,
+       |    count(DISTINCT qid)::BIGINT AS n_q
+       |  FROM truth),
+       |h AS (
+       |  SELECT tk.nprobe, count(*)::BIGINT AS n_hit
+       |  FROM topk tk
+       |  JOIN truth ON truth.qid = tk.qid AND truth.nid = tk.nid
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT nprobe, count(*)::BIGINT AS cand_rows FROM cand
+       |  GROUP BY 1)
+       |SELECT c.nprobe::BIGINT AS nprobe, t.n_true,
+       |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |  (coalesce(h.n_hit, 0) * 10000 + t.n_true // 2) // t.n_true
+       |    AS recall_e4,
+       |  c.cand_rows,
+       |  c.cand_rows // t.n_q AS scanned_per_query
+       |FROM c CROSS JOIN t
+       |LEFT JOIN h ON h.nprobe = c.nprobe
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val annRecallAuditSql: String =
     s"""WITH truth AS (${annBruteTopKSql.replace("ORDER BY qid, rank", "")}),
        |approx AS (${annIvfTopKSql.replace("ORDER BY qid, rank", "")}),
@@ -2410,6 +2530,9 @@ object SimilarityOps {
       (s: SparkSession, d: String) => annFilteredTopK(s, d),
       annFilteredTopKSql),
     ("ann_recall_audit", annRecallAudit _, annRecallAuditSql),
+    ("ann_nprobe_curve",
+      (s: SparkSession, d: String) => annNprobeCurve(s, d),
+      annNprobeCurveSql),
     ("emb_rand_proj", embRandProj _, embRandProjSql),
     ("emb_knn_graph",
       (s: SparkSession, d: String) => embKnnGraph(s, d),
