@@ -1,0 +1,72 @@
+#!/usr/bin/env bash
+# Same-host A/B control (r15 verdict #1): re-time the PRIOR round's
+# build on a pinned panel right next to the current build, same host,
+# same hour, min-of-3 per query per side — so a cross-round per-query
+# delta is attributable to code, not to the ~2x session-to-session
+# drift this host has shown (the r15 postmortem: the r14 build re-timed
+# at ~2x its own committed artifact).
+#
+# Usage: scripts/ab_bench.sh [OLD_REF] [OUT_JSON] [PANEL]
+#   OLD_REF  defaults to the last driver round-close commit
+#            (message "round N: verdict/advice/correctness/bench")
+#   OUT_JSON defaults to AB_r16.json
+#   PANEL    defaults to the pinned 13-query panel below
+set -euo pipefail
+cd "$(dirname "$0")/.."
+REPO="$PWD"
+
+OLD_REF="${1:-$(git log --grep='^round .*: verdict' -1 --format=%H)}"
+OUT="${2:-AB_r16.json}"
+# Pinned panel: one representative per family plus every query a recent
+# round moved or watched — emb_label_centroid / emb_lda_axis (the r15
+# 2x-bar crossers), ann_ivf_topk / ann_nprobe_curve (the r16 native
+# nearest_cell change), text_bigram_lm / text_dsir_weight (the cleared
+# r14 weak marks), mm_audio_fingerprint (the r15 SPI codec pin).
+PANEL="${3:-q05_top_order_per_customer,q12_daily_events,emb_label_centroid,emb_lda_axis,ann_ivf_topk,ann_nprobe_curve,text_bigram_lm,text_dsir_weight,graph_event_pagerank,dedup_minhash_lsh,mm_audio_fingerprint,ev_holt_winters,pipe_mix_optimizer}"
+SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
+
+WT=/tmp/graft_ab_old
+OLD_HASH="$(git rev-parse "$OLD_REF")"
+if [ ! -f "$WT/.ab_ref" ] || [ "$(cat "$WT/.ab_ref")" != "$OLD_HASH" ]; then
+  git worktree remove --force "$WT" 2>/dev/null || true
+  git worktree add --force "$WT" "$OLD_HASH"
+  echo "$OLD_HASH" > "$WT/.ab_ref"
+fi
+# the panel timer itself (this round's tool) rides along into the old
+# build — it only touches SparkEntry.queries, present in both builds
+mkdir -p "$WT/src/main/scala/graft/tools"
+cp "$REPO/src/main/scala/graft/tools/ABPanel.scala" \
+   "$WT/src/main/scala/graft/tools/ABPanel.scala"
+
+echo "[ab] timing OLD build $OLD_HASH"
+(cd "$WT" && sbt -batch "runMain graft.tools.ABPanel $SF /tmp/ab_old.json old_$OLD_HASH $PANEL")
+echo "[ab] timing NEW build $(git rev-parse HEAD)"
+sbt -batch "runMain graft.tools.ABPanel $SF /tmp/ab_new.json new_$(git rev-parse HEAD) $PANEL"
+
+python3 - "$OLD_HASH" "$(git rev-parse HEAD)" "$OUT" <<'EOF'
+import json, sys, datetime, os
+old_hash, new_hash, out = sys.argv[1:4]
+old = json.load(open('/tmp/ab_old.json'))
+new = json.load(open('/tmp/ab_new.json'))
+qs = sorted(old['queries_min'])
+per = {}
+for q in qs:
+    o, n = old['queries_min'][q], new['queries_min'].get(q, -1.0)
+    d = round((n - o) / o * 100, 1) if o > 0 and n >= 0 else None
+    per[q] = {'old_sec': o, 'new_sec': n, 'delta_pct': d,
+              'old_passes': old['passes'][q], 'new_passes': new['passes'][q]}
+ot, nt = old['panel_total_min_sec'], new['panel_total_min_sec']
+doc = {
+  'metric': 'ab_panel_control',
+  'old_ref': old_hash, 'new_ref': new_hash,
+  'sf': old['sf'],
+  'protocol': 'same host, same hour, per side: 1 warm + min of 3 timed passes per query; old build checked out via git worktree with this round\'s ABPanel timer dropped in',
+  'run_utc': datetime.datetime.now(datetime.timezone.utc).isoformat(timespec='seconds'),
+  'panel_total_old_sec': ot, 'panel_total_new_sec': nt,
+  'panel_delta_pct': round((nt - ot) / ot * 100, 1) if ot > 0 else None,
+  'queries': per,
+}
+json.dump(doc, open(out, 'w'), indent=1)
+print('[ab] wrote', out, 'panel', ot, '->', nt)
+EOF

@@ -33,6 +33,56 @@ import org.apache.spark.sql.SparkSession
   * recompiles per pass point straight at the guilty mechanism.
   */
 object Bench {
+
+  /** Host-noise verdict over the timed target-SF pass totals (r15
+    * verdict #2/#6 — BENCH_r15's driver run published pass totals
+    * [112.0, 621.3, 112.8, 206.9] as a round record):
+    *
+    *  - `host_degraded`: true when the spread of the three FASTEST
+    *    passes exceeds `barPct` (default 15%) — i.e. even after the
+    *    >10% trigger bought a 4th pass and the single worst pass is
+    *    set aside, the run does not reproduce itself. Such a run must
+    *    not become a round's official record.
+    *  - `culprit_pass`: the 1-based index of the slowest pass when the
+    *    all-passes spread exceeds 10% — the one line a reader needs
+    *    instead of diffing four per-pass maps; -1 when no pass stands
+    *    out.
+    */
+  def degradedVerdict(passTotals: Seq[Double],
+      barPct: Double = 15.0): (Boolean, Int) = {
+    val best3 = passTotals.sorted.take(3)
+    val spreadB3 =
+      if (best3.size < 2 || best3.min <= 0) -1.0
+      else (best3.max - best3.min) / best3.min * 100.0
+    val allSpread =
+      if (passTotals.size < 2 || passTotals.min <= 0) -1.0
+      else (passTotals.max - passTotals.min) / passTotals.min * 100.0
+    val culprit =
+      if (allSpread > 10.0) passTotals.indexOf(passTotals.max) + 1 else -1
+    (spreadB3 > barPct, culprit)
+  }
+
+  /** Where the full bench artifact may be written: a degraded run is
+    * NEVER allowed to overwrite a previous clean artifact — it lands at
+    * `<out>.degraded` instead (r15 verdict #2: the artifact-writing
+    * path itself must make publishing a >15%-best3 run as final
+    * impossible, not just discouraged). A missing or itself-degraded
+    * prior artifact may be overwritten — the new file carries
+    * `"host_degraded":true` and self-describes.
+    */
+  def artifactTarget(out: String, degraded: Boolean): String = {
+    if (!degraded) out
+    else {
+      val p = java.nio.file.Paths.get(out)
+      val priorClean = java.nio.file.Files.exists(p) && {
+        try !java.nio.file.Files.readString(p)
+          .contains("\"host_degraded\":true")
+        catch { case _: Throwable => false }
+      }
+      if (priorClean) out + ".degraded" else out
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -631,6 +681,13 @@ object Bench {
       if (best3.size < 2 || best3.min <= 0) -1.0
       else math.round((best3.max - best3.min) / best3.min * 1000) / 10.0
     }
+    // r15 #2/#6: one boolean verdict + the culprit pass index, so a
+    // reader never has to diff four pass maps to decide "regression or
+    // host?" — and the full-artifact write below refuses to clobber a
+    // clean prior record with a degraded run
+    val (hostDegraded, culpritPass) = degradedVerdict(passTotals)
+    if (hostDegraded)
+      println(s"""{"metric":"host_degraded","pass_totals":$ptJson,"culprit_pass":$culpritPass,"best3_spread_bar_pct":15.0}""")
     // salted-probe coverage manifest (r12 verdict #6): echo the summary
     // of probe_coverage.json (regenerated by scripts/probe_coverage.py
     // from every SCALE_PROBE_r*/bench_full* artifact) so which queries
@@ -677,7 +734,7 @@ object Bench {
       val short = if (i < 0) probeCoverage else probeCoverage.substring(0, i)
       if (short.endsWith(",")) short else short + ","
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"big_probe_copies":$BigProbeCopies,"big_probe_flag_threshold":$ScaleFlagRatio,"noisy_queries":$nqJson,"st_append_fullvolume_mean":${streamingFull.getOrElse("st_append_fullvolume_mean", -1.0)},"st_append_fullvolume_mean_spread_pct":${streamingFull.getOrElse("st_append_fullvolume_mean_spread_pct", -1.0)},"st_update_earliest_fullvolume_mean":${streamingFull.getOrElse("st_update_earliest_fullvolume_mean", -1.0)},"st_update_earliest_fullvolume_mean_spread_pct":${streamingFull.getOrElse("st_update_earliest_fullvolume_mean_spread_pct", -1.0)},"st_fullvolume_epoch0_replay_sec":${streamingFull.getOrElse("st_fullvolume_epoch0_replay_sec", -1.0)},"st_fullvolume_runs":${streamingFull.getOrElse("st_fullvolume_runs", 0.0).toInt},"st_append_10x_mean":${streaming10x.getOrElse("st_append_10x_mean", -1.0)},"st_append_10x_mean_spread_pct":${streaming10x.getOrElse("st_append_10x_mean_spread_pct", -1.0)},"st_update_earliest_10x_mean":${streaming10x.getOrElse("st_update_earliest_10x_mean", -1.0)},"st_update_earliest_10x_mean_spread_pct":${streaming10x.getOrElse("st_update_earliest_10x_mean_spread_pct", -1.0)},"st_10x_epoch0_replay_sec":${streaming10x.getOrElse("st_10x_epoch0_replay_sec", -1.0)},"st_10x_runs":${streaming10x.getOrElse("st_10x_runs", 0.0).toInt},${probeCoverageSummary}"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,"pass_spread_best3_pct":$spreadBest3Pct,"codegen_compiles_total":${compiles()}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"big_probe_copies":$BigProbeCopies,"big_probe_flag_threshold":$ScaleFlagRatio,"noisy_queries":$nqJson,"st_append_fullvolume_mean":${streamingFull.getOrElse("st_append_fullvolume_mean", -1.0)},"st_append_fullvolume_mean_spread_pct":${streamingFull.getOrElse("st_append_fullvolume_mean_spread_pct", -1.0)},"st_update_earliest_fullvolume_mean":${streamingFull.getOrElse("st_update_earliest_fullvolume_mean", -1.0)},"st_update_earliest_fullvolume_mean_spread_pct":${streamingFull.getOrElse("st_update_earliest_fullvolume_mean_spread_pct", -1.0)},"st_fullvolume_epoch0_replay_sec":${streamingFull.getOrElse("st_fullvolume_epoch0_replay_sec", -1.0)},"st_fullvolume_runs":${streamingFull.getOrElse("st_fullvolume_runs", 0.0).toInt},"st_append_10x_mean":${streaming10x.getOrElse("st_append_10x_mean", -1.0)},"st_append_10x_mean_spread_pct":${streaming10x.getOrElse("st_append_10x_mean_spread_pct", -1.0)},"st_update_earliest_10x_mean":${streaming10x.getOrElse("st_update_earliest_10x_mean", -1.0)},"st_update_earliest_10x_mean_spread_pct":${streaming10x.getOrElse("st_update_earliest_10x_mean_spread_pct", -1.0)},"st_10x_epoch0_replay_sec":${streaming10x.getOrElse("st_10x_epoch0_replay_sec", -1.0)},"st_10x_runs":${streaming10x.getOrElse("st_10x_runs", 0.0).toInt},${probeCoverageSummary}"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,"pass_spread_best3_pct":$spreadBest3Pct,"host_degraded":$hostDegraded,"culprit_pass":$culpritPass,"codegen_compiles_total":${compiles()}}""")
     // FULL machine-readable artifact (r10 verdict item #2): stdout-tail
     // truncation eats the long per-query maps, so everything a verdict
     // needs to diff round-over-round — every per-query min AND median,
@@ -697,6 +754,7 @@ object Bench {
            |"failed":$fqJson,
            |"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,
            |"pass_spread_best3_pct":$spreadBest3Pct,
+           |"host_degraded":$hostDegraded,"culprit_pass":$culpritPass,
            |"per_query_min":${jm(results)},
            |"per_query_median":${jm(medians)},
            |$passJson,
@@ -715,9 +773,11 @@ object Bench {
            |"probe_coverage":{$probeCoverage},
            |"codegen_compiles_total":${compiles()}}""".stripMargin
           .replace("\n", "")
-      val out = sys.env.getOrElse("GRAFT_BENCH_FULL_OUT", "bench_full.json")
+      val out = artifactTarget(
+        sys.env.getOrElse("GRAFT_BENCH_FULL_OUT", "bench_full.json"),
+        hostDegraded)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full)
-      println(s"""{"metric":"bench_full_written","path":"$out"}""")
+      println(s"""{"metric":"bench_full_written","path":"$out","host_degraded":$hostDegraded}""")
     } catch { case _: Throwable => () }
     spark.stop()
   }

@@ -229,10 +229,16 @@ object GraphOps {
     // Result is bit-identical to the window form (k smallest distinct
     // items per user, ascending) — the SQL oracles keep replaying the
     // window formulation and still hash-match.
+    // item parses as LONG for the O(cap) aggregate, then casts back to
+    // int; the int-range filter keeps out-of-range ids behaving exactly
+    // like the previous string→int cast (null → dropped) and like the
+    // oracle's window formulation, instead of surviving the bottom-k
+    // and wrapping in the final long→int cast (r15 advice)
     Tables.events(spark, sfDir)
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"))
-      .filter(col("item").isNotNull)
+      .filter(col("item").isNotNull &&
+        col("item").between(Int.MinValue.toLong, Int.MaxValue.toLong))
       .groupBy("user_id")
       .agg(graft.functions.BottomKDistinct
         .bottomkDistinct(col("item"), cap).as("items"))

@@ -1714,7 +1714,7 @@ object PipelineOps {
     * family): find the level λ such that Σ_s min(T_s, λ) = B for a
     * budget B = 30% of corpus tokens, allocate min(T_s, λ) per
     * source, and distribute the integer remainder one token each to
-    * the first r uncapped sources in name order so the allocations
+    * the first r capped sources in name order so the allocations
     * sum to EXACTLY B.
     *
     * Exact integers end to end, replayed identically in SQL: the
@@ -1761,7 +1761,6 @@ object PipelineOps {
         expr("(budget - pfx) div (n_src - brk + 1)").as("lam"),
         expr("(budget - pfx) % (n_src - brk + 1)").as("rem"),
         col("brk")))
-    val wName = Window.orderBy("source")
     spine.crossJoin(lambda)
       .withColumn("alloc0",
         expr("case when rk < brk then tokens else lam end"))

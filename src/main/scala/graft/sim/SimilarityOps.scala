@@ -563,10 +563,10 @@ object SimilarityOps {
     val cents = trainIvfCentroids(e, nCells)
     // corpus assignment: one map stage over broadcast centroids — no
     // shuffle, no per-row ML pipeline machinery
-    val bcCents = spark.sparkContext.broadcast(cents)
-    val bestCell = udf { (v: Seq[Double]) =>
-      nearestCell(bcCents.value, v.toArray)
-    }
+    // native codegen'd cell assignment — plan-embedded centroid table,
+    // no closure UDF in the ANN hot path (r15 verdict #4)
+    def bestCell(c: Column): Column =
+      graft.functions.NearestCell.nearestCell(c, cents)
     val assigned = e
       .select(col("vec_id"), col("vec"), col("norm"),
         bestCell(col("vec")).as("cell"))
@@ -999,10 +999,10 @@ object SimilarityOps {
     val dsub = 64 / m
     val e = withVec(Tables.embeddings(spark, sfDir)).localCheckpoint()
     val cents = trainIvfCentroids(e, nCells)
-    val bcCents = spark.sparkContext.broadcast(cents)
-    val bestCell = udf { (v: Seq[Double]) =>
-      nearestCell(bcCents.value, v.toArray)
-    }
+    // native codegen'd cell assignment — plan-embedded centroid table,
+    // no closure UDF in the ANN hot path (r15 verdict #4)
+    def bestCell(c: Column): Column =
+      graft.functions.NearestCell.nearestCell(c, cents)
     val centroids = cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -2251,10 +2251,10 @@ object SimilarityOps {
     val pvals = Seq(1, 2, 4, 8)
     val e = withVec(Tables.embeddings(spark, sfDir)).localCheckpoint()
     val cents = trainIvfCentroids(e, nCells)
-    val bcCents = spark.sparkContext.broadcast(cents)
-    val bestCell = udf { (v: Seq[Double]) =>
-      nearestCell(bcCents.value, v.toArray)
-    }
+    // native codegen'd cell assignment — plan-embedded centroid table,
+    // no closure UDF in the ANN hot path (r15 verdict #4)
+    def bestCell(c: Column): Column =
+      graft.functions.NearestCell.nearestCell(c, cents)
     val assigned = e
       .select(col("vec_id"), col("vec"), col("norm"),
         bestCell(col("vec")).as("cell"))

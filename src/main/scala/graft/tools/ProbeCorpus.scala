@@ -30,13 +30,68 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeCorpus {
 
+  /** One-line JSON manifest identifying a generated corpus — written
+    * next to the tables on success and compared verbatim before a
+    * keepDir is reused (r15 advice: a crashed mid-generation run or a
+    * corpus built for different args must be regenerated, not silently
+    * relabeled).
+    */
+  def manifestLine(sfDir: String, copies: Int,
+      heaps: Boolean = false): String =
+    s"""{"sfDir":"$sfDir","copies":$copies,"heaps":$heaps,""" +
+      """"tables":["documents","embeddings","events","region","nation",""" +
+      """"customer","supplier","part","orders","lineitem"]}"""
+
+  /** Token-vocabulary growth factor of the Heaps-law corpus: variants
+    * per base token ≈ √copies, so total vocabulary grows as N^0.5 —
+    * the exponent the fixture's own `text_vocab_growth` curve measures
+    * (Heaps' law β ≈ 0.5 on real corpora).
+    */
+  def heapsVocabFactor(copies: Int): Int =
+    math.max(1, math.ceil(math.sqrt(copies.toDouble)).toInt)
+
+  /** Generate the ×N corpus. `heaps = true` switches documents and
+    * embeddings to the KEY-SPACE-GROWING variant for the four
+    * bucket-quadratic audit ops (dedup_ngram_jaccard /
+    * dedup_recall_audit / embedding_neardup / emb_knn_graph), whose
+    * candidate stage is Σ(bucket occupancy²) by construction:
+    *
+    *  - documents: each copy's tokens are salted with a deterministic
+    *    variant id in [0, √N) — hash(token, copy) mod √N — so token
+    *    vocabulary grows ∝ N^0.5 (Heaps' law, matching the fixture's
+    *    own `text_vocab_growth` exponent) while per-copy token counts,
+    *    lengths-in-tokens and doc structure are preserved. k-shingle
+    *    variant space then grows as min(N, √N^k) ≥ N for k ≥ 2, so
+    *    prefix-filter posting lists keep the BASE fixture's occupancy
+    *    instead of growing ×N (which made candidates ×N² and pushed
+    *    the ×100 point past the host's spill budget — the r15
+    *    documented boundary).
+    *  - embeddings: the usual per-copy rotation/sign-flip PLUS label
+    *    salting (label + copy·nLabels): the label IS the blocking key
+    *    of the two pair-tiling ops, so block count grows ×N and
+    *    per-block occupancy stays at the fixture's own level — the
+    *    regime a bounded-block audit op is designed for. Cross-copy
+    *    cosines stay near zero exactly as in the default corpus.
+    *
+    * The default (heaps = false) corpus is unchanged — fixed vocab and
+    * label space, the adversarial worst case every other query is
+    * probed against.
+    */
   def generate(spark: SparkSession, sfDir: String, dir: String,
-      copies: Int, includeTpch: Boolean = false): Unit = {
+      copies: Int, includeTpch: Boolean = false,
+      heaps: Boolean = false): Unit = {
     if (includeTpch) generateTpch(spark, sfDir, dir, copies)
+    val vocabF = heapsVocabFactor(copies)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDoc = docs.selectExpr("max(doc_id)").head().getLong(0) + 1
     (0 until copies).map { c =>
       if (c == 0) docs
+      else if (heaps)
+        docs.selectExpr(s"doc_id + ${c * nDoc} as doc_id",
+          "concat_ws(' ', transform(split(text, ' '), " +
+            s"t -> concat(t, '_', pmod(crc32(cast(concat(t, '#', $c) " +
+            s"as binary)), $vocabF)))) as text",
+          "lang", "source", "n_chars")
       else docs.selectExpr(s"doc_id + ${c * nDoc} as doc_id",
         "concat_ws(' ', transform(array_sort(transform(split(text, ' '), " +
           s"(t, i) -> struct(md5(concat(t, '#', i, '#', $c)) as k, t as v))), " +
@@ -47,15 +102,18 @@ object ProbeCorpus {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nVec = emb.selectExpr("max(vec_id)").head().getLong(0) + 1
     val dim = emb.selectExpr("size(embedding)").head().getInt(0)
+    val nLab = emb.selectExpr("max(label)").head().getInt(0) + 1
     (0 until copies).map { c =>
       if (c == 0) emb
       else {
         val r = 1 + (c - 1) % (dim - 1)
         val sign = if (((c - 1) / (dim - 1)) % 2 == 1) "-" else ""
+        val labelExpr = if (heaps) s"label + ${c * nLab} as label"
+          else "label"
         emb.selectExpr(s"vec_id + ${c * nVec} as vec_id",
           s"transform(concat(slice(embedding, ${r + 1}, ${dim - r}), " +
             s"slice(embedding, 1, $r)), x -> ${sign}x) as embedding",
-          "label")
+          labelExpr)
       }
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")

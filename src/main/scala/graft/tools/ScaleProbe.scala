@@ -22,11 +22,16 @@ object ScaleProbe {
     // optional 5th arg: a REUSABLE corpus dir — generated there on
     // first use, kept afterwards (r15: the ×100 sweep over the ~125
     // remaining queries runs as several batches; regenerating the
-    // ~GB corpus per batch would dominate the sweep)
-    val (Array(sfDir, copiesS, outJson, names), keepDir) = args match {
-      case Array(a, b, c, d, k) => (Array(a, b, c, d), Some(k))
-      case _ => (args, None)
-    }
+    // ~GB corpus per batch would dominate the sweep). Optional 6th
+    // arg `heaps`: the Heaps-law key-space-growing corpus for the
+    // four bucket-quadratic audit ops (see [[ProbeCorpus.generate]]).
+    val (Array(sfDir, copiesS, outJson, names), keepDir, heaps) =
+      args match {
+        case Array(a, b, c, d, k, "heaps") =>
+          (Array(a, b, c, d), Some(k), true)
+        case Array(a, b, c, d, k) => (Array(a, b, c, d), Some(k), false)
+        case _ => (args, None, false)
+      }
     val copies = copiesS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -54,13 +59,23 @@ object ScaleProbe {
 
     val dir = keepDir.map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Files.createTempDirectory("graft_scaleprobe"))
-    val reusing = keepDir.exists(k =>
-      java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(k, "documents.parquet")))
+    // reuse only a corpus whose manifest matches THESE args — a crashed
+    // mid-generation run (documents written, embeddings missing) or a
+    // corpus built for a different sfDir/copies must be regenerated,
+    // not silently relabeled (r15 advice)
+    val manifestPath = dir.resolve("MANIFEST.json")
+    val manifest = ProbeCorpus.manifestLine(sfDir, copies, heaps)
+    val reusing = keepDir.nonEmpty &&
+      java.nio.file.Files.exists(manifestPath) &&
+      java.nio.file.Files.readString(manifestPath) == manifest
     try {
-      if (!reusing)
+      if (!reusing) {
+        java.nio.file.Files.deleteIfExists(manifestPath)
         ProbeCorpus.generate(spark, sfDir, dir.toString, copies,
-          includeTpch = true)
+          includeTpch = true, heaps = heaps)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.writeString(manifestPath, manifest)
+      }
       // one-time data-organization cost, outside the timed probes
       // (mirrors Bench.layoutSetup) so q26/q29/q30 probe the
       // exchange-free/pruned READ path, not a parquet write
@@ -91,6 +106,10 @@ object ScaleProbe {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val line =
         s"""{"metric":"scale_probe","base_sf":"$sfDir","copies":$copies,""" +
+          s""""heaps_corpus":$heaps,""" +
+          (if (heaps)
+            s""""vocab_growth_rule":"token vocab x ceil(sqrt(copies)) = x${ProbeCorpus.heapsVocabFactor(copies)} (Heaps beta=0.5); embedding label space x copies","""
+          else "") +
           s""""scaled_tables":["documents","embeddings","events",""" +
           s""""customer","orders","lineitem","part","supplier"],""" +
           s""""flag_threshold":$flagBar,""" +
