@@ -605,6 +605,98 @@ object PipelineOps {
        |FROM census
        |ORDER BY lang, split""".stripMargin
 
+  /** Cross-split contamination report at the 5-gram level — the
+    * leakage audit a training pipeline runs AFTER splitting (the
+    * GPT-3/PaLM-style "n-gram overlap between train and eval"
+    * decontamination check, turned on the pipeline's own split): for
+    * every ordered split pair (a < b lexicographically), how many
+    * distinct word 5-grams occur in BOTH splits, each side's distinct
+    * 5-gram count, and the leaked share of side b in ppm
+    * (half-up integer rounding). Exact-duplicate doc leakage is the
+    * degenerate case (every shingle shared); shingle granularity
+    * also catches partial/near-dup leakage that doc-hash checks miss
+    * — the reason eval decontamination is specified in n-grams.
+    *
+    * Same split rule as [[trainSplit]] (md5("split42:"+doc_id) 4-hex
+    * thresholds: 90/5/5) and the same 5-gram construction as
+    * [[graft.text.TextOps.textDecontaminate]], so the three audits
+    * compose. A pair with zero shared shingles drops out of the
+    * report in both engines (inner joins).
+    *
+    * Scale shape: the (split, shingle) presence set is ONE distinct
+    * (shuffle keyed on both columns — map-side combined); the overlap
+    * is an equi-join on shingle whose key count grows with corpus
+    * vocabulary (no fixed-key skew ceiling); census denominators are
+    * a 3-row broadcast. Output ≤ 3 rows.
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 5
+    val h = substring(
+      md5(concat(lit("split42:"), col("doc_id").cast("string"))), 1, 4)
+    val presence = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= k)
+      .withColumn("split",
+        when(h < lit(f"${58982}%04x"), "train")
+          .when(h < lit(f"${62259}%04x"), "val")
+          .otherwise("test"))
+      .select(col("split"), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(tk) - $k),
+           |  i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+           |                 tk[i+4])))""".stripMargin)).as("sh"))
+      .distinct()
+      .localCheckpoint() // read thrice: census + both pair-join sides
+    val census = presence.groupBy("split")
+      .agg(count(lit(1)).as("n_distinct"))
+    val pairs = presence.as("a").join(presence.as("b"),
+        col("a.sh") === col("b.sh") && col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(census
+        .withColumnRenamed("split", "split_a")
+        .withColumnRenamed("n_distinct", "n_a")), "split_a")
+      .join(broadcast(census
+        .withColumnRenamed("split", "split_b")
+        .withColumnRenamed("n_distinct", "n_b")), "split_b")
+      .select(col("split_a"), col("split_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("(n_shared * 1000000L + n_b div 2) div n_b")
+          .as("leak_ppm_of_b"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 5),
+       |s AS (
+       |  SELECT CASE
+       |      WHEN substr(md5('split42:' || doc_id::VARCHAR), 1, 4)
+       |        < '${f"${58982}%04x"}' THEN 'train'
+       |      WHEN substr(md5('split42:' || doc_id::VARCHAR), 1, 4)
+       |        < '${f"${62259}%04x"}' THEN 'val'
+       |      ELSE 'test' END AS split,
+       |    unnest(list_distinct(list_transform(
+       |      generate_series(1, len(tk) - 4),
+       |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+       |                     tk[i+4])))) AS sh
+       |  FROM t),
+       |p AS (SELECT DISTINCT split, sh FROM s),
+       |census AS (SELECT split, count(*)::BIGINT AS nd FROM p
+       |           GROUP BY split),
+       |pairs AS (
+       |  SELECT a.split AS split_a, b.split AS split_b,
+       |    count(*)::BIGINT AS n_shared
+       |  FROM p a JOIN p b ON a.sh = b.sh AND a.split < b.split
+       |  GROUP BY 1, 2)
+       |SELECT split_a, split_b, n_shared, ca.nd AS n_a, cb.nd AS n_b,
+       |  ((n_shared * 1000000 + cb.nd // 2) // cb.nd)::BIGINT
+       |    AS leak_ppm_of_b
+       |FROM pairs JOIN census ca ON ca.split = pairs.split_a
+       |           JOIN census cb ON cb.split = pairs.split_b
+       |ORDER BY split_a, split_b""".stripMargin
+
   /** Deterministic global shuffle + resharding — the "shuffle the
     * corpus before training" step, as a pure function of doc_id:
     * every doc's position in the permutation is the rank of
@@ -1845,6 +1937,7 @@ object PipelineOps {
       ("pipe_repeat_upsample", repeatUpsampleCensus _,
         repeatUpsampleCensusSql),
       ("pipe_train_split", trainSplit _, trainSplitSql),
+      ("pipe_split_leakage", splitLeakage _, splitLeakageSql),
       ("pipe_global_shuffle",
         ((s: SparkSession, d: String) => globalShuffle(s, d)),
         globalShuffleSql),

@@ -1502,7 +1502,18 @@ object EventWindows {
     * bounded by the calendar, the [[graft.text.TextOps]] census
     * argument), and the recursion is O(days) driver-free codegen.
     */
-  def holtWinters(spark: SparkSession, sfDir: String): DataFrame = {
+  def holtWinters(spark: SparkSession, sfDir: String): DataFrame =
+    holtWintersCore(dailySeries(spark, sfDir))
+      .orderBy("event_type", "h")
+
+  /** Dense per-type DAILY count series (event_type, ys: array<bigint>)
+    * — the shared spine of the exact-recursion family ([[holtWinters]],
+    * [[cusum]]): one corpus scan to the (type × day) census, a
+    * calendar-bounded grid (per-type min day to the GLOBAL max day),
+    * zero-filled gaps, one array per type ordered by day.
+    */
+  private[streaming] def dailySeries(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val dayUs = 86400L * 1000000L
     val sparse = Tables.events(spark, sfDir)
       .groupBy(col("event_type"),
@@ -1513,13 +1524,11 @@ object EventWindows {
       .crossJoin(broadcast(sparse.agg(max("day").as("d1"))))
       .select(col("event_type"),
         explode(sequence(col("d0"), col("d1"))).as("day"))
-    val daily = grid.join(sparse, Seq("event_type", "day"), "left")
+    grid.join(sparse, Seq("event_type", "day"), "left")
       .withColumn("y", coalesce(col("y"), lit(0L)))
-    holtWintersCore(daily
       .groupBy("event_type")
       .agg(expr("transform(sort_array(collect_list(struct(day, y))), " +
-        "x -> x.y)").as("ys")))
-      .orderBy("event_type", "h")
+        "x -> x.y)").as("ys"))
   }
 
   /** The exact-integer Holt-Winters recursion over pre-built
@@ -1571,10 +1580,12 @@ object EventWindows {
         col("col").as("forecast_e2"))
   }
 
-  val holtWintersSql: String = {
-    val L = "((200000 * (ys[t] * 1000000 - s[1]) " +
-      "+ 800000 * (l + b)) // 1000000)"
-    s"""WITH RECURSIVE sparse AS (
+  /** The [[dailySeries]] spine as DuckDB CTEs — shared verbatim by the
+    * recursion-family oracles so the two engines' series can never
+    * drift apart; `minDays` is each operator's skip threshold.
+    */
+  private def dailySeriesSqlCtes(minDays: Int): String =
+    s"""sparse AS (
        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
        |    count(*)::BIGINT AS y
        |  FROM events GROUP BY 1, 2),
@@ -1590,7 +1601,12 @@ object EventWindows {
        |series AS (
        |  SELECT event_type, list(y ORDER BY day) AS ys
        |  FROM daily GROUP BY event_type
-       |  HAVING count(*) >= 14),
+       |  HAVING count(*) >= $minDays)""".stripMargin
+
+  val holtWintersSql: String = {
+    val L = "((200000 * (ys[t] * 1000000 - s[1]) " +
+      "+ 800000 * (l + b)) // 1000000)"
+    s"""WITH RECURSIVE ${dailySeriesSqlCtes(14)},
        |init AS (
        |  SELECT event_type, ys,
        |    (list_sum(ys[1:7]) * 1000000) // 7 AS l0,
@@ -1619,7 +1635,104 @@ object EventWindows {
        |ORDER BY event_type, h""".stripMargin
   }
 
+  /** Two-sided CUSUM change-point curve over the dense per-type daily
+    * series — the sequential drift detector a data pipeline runs on its
+    * ingest volumes (Page's cumulative-sum test): against a baseline
+    * mean μ from the first in-control week, accumulate
+    * s⁺_t = max(0, s⁺_{t−1} + (y_t − μ − k)) upward and
+    * s⁻_t = max(0, s⁻_{t−1} + (μ − k − y_t)) downward, and alarm when
+    * either side crosses the decision threshold h. A level SHIFT that
+    * is too small for any single day to flag accumulates until CUSUM
+    * fires — the classic complement to the per-point 3σ/MAD monitors
+    * ([[anomalyHours]] family).
+    *
+    * Exact-integer contract (the [[holtWinters]] recursion pattern —
+    * the catalog's second cross-engine IIR recursion, sharing the
+    * [[dailySeries]] spine and the generative property-spec
+    * discipline): state is e6 fixed-point int64, updates are additions
+    * and max(0, ·) only — NO division inside the recursion, so there
+    * is not even a truncation direction to agree on. Spark replays it
+    * as an `aggregate` HOF whose accumulator carries the full emitted
+    * history (an array append per step — the series is
+    * calendar-bounded); DuckDB as a recursive CTE emitting one row per
+    * step. Parameters are count-scaled for integer exactness:
+    * allowance k = μ/20 (5% of level), threshold h = μ/2 — a
+    * documented deviation from the σ-scaled textbook form, which
+    * would need a square root. Types with <8 observed days (baseline
+    * week + at least one monitored day) are skipped identically in
+    * both engines. Curve semantics: NON-resetting after an alarm (the
+    * full excursion shape is the point of the artifact); the alarm
+    * column marks every day the statistic sits above h.
+    *
+    * Scale shape: identical to [[holtWinters]] — one corpus scan, one
+    * calendar-bounded array per type, O(days) codegen'd recursion, no
+    * driver loop.
+    */
+  def cusum(spark: SparkSession, sfDir: String): DataFrame =
+    cusumCore(dailySeries(spark, sfDir)).orderBy("event_type", "t")
+
+  /** The CUSUM recursion over pre-built (event_type, ys) series —
+    * split out like [[holtWintersCore]] so CusumPropertySpec drives
+    * the production expressions with generated series.
+    */
+  private[streaming] def cusumCore(series: DataFrame): DataFrame = {
+    // new state inlined twice per field (no lets in SQL lambdas)
+    val SP = "greatest(0L, st.sp + (y * 1000000L - mu - kk))"
+    val SN = "greatest(0L, st.sn + (mu - kk - y * 1000000L))"
+    val agg =
+      s"""aggregate(
+         |  slice(ys, 8, size(ys) - 7),
+         |  named_struct('sp', 0L, 'sn', 0L,
+         |    'hist', cast(array() as array<struct<sp:bigint,sn:bigint>>)),
+         |  (st, y) -> named_struct(
+         |    'sp', $SP,
+         |    'sn', $SN,
+         |    'hist', concat(st.hist,
+         |      array(named_struct('sp', $SP, 'sn', $SN)))))""".stripMargin
+    series
+      .filter(size(col("ys")) >= 8)
+      .withColumn("mu", expr(
+        "(aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x) * 1000000L) div 7"))
+      .withColumn("kk", expr("mu div 20"))
+      .withColumn("hh", expr("mu div 2"))
+      .withColumn("st", expr(agg))
+      .select(col("event_type"),
+        size(col("ys")).cast("long").as("n_days"),
+        expr("mu div 10000").as("mu_e2"), col("hh"),
+        posexplode(col("st.hist")))
+      .select(col("event_type"), col("n_days"), col("mu_e2"),
+        (col("pos") + 8).cast("long").as("t"),
+        expr("col.sp div 10000").as("sp_e2"),
+        expr("col.sn div 10000").as("sn_e2"),
+        (col("col.sp") > col("hh")).cast("int").as("up_alarm"),
+        (col("col.sn") > col("hh")).cast("int").as("down_alarm"))
+  }
+
+  val cusumSql: String =
+    s"""WITH RECURSIVE ${dailySeriesSqlCtes(8)},
+       |init AS (
+       |  SELECT event_type, ys, len(ys)::BIGINT AS n_days,
+       |    (list_sum(ys[1:7]) * 1000000) // 7 AS mu
+       |  FROM series),
+       |rec AS (
+       |  SELECT event_type, ys, n_days, mu, 8 AS t,
+       |    0::BIGINT AS sp, 0::BIGINT AS sn
+       |  FROM init
+       |  UNION ALL
+       |  SELECT event_type, ys, n_days, mu, t + 1,
+       |    greatest(0, sp + (ys[t] * 1000000 - mu - mu // 20))::BIGINT,
+       |    greatest(0, sn + (mu - mu // 20 - ys[t] * 1000000))::BIGINT
+       |  FROM rec WHERE t <= len(ys))
+       |SELECT event_type, n_days, (mu // 10000)::BIGINT AS mu_e2,
+       |  (t - 1)::BIGINT AS t,
+       |  (sp // 10000)::BIGINT AS sp_e2, (sn // 10000)::BIGINT AS sn_e2,
+       |  (sp > mu // 2)::INT AS up_alarm,
+       |  (sn > mu // 2)::INT AS down_alarm
+       |FROM rec WHERE t > 8
+       |ORDER BY event_type, t""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ev_cusum", cusum _, cusumSql),
     ("ev_holt_winters", holtWinters _, holtWintersSql),
     ("ev_lorenz_curve", lorenzCurve _, lorenzCurveSql),
     ("ev_user_activity_hist", userActivityHist _, userActivityHistSql),
