@@ -15,6 +15,12 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 REPO="$PWD"
 
+# one A/B at a time: the worktree and /tmp/ab_{old,new}.json are shared
+# paths — a concurrent run would merge pass times from two different
+# builds into one artifact (review finding, r16)
+exec 9>/tmp/graft_ab.lock
+flock -n 9 || { echo "[ab] another ab_bench.sh is running; aborting" >&2; exit 1; }
+
 OLD_REF="${1:-$(git log --grep='^round .*: verdict' -1 --format=%H)}"
 OUT="${2:-AB_r16.json}"
 # Pinned panel: one representative per family plus every query a recent

@@ -48,18 +48,25 @@ object Bench {
     *    instead of diffing four per-pass maps; -1 when no pass stands
     *    out.
     */
+  /** (max−min)/min percent spread of the three fastest totals — ONE
+    * definition for the published `pass_spread_best3_pct` and the
+    * `host_degraded` verdict derived from it, so they cannot
+    * desynchronize. -1 on degenerate inputs.
+    */
+  def best3SpreadPct(passTotals: Seq[Double]): Double = {
+    val best3 = passTotals.sorted.take(3)
+    if (best3.size < 2 || best3.min <= 0) -1.0
+    else (best3.max - best3.min) / best3.min * 100.0
+  }
+
   def degradedVerdict(passTotals: Seq[Double],
       barPct: Double = 15.0): (Boolean, Int) = {
-    val best3 = passTotals.sorted.take(3)
-    val spreadB3 =
-      if (best3.size < 2 || best3.min <= 0) -1.0
-      else (best3.max - best3.min) / best3.min * 100.0
     val allSpread =
       if (passTotals.size < 2 || passTotals.min <= 0) -1.0
       else (passTotals.max - passTotals.min) / passTotals.min * 100.0
     val culprit =
       if (allSpread > 10.0) passTotals.indexOf(passTotals.max) + 1 else -1
-    (spreadB3 > barPct, culprit)
+    (best3SpreadPct(passTotals) > barPct, culprit)
   }
 
   /** Where the full bench artifact may be written: a degraded run is
@@ -74,10 +81,13 @@ object Bench {
     if (!degraded) out
     else {
       val p = java.nio.file.Paths.get(out)
+      // FAIL CLOSED: an existing-but-unreadable prior artifact is
+      // treated as clean (divert), so a read hiccup can never let a
+      // degraded run destroy a clean record (review finding, r16)
       val priorClean = java.nio.file.Files.exists(p) && {
         try !java.nio.file.Files.readString(p)
           .contains("\"host_degraded\":true")
-        catch { case _: Throwable => false }
+        catch { case _: Throwable => true }
       }
       if (priorClean) out + ".degraded" else out
     }
@@ -677,9 +687,8 @@ object Bench {
     // all-passes spread stays published right next to it, so nothing
     // is hidden, just attributed
     val spreadBest3Pct = {
-      val best3 = passTotals.sorted.take(3)
-      if (best3.size < 2 || best3.min <= 0) -1.0
-      else math.round((best3.max - best3.min) / best3.min * 1000) / 10.0
+      val s = best3SpreadPct(passTotals)
+      if (s < 0) -1.0 else math.round(s * 10) / 10.0
     }
     // r15 #2/#6: one boolean verdict + the culprit pass index, so a
     // reader never has to diff four pass maps to decide "regression or

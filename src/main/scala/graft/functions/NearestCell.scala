@@ -27,8 +27,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * assignment loop of the reference's ANN module (`reference` ann
   * index build — assign each vector to its nearest coarse centroid).
   *
-  * Null if the input is null; a length mismatch against the centroid
-  * dim is a hard error (it is a build bug, not a data condition).
+  * Null if the input is null OR any element is null (standard SQL
+  * semantics — the unsafe buffer would otherwise read a null element
+  * as 0.0 and return a wrong cell); a length mismatch against the
+  * centroid dim is a hard error (a build bug, not a data condition).
   */
 case class NearestCell(child: Expression, cents: Array[Array[Double]])
     extends UnaryExpression {
@@ -47,7 +49,7 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
     }
 
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = true // null input OR null element
 
   /** Flattened row-major copy for the generated code: one reference
     * object, cache-linear scan order. */
@@ -67,6 +69,11 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
     val n = v.numElements()
     require(n == dim,
       s"nearest_cell: input dim $n != centroid dim $dim")
+    // a null ELEMENT nulls the whole result (standard SQL semantics;
+    // the unsafe buffer would otherwise silently read it as 0.0 and
+    // return a wrong cell)
+    var i0 = 0
+    while (i0 < n) { if (v.isNullAt(i0)) return null; i0 += 1 }
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cents.length) {
       var d = 0.0; var i = 0; val off = c * dim
@@ -86,6 +93,7 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
     val d = dim
     nullSafeCodeGen(ctx, ev, v => {
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       val c = ctx.freshName("c")
       val off = ctx.freshName("off")
       val dist = ctx.freshName("dist")
@@ -96,16 +104,21 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
          |  throw new IllegalArgumentException(
          |    "nearest_cell: input dim " + $v.numElements() + " != $d");
          |}
-         |double $bestD = Double.MAX_VALUE;
-         |${ev.value} = 0;
-         |for (int $c = 0; $c < $nCells; $c++) {
-         |  double $dist = 0.0;
-         |  final int $off = $c * $d;
-         |  for (int $i = 0; $i < $d; $i++) {
-         |    final double $t = $v.getDouble($i) - $flatRef[$off + $i];
-         |    $dist += $t * $t;
+         |for (int $j = 0; $j < $d; $j++) {
+         |  if ($v.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  double $bestD = Double.MAX_VALUE;
+         |  ${ev.value} = 0;
+         |  for (int $c = 0; $c < $nCells; $c++) {
+         |    double $dist = 0.0;
+         |    final int $off = $c * $d;
+         |    for (int $i = 0; $i < $d; $i++) {
+         |      final double $t = $v.getDouble($i) - $flatRef[$off + $i];
+         |      $dist += $t * $t;
+         |    }
+         |    if ($dist < $bestD) { $bestD = $dist; ${ev.value} = $c; }
          |  }
-         |  if ($dist < $bestD) { $bestD = $dist; ${ev.value} = $c; }
          |}
        """.stripMargin
     })

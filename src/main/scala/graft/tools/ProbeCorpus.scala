@@ -87,11 +87,18 @@ object ProbeCorpus {
     (0 until copies).map { c =>
       if (c == 0) docs
       else if (heaps)
+        // n_chars is RECOMPUTED: the variant suffix lengthens every
+        // token, and metadata that contradicts the text would skew
+        // any n_chars-consuming query probed on this corpus (review
+        // finding, r16); the default variant permutes tokens and
+        // keeps length exact, so it passes n_chars through
         docs.selectExpr(s"doc_id + ${c * nDoc} as doc_id",
           "concat_ws(' ', transform(split(text, ' '), " +
             s"t -> concat(t, '_', pmod(crc32(cast(concat(t, '#', $c) " +
             s"as binary)), $vocabF)))) as text",
-          "lang", "source", "n_chars")
+          "lang", "source")
+          .selectExpr("doc_id", "text", "lang", "source",
+            "cast(length(text) as bigint) as n_chars")
       else docs.selectExpr(s"doc_id + ${c * nDoc} as doc_id",
         "concat_ws(' ', transform(array_sort(transform(split(text, ' '), " +
           s"(t, i) -> struct(md5(concat(t, '#', i, '#', $c)) as k, t as v))), " +

@@ -57,5 +57,19 @@ class BenchGateSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       """{"total_min":57.1}""")
     assert(Bench.artifactTarget(out, degraded = true) == out + ".degraded")
+    // fail CLOSED: an existing-but-unreadable prior diverts too (a
+    // read hiccup must never let a degraded run destroy a record)
+    val locked = dir.resolve("unreadable").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(locked))
+    assert(Bench.artifactTarget(locked, degraded = true)
+      == locked + ".degraded")
+  }
+
+  test("published best-3 spread and the verdict share one definition") {
+    val r15 = Seq(112.0, 621.3, 112.8, 206.9)
+    // best-3 = [112.0, 112.8, 206.9] -> (206.9-112.0)/112.0 = 84.73%
+    assert(math.abs(Bench.best3SpreadPct(r15) - 84.73) < 0.01)
+    assert(Bench.best3SpreadPct(Seq(57.0)) == -1.0)
+    assert(Bench.best3SpreadPct(Seq.empty) == -1.0)
   }
 }

@@ -80,6 +80,24 @@ class NearestCellSpec extends SparkSuite {
     assert(ex.getMessage != null)
   }
 
+  test("a null ELEMENT nulls the result in both eval paths") {
+    // the unsafe buffer would otherwise read a null element as 0.0
+    // and silently return a wrong cell (review finding, r16)
+    val cents = Array(Array(0.0, 0.0), Array(5.0, 5.0))
+    val got = spark.sql(
+      "select cast(array(5.0, null) as array<double>) as v")
+      .select(NearestCell.nearestCell(col("v"), cents))
+      .collect().head
+    assert(got.isNullAt(0), "codegen path must null, not read 0.0")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = NearestCell(Literal.create(
+      new GenericArrayData(Array[Any](5.0, null)),
+      ArrayType(DoubleType, containsNull = true)), cents)
+    assert(e.eval(null) == null, "interpreted path must null, not NPE")
+  }
+
   test("assignment stage whole-stage-codegens, no ScalaUDF") {
     // mirror the production shape: vec is materialized (localCheckpoint
     // in the IVF ops) BEFORE assignment — the float→double transform is

@@ -36,6 +36,10 @@ class HeapsCorpusSpec extends SparkSuite {
     val tokN = docs.selectExpr("sum(size(split(text, ' ')))")
       .head().getLong(0)
     assert(tokN == copies * tokBase)
+    // metadata consistency: the variant suffix lengthens tokens, so
+    // n_chars must be recomputed, never copied (review finding, r16)
+    assert(docs.filter("n_chars <> length(text)").count() == 0,
+      "n_chars out of sync with salted text")
 
     // labels: the blocking key of the pair-tiling ops grows ×N, so
     // per-label occupancy stays at the fixture's own level
