@@ -741,8 +741,143 @@ object GraphOps {
        |    6) AS assortativity
        |FROM agg""".stripMargin
 
+  /** Per-direction neighbor cap of [[graphLinkPred]]'s pruned
+    * adjacency (see there for why BOTH directions must be capped). */
+  val LinkPredNbrCap = 16
+
+  /** Common-neighbor Jaccard link prediction over the item graph
+    * (Liben-Nowell & Kleinberg 2003) — the "items that SHOULD be
+    * connected but aren't yet" primitive a recommender mines for
+    * candidate generation: for every non-adjacent item pair at
+    * distance 2, score = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, report each
+    * node's top-k predicted NEW neighbors. Complements
+    * [[graphItemCooccur]] (which ranks EXISTING co-occurrence edges):
+    * the anti-join against the edge list is what makes this
+    * prediction rather than description.
+    *
+    * Scale design — the MUTUAL-CAP pruned graph: capping only each
+    * node's out-list (keep-smallest `nbrCap`, the one-exchange
+    * [[graft.functions.BottomKDistinct]] aggregate) still leaves hub
+    * IN-degree unbounded, and the common-neighbor expansion through a
+    * hub x is Σ_x deg(x)² — a crawler-magnet item would melt it. So
+    * the graph is pruned to MUTUAL capped edges (v↔n kept iff n is in
+    * v's capped list AND v is in n's: one self-semi-join), which
+    * bounds degree at `nbrCap` in BOTH directions; the hub expansion
+    * is then ≤ |nodes|·nbrCap² — linear in nodes — and the pruned
+    * adjacency is symmetric, so shared-hub counts equal
+    * |N(a) ∩ N(b)| exactly and cn ≤ min(d_a, d_b) keeps the union
+    * denominator positive.
+    *
+    * The cap keeps the nbrCap neighbors SMALLEST BY EDGE HASH (the
+    * [[graft.functions.TopKByScore]] one-exchange aggregate over
+    * score = −hash, id tiebreak; hash = first 13 hex chars of
+    * md5("a:b") → a 52-bit int, chosen to be EXACT in the
+    * aggregate's double-score heap AND in the oracle's BIGINT sort
+    * key), NOT smallest-by-id: a deterministic hash order is an
+    * unbiased reservoir over each neighborhood, where keep-smallest-
+    * by-id makes every node keep the same low-id items — the pruned
+    * graph collapses to a near-clique whose distance-2 closure is
+    * empty (measured: zero predictions at sf0.01 under id order, a
+    * healthy candidate set under hash order). Every join is an
+    * equi-join on node keys; the top-k window gets the map-side
+    * WindowGroupLimit like every rank window here. The oracle replays
+    * the identical pruned graph via the window formulation of the
+    * hash-ordered cap.
+    */
+  def graphLinkPred(spark: SparkSession, sfDir: String,
+      cap: Int = ItemGraphCap, nbrCap: Int = LinkPredNbrCap,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = userItemPairs(cappedInteractions(spark, sfDir, cap))
+      .distinct()
+      .localCheckpoint() // read twice: adjacency build + anti-join
+    val sym = symmetrized(edges)
+    // 52-bit edge hash: exact in the aggregate's double heap AND in
+    // the oracle's BIGINT sort key (see the scaladoc)
+    val edgeHash = expr(
+      "cast(conv(substring(md5(concat(cast(a as string), ':', " +
+        "cast(b as string))), 1, 13), 16, 10) as double)")
+    val capped = sym
+      .groupBy(col("a").as("v"))
+      .agg(graft.functions.TopKByScore
+        .topkIds(-edgeHash, col("b").cast("long"), nbrCap).as("nbrs"))
+      .select(col("v"), explode(col("nbrs")).as("nbr_l"))
+      .select(col("v"), col("nbr_l").cast("int").as("nbr"))
+    val mutual = capped.join(
+        capped.select(col("nbr").as("v"), col("v").as("nbr")),
+        Seq("v", "nbr"), "left_semi")
+      .localCheckpoint() // read thrice: degrees + both hub-join sides
+    val deg = mutual.groupBy("v").agg(count(lit(1)).as("d"))
+    val cand = mutual.as("p").join(mutual.as("q"),
+        col("p.v") === col("q.v") && col("p.nbr") < col("q.nbr"))
+      .groupBy(col("p.nbr").as("a"), col("q.nbr").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    val newPairs = cand.join(edges, Seq("a", "b"), "left_anti")
+    val scored = newPairs
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .withColumn("jac_e6", expr("cn * 1000000L div (da + db - cn)"))
+      .select("a", "b", "cn", "jac_e6")
+    val symScored = scored.unionByName(scored.select(
+      col("b").as("a"), col("a").as("b"), col("cn"), col("jac_e6")))
+    val w = Window.partitionBy("a").orderBy(desc("jac_e6"), asc("b"))
+    symScored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("a"), col("b"), col("cn"), col("jac_e6"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy("a", "rnk")
+  }
+
+  val graphLinkPredSql: String =
+    s"""WITH ${interCappedSql(ItemGraphCap)},
+       |${distinctPairsSql("edges")},
+       |sym AS (
+       |  SELECT a, b FROM edges
+       |  UNION ALL
+       |  SELECT b AS a, a AS b FROM edges),
+       |adjc AS (
+       |  SELECT v, nbr FROM (
+       |    SELECT a AS v, b AS nbr,
+       |      row_number() OVER (PARTITION BY a ORDER BY
+       |        ('0x' || substr(md5(a::VARCHAR || ':' || b::VARCHAR),
+       |          1, 13))::BIGINT, b) AS rn
+       |    FROM sym)
+       |  WHERE rn <= $LinkPredNbrCap),
+       |mutual AS (
+       |  SELECT c.v, c.nbr FROM adjc c
+       |  JOIN adjc t ON t.v = c.nbr AND t.nbr = c.v),
+       |deg AS (SELECT v, count(*)::BIGINT AS d FROM mutual GROUP BY 1),
+       |cand AS (
+       |  SELECT p.nbr AS a, q.nbr AS b, count(*)::BIGINT AS cn
+       |  FROM mutual p JOIN mutual q
+       |    ON p.v = q.v AND p.nbr < q.nbr
+       |  GROUP BY 1, 2),
+       |newp AS (
+       |  SELECT c.a, c.b, c.cn FROM cand c
+       |  LEFT JOIN edges e ON e.a = c.a AND e.b = c.b
+       |  WHERE e.a IS NULL),
+       |scored AS (
+       |  SELECT n.a, n.b, n.cn,
+       |    (n.cn * 1000000) // (da.d + db.d - n.cn) AS jac_e6
+       |  FROM newp n
+       |  JOIN deg da ON da.v = n.a
+       |  JOIN deg db ON db.v = n.b),
+       |symsc AS (
+       |  SELECT a, b, cn, jac_e6 FROM scored
+       |  UNION ALL
+       |  SELECT b AS a, a AS b, cn, jac_e6 FROM scored),
+       |ranked AS (
+       |  SELECT a, b, cn, jac_e6,
+       |    row_number() OVER (PARTITION BY a
+       |      ORDER BY jac_e6 DESC, b) AS rnk
+       |  FROM symsc)
+       |SELECT a, b, cn, jac_e6, rnk::INT AS rnk
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY a, rnk""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Seq(
+      ("graph_linkpred", graphLinkPred(_, _), graphLinkPredSql),
       ("graph_assortativity",
         graphAssortativity(_, _), graphAssortativitySql),
       ("graph_degree_hist", graphDegreeHist(_, _), graphDegreeHistSql),

@@ -1364,7 +1364,92 @@ object StatsOps {
       |  END AS r2
       |FROM terms ORDER BY event_type""".stripMargin
 
+  /** Reliability diagram + expected calibration error — the companion
+    * eval to [[statAuc]] a training pipeline publishes after every
+    * model push (Guo et al. 2017, "On Calibration of Modern Neural
+    * Networks"): treating the min-max-normalized first embedding
+    * coordinate as the model's confidence p̂ and label 0 one-vs-rest
+    * as the outcome, bucket rows into 10 equal-width confidence bins
+    * and report per bin the count, positives, mean confidence,
+    * observed positive rate, and |confidence − accuracy| gap; ECE =
+    * Σ n_b·gap_b / n rides along as a constant column so the scalar
+    * and the curve ship in one table.
+    *
+    * Exact integers end to end: the score is e4-quantized exactly as
+    * [[statAuc]] (floor(x·10⁴+0.5) — identical IEEE doubles both
+    * engines), normalization and every mean use truncating division
+    * on NON-NEGATIVE operands (floor ≡ trunc, so Spark `div` and
+    * DuckDB `//` agree), positive-rate uses half-up. Bin id =
+    * min(p̂_e6·10 div 10⁶, 9) so p̂ = 1 lands in the top bin.
+    *
+    * Scale shape: one scan for the (min, max) bounds (1-row
+    * broadcast), one scan to the 10-row bin census with map-side
+    * combine; the ECE window runs over ≤10 rows. No shuffle keyed on
+    * anything that grows with the corpus.
+    */
+  def statCalibration(spark: SparkSession, sfDir: String,
+      nBins: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(expr("cast(floor(element_at(embedding, 1) * 10000d + 0.5d)" +
+        " as bigint)").as("q"),
+        (col("label") === 0).cast("long").as("y"))
+    val bounds = e.agg(min("q").as("qmin"), max("q").as("qmax"))
+    val curve = e.crossJoin(broadcast(bounds))
+      .withColumn("p_e6",
+        expr("(q - qmin) * 1000000L div greatest(qmax - qmin, 1L)"))
+      .withColumn("bin", expr(
+        s"cast(least(p_e6 * $nBins div 1000000, ${nBins - 1}) as int)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("p_e6").as("sum_p"))
+      .withColumn("conf_e6", expr("sum_p div n"))
+      .withColumn("acc_e6", expr("(n_pos * 1000000L + n div 2) div n"))
+      .withColumn("gap_e6", abs(col("conf_e6") - col("acc_e6")))
+      .localCheckpoint() // read twice: ECE scalar + the curve rows
+    // ECE as a 1-row broadcast, not a global window — the ≤nBins-row
+    // input makes a window harmless HERE, but an unpartitioned window
+    // is the exact anti-pattern PlanAuditSpec screens every catalog
+    // query for, and the audit can't know the input is bounded
+    val ece = curve.agg(
+      expr("sum(gap_e6 * n) div sum(n)").as("ece_e6"))
+    curve.crossJoin(broadcast(ece))
+      .select("bin", "n", "n_pos", "conf_e6", "acc_e6", "gap_e6",
+        "ece_e6")
+      .orderBy("bin")
+  }
+
+  val statCalibrationSql: String =
+    """WITH e AS (
+      |  SELECT floor(embedding[1]::DOUBLE * 10000 + 0.5)::BIGINT AS q,
+      |    (label = 0)::BIGINT AS y
+      |  FROM embeddings),
+      |b AS (SELECT min(q) AS qmin, max(q) AS qmax FROM e),
+      |p AS (
+      |  SELECT ((q - qmin) * 1000000) // greatest(qmax - qmin, 1)
+      |    AS p_e6, y
+      |  FROM e, b),
+      |census AS (
+      |  SELECT least((p_e6 * 10) // 1000000, 9)::INT AS bin,
+      |    count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+      |    sum(p_e6)::BIGINT AS sum_p
+      |  FROM p GROUP BY 1),
+      |curve AS (
+      |  SELECT bin, n, n_pos,
+      |    (sum_p // n)::BIGINT AS conf_e6,
+      |    ((n_pos * 1000000 + n // 2) // n)::BIGINT AS acc_e6,
+      |    abs((sum_p // n) - ((n_pos * 1000000 + n // 2) // n))::BIGINT
+      |      AS gap_e6
+      |  FROM census),
+      |tot AS (
+      |  SELECT (sum(gap_e6 * n) // sum(n))::BIGINT AS ece_e6 FROM curve)
+      |SELECT bin, n, n_pos, conf_e6, acc_e6, gap_e6, ece_e6
+      |FROM curve, tot
+      |ORDER BY bin""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("stat_calibration",
+      (s: SparkSession, d: String) => statCalibration(s, d),
+      statCalibrationSql),
     ("stat_auc", statAuc _, statAucSql),
     ("stat_ols_trend", statOlsTrend _, statOlsTrendSql),
     ("stat_cov_matrix", statCovMatrix _, statCovMatrixSql),
