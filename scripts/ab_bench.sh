@@ -22,13 +22,17 @@ exec 9>/tmp/graft_ab.lock
 flock -n 9 || { echo "[ab] another ab_bench.sh is running; aborting" >&2; exit 1; }
 
 OLD_REF="${1:-$(git log --grep='^round .*: verdict' -1 --format=%H)}"
-OUT="${2:-AB_r16.json}"
+OUT="${2:-AB_r17.json}"
 # Pinned panel: one representative per family plus every query a recent
 # round moved or watched — emb_label_centroid / emb_lda_axis (the r15
 # 2x-bar crossers), ann_ivf_topk / ann_nprobe_curve (the r16 native
 # nearest_cell change), text_bigram_lm / text_dsir_weight (the cleared
-# r14 weak marks), mm_audio_fingerprint (the r15 SPI codec pin).
-PANEL="${3:-q05_top_order_per_customer,q12_daily_events,emb_label_centroid,emb_lda_axis,ann_ivf_topk,ann_nprobe_curve,text_bigram_lm,text_dsir_weight,graph_event_pagerank,dedup_minhash_lsh,mm_audio_fingerprint,ev_holt_winters,pipe_mix_optimizer}"
+# r14 weak marks), mm_audio_fingerprint (the r15 SPI codec pin),
+# graph_degree_hist / graph_item_cooccur (r16 verdict #1: the
+# cappedInteractions int-range filter is the one §2 path r16 touched
+# and read +31-44% at cross-artifact face value — these two seats let
+# the same-host control adjudicate drift vs real cost there).
+PANEL="${3:-q05_top_order_per_customer,q12_daily_events,emb_label_centroid,emb_lda_axis,ann_ivf_topk,ann_nprobe_curve,text_bigram_lm,text_dsir_weight,graph_event_pagerank,graph_degree_hist,graph_item_cooccur,dedup_minhash_lsh,mm_audio_fingerprint,ev_holt_winters,pipe_mix_optimizer}"
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 
@@ -62,15 +66,29 @@ for q in qs:
     d = round((n - o) / o * 100, 1) if o > 0 and n >= 0 else None
     per[q] = {'old_sec': o, 'new_sec': n, 'delta_pct': d,
               'old_passes': old['passes'][q], 'new_passes': new['passes'][q]}
-ot, nt = old['panel_total_min_sec'], new['panel_total_min_sec']
+# r16 advice: totals over the INTERSECTION of succeeded queries — a
+# query failing on one side only must not skew the headline delta by
+# comparing totals over different query subsets. The per-side raw
+# totals stay published; the delta is computed from the common set,
+# and nulled when that set is empty.
+common = [q for q in qs if per[q]['old_sec'] >= 0 and per[q]['new_sec'] >= 0]
+ot = round(sum(per[q]['old_sec'] for q in common), 3)
+nt = round(sum(per[q]['new_sec'] for q in common), 3)
+failed = sorted(set(old.get('failed', [])) |
+                {q for q in qs if per[q]['new_sec'] < 0})
 doc = {
   'metric': 'ab_panel_control',
   'old_ref': old_hash, 'new_ref': new_hash,
   'sf': old['sf'],
-  'protocol': 'same host, same hour, per side: 1 warm + min of 3 timed passes per query; old build checked out via git worktree with this round\'s ABPanel timer dropped in',
+  'protocol': 'same host, same hour, per side: 1 warm + min of %d timed passes per query (GRAFT_AB_PASSES); old build checked out via git worktree with this round\'s ABPanel timer dropped in; totals over the intersection of queries that succeeded on BOTH sides'
+              % max(len(v['old_passes']) for v in per.values()),
   'run_utc': datetime.datetime.now(datetime.timezone.utc).isoformat(timespec='seconds'),
   'panel_total_old_sec': ot, 'panel_total_new_sec': nt,
-  'panel_delta_pct': round((nt - ot) / ot * 100, 1) if ot > 0 else None,
+  'panel_total_old_raw_sec': old['panel_total_min_sec'],
+  'panel_total_new_raw_sec': new['panel_total_min_sec'],
+  'panel_common_queries': len(common),
+  'panel_failed_either_side': failed,
+  'panel_delta_pct': round((nt - ot) / ot * 100, 1) if common and ot > 0 else None,
   'queries': per,
 }
 json.dump(doc, open(out, 'w'), indent=1)

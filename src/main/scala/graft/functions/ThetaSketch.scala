@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.datasketches.memory.Memory
-import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation, Sketches, Union}
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -72,6 +72,52 @@ case class ThetaSketchAgg(
       c: IndexedSeq[Expression]): ThetaSketchAgg = copy(child = c(0))
 }
 
+/** Estimated distinct count of one serialized theta sketch. Replaces
+  * the closure UDF the set-algebra helpers first shipped with: the
+  * sketch decode is the same library call either way (these run over
+  * ≤ a handful of post-aggregation rows, so there is no hot-path
+  * cost), but an Expression keeps the enclosing stage inside
+  * whole-stage codegen and the plan free of opaque ScalaUDF nodes —
+  * finishing the "no UDF where an expression fits" rule (SURVEY §4
+  * C11) across the whole main source.
+  */
+case class ThetaEstimate(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(bytes: Any): Any =
+    ThetaSketch.estimate(bytes.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    // the object's static forwarder makes this a plain static call in
+    // the generated Java — same pattern as Spark's own DateTimeUtils
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ThetaSketch.estimate($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): ThetaEstimate = copy(child = newChild)
+  override def prettyName: String = "theta_estimate"
+}
+
+/** Estimated |A ∩ B| from two serialized theta sketches — the
+  * "audience overlap" scalar ([[ThetaEstimate]] has the why-not-a-UDF
+  * rationale). */
+case class ThetaIntersectEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSketch.intersectEstimate(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ThetaSketch.intersectEstimate($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ThetaIntersectEstimate =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "theta_intersect_estimate"
+}
+
 object ThetaSketch {
   /** Aggregate a string column into a compact theta sketch (binary). */
   def thetaSketch(col: Column, lgK: Int = 14): Column =
@@ -80,14 +126,24 @@ object ThetaSketch {
         .toAggregateExpression())
 
   /** Scalar: estimated |A ∩ B| from two serialized sketches. */
-  val thetaIntersectEst = udf((a: Array[Byte], b: Array[Byte]) => {
-    val i: Intersection = SetOperation.builder().buildIntersection()
+  def thetaIntersectEst(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaIntersectEstimate(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Scalar: estimated distinct count of one serialized sketch. */
+  def thetaEst(a: Column): Column =
+    ColumnBridge.column(ThetaEstimate(ColumnBridge.expression(a)))
+
+  // Static entry points shared by both eval paths (interpreted
+  // nullSafeEval and the generated code above) — ONE decode routine,
+  // so the two paths cannot disagree.
+  def estimate(bytes: Array[Byte]): Long =
+    math.round(Sketches.wrapSketch(Memory.wrap(bytes)).getEstimate)
+
+  def intersectEstimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val i = SetOperation.builder().buildIntersection()
     i.intersect(Sketches.wrapSketch(Memory.wrap(a)))
     i.intersect(Sketches.wrapSketch(Memory.wrap(b)))
     math.round(i.getResult.getEstimate)
-  })
-
-  /** Scalar: estimated distinct count of one serialized sketch. */
-  val thetaEst = udf((a: Array[Byte]) =>
-    math.round(Sketches.wrapSketch(Memory.wrap(a)).getEstimate))
+  }
 }

@@ -784,16 +784,18 @@ object GraphOps {
     * the identical pruned graph via the window formulation of the
     * hash-ordered cap.
     */
-  def graphLinkPred(spark: SparkSession, sfDir: String,
-      cap: Int = ItemGraphCap, nbrCap: Int = LinkPredNbrCap,
-      k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val edges = userItemPairs(cappedInteractions(spark, sfDir, cap))
-      .distinct()
-      .localCheckpoint() // read twice: adjacency build + anti-join
+  /** The mutual-capped pruned adjacency of [[graphLinkPred]] — named
+    * (rather than inlined there) so LinkPredPropertySpec can drive the
+    * PRODUCTION construction with random graphs and pin the three
+    * invariants the Jaccard denominator's positivity proof rests on:
+    * symmetry, per-node degree ≤ nbrCap in both directions, and (via
+    * [[linkPredCandidates]]) cn ≤ min(d_a, d_b).
+    * Input: distinct undirected edges as (a, b) int columns. */
+  def linkPredAdjacency(edges: DataFrame,
+      nbrCap: Int = LinkPredNbrCap): DataFrame = {
     val sym = symmetrized(edges)
     // 52-bit edge hash: exact in the aggregate's double heap AND in
-    // the oracle's BIGINT sort key (see the scaladoc)
+    // the oracle's BIGINT sort key (see graphLinkPred's scaladoc)
     val edgeHash = expr(
       "cast(conv(substring(md5(concat(cast(a as string), ':', " +
         "cast(b as string))), 1, 13), 16, 10) as double)")
@@ -803,15 +805,30 @@ object GraphOps {
         .topkIds(-edgeHash, col("b").cast("long"), nbrCap).as("nbrs"))
       .select(col("v"), explode(col("nbrs")).as("nbr_l"))
       .select(col("v"), col("nbr_l").cast("int").as("nbr"))
-    val mutual = capped.join(
-        capped.select(col("nbr").as("v"), col("v").as("nbr")),
-        Seq("v", "nbr"), "left_semi")
-      .localCheckpoint() // read thrice: degrees + both hub-join sides
-    val deg = mutual.groupBy("v").agg(count(lit(1)).as("d"))
-    val cand = mutual.as("p").join(mutual.as("q"),
+    capped.join(
+      capped.select(col("nbr").as("v"), col("v").as("nbr")),
+      Seq("v", "nbr"), "left_semi")
+  }
+
+  /** Common-neighbor counts over a [[linkPredAdjacency]] output:
+    * (a, b, cn) for every distance-2 pair, a < b. */
+  def linkPredCandidates(mutual: DataFrame): DataFrame =
+    mutual.as("p").join(mutual.as("q"),
         col("p.v") === col("q.v") && col("p.nbr") < col("q.nbr"))
       .groupBy(col("p.nbr").as("a"), col("q.nbr").as("b"))
       .agg(count(lit(1)).as("cn"))
+
+  def graphLinkPred(spark: SparkSession, sfDir: String,
+      cap: Int = ItemGraphCap, nbrCap: Int = LinkPredNbrCap,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = userItemPairs(cappedInteractions(spark, sfDir, cap))
+      .distinct()
+      .localCheckpoint() // read twice: adjacency build + anti-join
+    val mutual = linkPredAdjacency(edges, nbrCap)
+      .localCheckpoint() // read thrice: degrees + both hub-join sides
+    val deg = mutual.groupBy("v").agg(count(lit(1)).as("d"))
+    val cand = linkPredCandidates(mutual)
     val newPairs = cand.join(edges, Seq("a", "b"), "left_anti")
     val scored = newPairs
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")

@@ -14,10 +14,10 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.tools.ABPanel <sfDir> <outJson> <label> <q1,..>
   *
   * Per query: 1 untimed warm pass (session/codegen/footer init), then
-  * 3 timed passes keeping the min — the agreeing-evidence rule: a real
-  * regression is slow three times, a GC pause or cron blip is not. All
-  * three passes are published so a reader can judge the noise floor of
-  * the comparison itself.
+  * N timed passes keeping the min (GRAFT_AB_PASSES, default 3) — the
+  * agreeing-evidence rule: a real regression is slow every time, a GC
+  * pause or cron blip is not. All passes are published so a reader can
+  * judge the noise floor of the comparison itself.
   */
 object ABPanel {
   def main(args: Array[String]): Unit = {
@@ -48,9 +48,14 @@ object ABPanel {
     }
     try {
       val qs = names.split(",").toSeq
+      // min-of-N, default 3; GRAFT_AB_PASSES=5 for a settle run (r16
+      // verdict #4: pipe_mix_optimizer's +41% blip needed min-of-5 to
+      // adjudicate — more passes squeeze the noise floor further on
+      // sub-second panel entries)
+      val nPasses = sys.env.getOrElse("GRAFT_AB_PASSES", "3").toInt
       val rows = qs.map { q =>
         runOnce(q) // warm
-        val passes = (1 to 3).map(_ => runOnce(q))
+        val passes = (1 to nPasses).map(_ => runOnce(q))
         val good = passes.filter(_ >= 0)
         val best = if (good.isEmpty) -1.0 else good.min
         println(s"""{"metric":"ab_query","label":"$label","query":"$q","min_sec":$best,"passes":[${passes.mkString(",")}]}""")
@@ -63,9 +68,16 @@ object ABPanel {
       }.mkString("{", ",", "}")
       val total = math.round(
         rows.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0
+      // r16 advice: a query failing on ONE side silently shrank that
+      // side's total, skewing the headline delta — publish the failure
+      // set so ab_bench.sh can recompute totals over the intersection
+      // of succeeded queries (and a reader sees the asymmetry at once)
+      val failedQ = rows.filter(_._2 < 0).map(_._1).sorted
+      val failedJson = failedQ.map("\"" + _ + "\"").mkString("[", ",", "]")
       val line =
         s"""{"metric":"ab_panel","label":"$label","sf":"$sfDir",""" +
           s""""panel_total_min_sec":$total,""" +
+          s""""failed_count":${failedQ.size},"failed":$failedJson,""" +
           s""""queries_min":${jq(rows.map(r => r._1 -> r._2))},""" +
           s""""passes":$passJson}"""
       println(line)

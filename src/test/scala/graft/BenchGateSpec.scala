@@ -65,6 +65,62 @@ class BenchGateSpec extends AnyFunSuite {
       == locked + ".degraded")
   }
 
+  test("r16's 152.3%-spread streaming mean is flagged and falls back") {
+    // the r16 final run: st_append_fullvolume_mean 30.9 ms published
+    // headline-quotable off a 152.3% spread across its 3 runs, while
+    // the clean 215-query close had measured 41.8 ms at 1.9% spread
+    val measured = Map(
+      "st_append_fullvolume_mean" -> 0.0309,
+      "st_append_fullvolume_mean_spread_pct" -> 152.3,
+      "st_update_earliest_fullvolume_mean" -> 0.0345,
+      "st_update_earliest_fullvolume_mean_spread_pct" -> 5.4,
+      "st_fullvolume_runs" -> 3.0)
+    val prior = Some(
+      """{"streaming":{"st_append_fullvolume_mean":0.0418,
+        |"st_append_fullvolume_mean_degraded":0,
+        |"st_update_earliest_fullvolume_mean":0.049}}""".stripMargin)
+    val g = Bench.gateStreaming(measured, prior)
+    // noisy metric: flagged, measured value kept visible, headline
+    // falls back to the prior clean 41.8 ms
+    assert(g("st_append_fullvolume_mean_degraded") == 1.0)
+    assert(g("st_append_fullvolume_mean_measured") == 0.0309)
+    assert(g("st_append_fullvolume_mean") == 0.0418)
+    // quiet metric: untouched, explicitly clean
+    assert(g("st_update_earliest_fullvolume_mean_degraded") == 0.0)
+    assert(g("st_update_earliest_fullvolume_mean") == 0.0345)
+    assert(!g.contains("st_update_earliest_fullvolume_mean_measured"))
+    // keys without a published spread are never gated
+    assert(!g.contains("st_fullvolume_runs_degraded"))
+  }
+
+  test("a degraded prior value is never used as the fallback") {
+    val measured = Map(
+      "st_append_fullvolume_mean" -> 0.0309,
+      "st_append_fullvolume_mean_spread_pct" -> 152.3)
+    val degradedPrior = Some(
+      """{"st_append_fullvolume_mean":0.0301,
+        |"st_append_fullvolume_mean_degraded":1}""".stripMargin)
+    val g = Bench.gateStreaming(measured, degradedPrior)
+    assert(g("st_append_fullvolume_mean_degraded") == 1.0)
+    // no clean prior -> the measured value stands, flagged not hidden
+    assert(g("st_append_fullvolume_mean") == 0.0309)
+    // and with no prior at all, same behavior
+    val g2 = Bench.gateStreaming(measured, None)
+    assert(g2("st_append_fullvolume_mean") == 0.0309 &&
+      g2("st_append_fullvolume_mean_degraded") == 1.0)
+  }
+
+  test("cleanPriorMetric parses the artifact's number formats") {
+    val txt = Some(
+      """{"a_mean":0.0418,"b_mean":-1.0,"c_mean":3.0E-4,"d_mean":12}""")
+    assert(Bench.cleanPriorMetric(txt, "a_mean").contains(0.0418))
+    assert(Bench.cleanPriorMetric(txt, "b_mean").contains(-1.0))
+    assert(Bench.cleanPriorMetric(txt, "c_mean").contains(3.0e-4))
+    assert(Bench.cleanPriorMetric(txt, "d_mean").contains(12.0))
+    assert(Bench.cleanPriorMetric(txt, "missing").isEmpty)
+    assert(Bench.cleanPriorMetric(None, "a_mean").isEmpty)
+  }
+
   test("published best-3 spread and the verdict share one definition") {
     val r15 = Seq(112.0, 621.3, 112.8, 206.9)
     // best-3 = [112.0, 112.8, 206.9] -> (206.9-112.0)/112.0 = 84.73%

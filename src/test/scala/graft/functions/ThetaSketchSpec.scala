@@ -23,6 +23,28 @@ class ThetaSketchSpec extends SparkSuite {
     assert(overlap == 500L)
   }
 
+  test("estimates are expressions, not UDFs; both eval paths agree") {
+    val sk = (0 until 100).map(i => s"u$i").toDF("uid")
+      .agg(ThetaSketch.thetaSketch(col("uid")).as("sk"))
+    val proj = sk.select(ThetaSketch.thetaEst(col("sk")).as("est"))
+    // the whole point of the expression rewrite: no opaque ScalaUDF
+    // node anywhere in the plan
+    assert(!proj.queryExecution.optimizedPlan.toString.contains("ScalaUDF"))
+    assert(proj.head().getLong(0) == 100L)
+    // interpreted path (direct eval on the serialized bytes) must
+    // agree with the codegen'd DataFrame result above
+    val bytes = sk.head().getAs[Array[Byte]](0)
+    val interp = ThetaEstimate(
+      org.apache.spark.sql.catalyst.expressions.Literal(bytes))
+      .eval(null)
+    assert(interp == 100L)
+    val interpI = ThetaIntersectEstimate(
+      org.apache.spark.sql.catalyst.expressions.Literal(bytes),
+      org.apache.spark.sql.catalyst.expressions.Literal(bytes))
+      .eval(null)
+    assert(interpI == 100L)
+  }
+
   test("sampling regime: estimate within 5% at 100k distinct, lgK 12") {
     val n = 100000
     val df = (0 until n).map(i => s"user_$i").toDF("uid").repartition(16)
