@@ -1387,8 +1387,13 @@ object StatsOps {
     * combine; the ECE window runs over ≤10 rows. No shuffle keyed on
     * anything that grows with the corpus.
     */
-  def statCalibration(spark: SparkSession, sfDir: String,
-      nBins: Int = 10): DataFrame = {
+  // ONE bin-count constant feeding BOTH the Spark plan and the SQL
+  // oracle below (r16 advice: the former nBins parameter let a caller
+  // silently diverge from the published oracle, which hardcoded 10)
+  private val CalibrationBins = 10
+
+  def statCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val nBins = CalibrationBins
     val e = Tables.embeddings(spark, sfDir)
       .select(expr("cast(floor(element_at(embedding, 1) * 10000d + 0.5d)" +
         " as bigint)").as("q"),
@@ -1419,7 +1424,7 @@ object StatsOps {
   }
 
   val statCalibrationSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT floor(embedding[1]::DOUBLE * 10000 + 0.5)::BIGINT AS q,
       |    (label = 0)::BIGINT AS y
       |  FROM embeddings),
@@ -1429,7 +1434,8 @@ object StatsOps {
       |    AS p_e6, y
       |  FROM e, b),
       |census AS (
-      |  SELECT least((p_e6 * 10) // 1000000, 9)::INT AS bin,
+      |  SELECT least((p_e6 * $CalibrationBins) // 1000000,
+      |      ${CalibrationBins - 1})::INT AS bin,
       |    count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
       |    sum(p_e6)::BIGINT AS sum_p
       |  FROM p GROUP BY 1),
@@ -1446,10 +1452,123 @@ object StatsOps {
       |FROM curve, tot
       |ORDER BY bin""".stripMargin
 
+  // Wald SPRT design constants — ONE set of Scala vals feeding BOTH
+  // the Spark plan and the SQL oracle (the statCalibration lesson,
+  // r16 advice, applied from the start: the two sides share literals,
+  // so they cannot drift). e6-quantized log-likelihood increments;
+  // H0: p = 0.15 vs H1: p = 0.25, alpha = beta = 0.05. math.log on
+  // double literals is the same IEEE value at class-init on every JVM,
+  // and only the ROUNDED longs ever reach either engine.
+  private val SprtLogS =
+    math.round(math.log(0.25 / 0.15) * 1e6) // +510826 per success
+  private val SprtLogF =
+    math.round(math.log(0.75 / 0.85) * 1e6) // -125163 per failure
+  private val SprtUpper =
+    math.round(math.log(0.95 / 0.05) * 1e6) // accept H1 at +2944439
+  private val SprtLower = -SprtUpper        // accept H0 (Wald's B)
+
+  /** Wald sequential probability ratio test over a hash-split A/B
+    * experiment (Wald 1945) — the sequential STOPPING companion to
+    * [[graft.streaming.EventWindows]]'s `ev_cusum` drift detector and
+    * the fixed-horizon [[statTtest]]/[[statCuped]] evals: each arm's
+    * daily purchase conversions accumulate a log-likelihood ratio for
+    * H1: p = 0.25 against H0: p = 0.15, and the arm STOPS the day the
+    * LLR leaves (log B, log A); observations after that day are marked
+    * `post_stop` — the sample a sequential design would never have
+    * collected (the whole point of SPRT: Wald's proof that it needs
+    * ~half the samples of the fixed-horizon test at equal error).
+    *
+    * The variant split reuses the catalog's md5 split-rule family
+    * (`pipe_train_split`'s "split42:" construction, here "ab42:" on
+    * user_id, first hex char < '8' → arm A — lowercase fixed-width hex
+    * compares identically in both engines).
+    *
+    * Exact integers end to end, the `ev_cusum` discipline: the LLR is
+    * a PLAIN cumulative sum of per-day integer increments (no clamp,
+    * no division anywhere), so int64 window sums replay bit-equal in
+    * Spark and DuckDB. Decision logic is two bounded CASE lookups over
+    * the variant-partitioned cumulative curve.
+    *
+    * Scale shape: one events scan to a (variant, day) census with
+    * map-side combine; every window is partitioned by variant over
+    * calendar-bounded rows (arms × days), so only the census scan
+    * scales with the corpus — a crawler user adds trials, never state.
+    */
+  def statSprt(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(
+        expr("if(substring(md5(concat('ab42:', cast(user_id as string)" +
+          ")), 1, 1) < '8', 'A', 'B')").as("variant"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (col("event_type") === "purchase").cast("long").as("s"))
+      .groupBy("variant", "day")
+      .agg(count(lit(1)).as("n"), sum("s").as("conv"))
+      .withColumn("llr_day_e6",
+        expr(s"conv * ${SprtLogS}L + (n - conv) * ${SprtLogF}L"))
+    val wCum = Window.partitionBy("variant").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wArm = Window.partitionBy("variant")
+    val cum = daily.withColumn("llr_e6", sum("llr_day_e6").over(wCum))
+    // first boundary crossing per arm (days are yyyy-MM-dd strings:
+    // lexicographic min IS chronological), then the LLR value THAT day
+    // — the decision is frozen at the crossing, later wandering can't
+    // rewrite it
+    cum
+      .withColumn("cross_day", min(when(
+        col("llr_e6") >= SprtUpper || col("llr_e6") <= SprtLower,
+        col("day"))).over(wArm))
+      .withColumn("llr_at_cross", max(when(
+        col("day") === col("cross_day"), col("llr_e6"))).over(wArm))
+      .withColumn("state", when(
+          col("cross_day").isNull || col("day") < col("cross_day"),
+          lit("continue"))
+        .when(col("llr_at_cross") >= SprtUpper, lit("accept_h1"))
+        .otherwise(lit("accept_h0")))
+      .withColumn("post_stop",
+        (col("cross_day").isNotNull && col("day") > col("cross_day"))
+          .cast("int"))
+      .select("variant", "day", "n", "conv", "llr_day_e6", "llr_e6",
+        "state", "post_stop")
+      .orderBy("variant", "day")
+  }
+
+  val statSprtSql: String =
+    s"""WITH e AS (
+      |  SELECT CASE WHEN substr(md5('ab42:' || user_id::VARCHAR), 1, 1)
+      |      < '8' THEN 'A' ELSE 'B' END AS variant,
+      |    strftime(ts, '%Y-%m-%d') AS day,
+      |    (event_type = 'purchase')::BIGINT AS s
+      |  FROM events),
+      |daily AS (
+      |  SELECT variant, day, count(*)::BIGINT AS n, sum(s)::BIGINT AS conv
+      |  FROM e GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT variant, day, n, conv,
+      |    conv * $SprtLogS + (n - conv) * ($SprtLogF) AS llr_day_e6,
+      |    sum(conv * $SprtLogS + (n - conv) * ($SprtLogF))
+      |      OVER (PARTITION BY variant ORDER BY day
+      |        ROWS UNBOUNDED PRECEDING)::BIGINT AS llr_e6
+      |  FROM daily),
+      |crossed AS (
+      |  SELECT *, min(CASE WHEN llr_e6 >= $SprtUpper
+      |      OR llr_e6 <= $SprtLower THEN day END)
+      |    OVER (PARTITION BY variant) AS cross_day
+      |  FROM cum),
+      |froze AS (
+      |  SELECT *, max(CASE WHEN day = cross_day THEN llr_e6 END)
+      |    OVER (PARTITION BY variant) AS llr_at_cross
+      |  FROM crossed)
+      |SELECT variant, day, n, conv, llr_day_e6, llr_e6,
+      |  CASE WHEN cross_day IS NULL OR day < cross_day THEN 'continue'
+      |    WHEN llr_at_cross >= $SprtUpper THEN 'accept_h1'
+      |    ELSE 'accept_h0' END AS state,
+      |  (cross_day IS NOT NULL AND day > cross_day)::INT AS post_stop
+      |FROM froze
+      |ORDER BY variant, day""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
-    ("stat_calibration",
-      (s: SparkSession, d: String) => statCalibration(s, d),
-      statCalibrationSql),
+    ("stat_sprt", statSprt _, statSprtSql),
+    ("stat_calibration", statCalibration _, statCalibrationSql),
     ("stat_auc", statAuc _, statAucSql),
     ("stat_ols_trend", statOlsTrend _, statOlsTrendSql),
     ("stat_cov_matrix", statCovMatrix _, statCovMatrixSql),
