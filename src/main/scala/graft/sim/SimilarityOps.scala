@@ -80,6 +80,36 @@ object SimilarityOps {
     (blocked, pairs)
   }
 
+  /** Bipartite twin of [[pairsWithinKey]] for CROSS-SET pairs
+    * (every a ∈ aDf × b ∈ bDf sharing `key`, no ordering prune):
+    * each side is blocked by vec_id rank within its own key group,
+    * each side replicates over the OTHER side's block range (block
+    * counts travel as a per-key broadcast — one row per key group),
+    * and the join keys on (key, a-block, b-block) tiles of at most
+    * blockSize² work. Same guarantee as the self-join tiling: the
+    * pair set is bit-identical for every blockSize, only the biggest
+    * shuffle task changes.
+    */
+  private def crossPairsWithinKey(aDf: DataFrame, bDf: DataFrame,
+      key: String, blockSize: Int): DataFrame = {
+    val byKey = Window.partitionBy(key)
+    def blockIt(df: DataFrame, bCol: String): DataFrame =
+      df.withColumn(bCol,
+        ((row_number().over(byKey.orderBy("vec_id")) - 1)
+          / blockSize).cast("int"))
+    val aBlocked = blockIt(aDf, "ab")
+    val bBlocked = blockIt(bDf, "bb")
+    val aMax = aBlocked.groupBy(key).agg(max("ab").as("abmax"))
+    val bMax = bBlocked.groupBy(key).agg(max("bb").as("bbmax"))
+    val aSide = aBlocked.join(broadcast(bMax), key)
+      .withColumn("tb", explode(expr("sequence(0, bbmax)")))
+    val bSide = bBlocked.join(broadcast(aMax), key)
+      .withColumn("ta", explode(expr("sequence(0, abmax)")))
+    aSide.as("a").join(bSide.as("b"),
+      col(s"a.$key") === col(s"b.$key") &&
+        col("a.ab") === col("b.ta") && col("a.tb") === col("b.bb"))
+  }
+
   /** Exact brute-force top-5 cosine neighbors for query vectors
     * (vec_id < 20). Queries are broadcast; ranking uses the rounded
     * cosine with vec_id tiebreak so result sets are deterministic
@@ -733,8 +763,15 @@ object SimilarityOps {
     * equivalent). Cosines are rounded to 4 digits before the threshold
     * compare, the same both engines.
     */
-  def embSemDedup(spark: SparkSession, sfDir: String, k: Int = 16,
-      tau: Double = 0.3, blockSize: Int = 16): DataFrame = {
+  /** Shared seed-centroid cluster assignment (integer-grid BIGINT
+    * argmin, lowest-cid tiebreak — the determinism contract proven in
+    * [[graft.sim.KMeansOps.kmeansAssign]]) used by [[embSemDedup]] AND
+    * [[embSemDedupIncr]]: ONE quantizer definition, so the full and
+    * the incremental dedup block identically — exactly how a real
+    * incremental index works (the coarse quantizer is trained once
+    * and frozen across snapshots). */
+  private def clusterAssigned(spark: SparkSession, sfDir: String,
+      k: Int): DataFrame = {
     val e = withVec(Tables.embeddings(spark, sfDir))
       .withColumn("qvec", expr(
         "transform(vec, x -> cast(floor(x * 10000d + 0.5d) as bigint))"))
@@ -750,13 +787,17 @@ object SimilarityOps {
           lit(0L), (acc, v) => acc + v).as("dist_q"),
         lit(cid).as("cid"))
     }
+    e.withColumn("cluster",
+        array_min(array(candidates.toIndexedSeq: _*)).getField("cid"))
+      .select("vec_id", "cluster", "vec", "norm")
+  }
+
+  def embSemDedup(spark: SparkSession, sfDir: String, k: Int = 16,
+      tau: Double = 0.3, blockSize: Int = 16): DataFrame = {
     // second-level split: the shared block-pair tiling
     // ([[pairsWithinKey]]) bounds any hot cluster's pairwise work to
     // blockSize² per tile without changing the pair set
-    val assigned = e
-      .withColumn("cluster",
-        array_min(array(candidates.toIndexedSeq: _*)).getField("cid"))
-      .select("vec_id", "cluster", "vec", "norm")
+    val assigned = clusterAssigned(spark, sfDir, k)
     val (blocked, pairs) = pairsWithinKey(assigned, "cluster", blockSize)
     val dom = pairs
       .withColumn("cos", round(cosine("a.vec", "b.vec"), 4))
@@ -797,6 +838,113 @@ object SimilarityOps {
       |SELECT a.vec_id, a.cluster, dom.dup_of, dom.dup_of IS NULL AS kept
       |FROM assigned a LEFT JOIN dom ON dom.vec_id = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
+
+  /** INCREMENTAL cross-snapshot semantic dedup — the production shape
+    * of [[embSemDedup]] for a corpus that grows by crawl snapshots:
+    * the accumulated BASE corpus is already deduplicated (it IS the
+    * kept set of every prior run), so a new DELTA snapshot only needs
+    * delta-vs-base and delta-vs-delta comparisons; base×base — the
+    * overwhelming bulk at 100 TB, and pure recomputation — is never
+    * enumerated. Snapshot membership here is the catalog's md5
+    * split-rule family ("snap42:" on vec_id, top quarter of the first
+    * hex digit → delta ≈ 25%); in production it is the ingest date.
+    *
+    * Scale slope, the reason this operator exists: a full re-dedup of
+    * snapshot N+1 costs O((B+D)²/K) pairwise work per cluster; the
+    * incremental form costs O((B·D + D²/2)/K) — as B grows with the
+    * accumulated corpus and D stays the daily crawl, the ratio tends
+    * to D/2B → the per-snapshot cost stops growing quadratically in
+    * corpus age. Both candidate stages are tiled: delta-vs-delta
+    * reuses the [[pairsWithinKey]] self-join tiling, delta-vs-base
+    * the bipartite [[crossPairsWithinKey]] twin, so a hot cluster's
+    * largest shuffle task stays O(blockSize²) on either path.
+    *
+    * Determinism: the frozen quantizer is [[clusterAssigned]] (shared
+    * with embSemDedup — the two operators block identically by
+    * construction); the drop rule extends greedy lowest-id-wins
+    * across snapshots: a delta vector is dropped iff it matches ANY
+    * base vector (the corpus always wins) or a SMALLER delta id, and
+    * `dup_of` is the least such id (`least` ignores nulls in both
+    * engines). Base rows never appear in the output — they are
+    * immutable by definition of the incremental contract.
+    */
+  def embSemDedupIncr(spark: SparkSession, sfDir: String, k: Int = 16,
+      tau: Double = 0.3, blockSize: Int = 16): DataFrame = {
+    val assigned = clusterAssigned(spark, sfDir, k)
+      .withColumn("is_delta", expr(
+        "substring(md5(concat('snap42:', cast(vec_id as string))), " +
+          "1, 1) >= 'c'"))
+      .localCheckpoint() // read 3×: base side + delta side twice
+    val base = assigned.filter(!col("is_delta"))
+    val delta = assigned.filter(col("is_delta"))
+    val vsBase = crossPairsWithinKey(base, delta, "cluster", blockSize)
+      .withColumn("cos", round(cosine("a.vec", "b.vec"), 4))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of_base"))
+    val (blockedD, pairsD) = pairsWithinKey(delta, "cluster", blockSize)
+    val vsDelta = pairsD
+      .withColumn("cos", round(cosine("a.vec", "b.vec"), 4))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of_delta"))
+    blockedD.select("vec_id", "cluster")
+      .join(vsBase, Seq("vec_id"), "left")
+      .join(vsDelta, Seq("vec_id"), "left")
+      .withColumn("dup_of",
+        least(col("dup_of_base"), col("dup_of_delta")))
+      .withColumn("kept", col("dup_of").isNull)
+      .select("vec_id", "cluster", "dup_of_base", "dup_of_delta",
+        "dup_of", "kept")
+      .orderBy("vec_id")
+  }
+
+  val embSemDedupIncrSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+      |      AS norm,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> floor(x * 10000.0 + 0.5)::BIGINT) AS qvec
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, qvec AS cvec FROM e WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cluster, vec, norm,
+      |    substr(md5('snap42:' || vec_id::VARCHAR), 1, 1) >= 'c'
+      |      AS is_delta
+      |  FROM (
+      |    SELECT e.vec_id, c.cid, e.vec, e.norm,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_sum(list_transform(range(1, len(e.qvec) + 1),
+      |          i -> (e.qvec[i] - c.cvec[i]) * (e.qvec[i] - c.cvec[i]))),
+      |          c.cid) AS rk
+      |    FROM e CROSS JOIN c)
+      |  WHERE rk = 1),
+      |base AS (SELECT * FROM assigned WHERE NOT is_delta),
+      |delta AS (SELECT * FROM assigned WHERE is_delta),
+      |vsbase AS (
+      |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of_base
+      |  FROM base a JOIN delta b ON a.cluster = b.cluster
+      |  WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 4)
+      |    >= 0.3
+      |  GROUP BY b.vec_id),
+      |vsdelta AS (
+      |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of_delta
+      |  FROM delta a JOIN delta b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 4)
+      |    >= 0.3
+      |  GROUP BY b.vec_id),
+      |dup AS (
+      |  SELECT d.vec_id, d.cluster, vb.dup_of_base, vd.dup_of_delta,
+      |    least(vb.dup_of_base, vd.dup_of_delta) AS dup_of
+      |  FROM delta d
+      |  LEFT JOIN vsbase vb ON vb.vec_id = d.vec_id
+      |  LEFT JOIN vsdelta vd ON vd.vec_id = d.vec_id)
+      |SELECT vec_id, cluster, dup_of_base, dup_of_delta, dup_of,
+      |  dup_of IS NULL AS kept
+      |FROM dup
+      |ORDER BY vec_id""".stripMargin
 
   /** Product-quantization ANN top-k (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the 64-dim vector is
@@ -2567,6 +2715,9 @@ object SimilarityOps {
       annMatryoshkaTopKSql),
     ("emb_semdedup", (s: SparkSession, d: String) => embSemDedup(s, d),
       embSemDedupSql),
+    ("emb_semdedup_incr",
+      (s: SparkSession, d: String) => embSemDedupIncr(s, d),
+      embSemDedupIncrSql),
     ("ann_pq_topk", (s: SparkSession, d: String) => annPqTopK(s, d),
       annPqTopKSql),
     ("ann_ivfpq_topk", (s: SparkSession, d: String) => annIvfPqTopK(s, d),
