@@ -127,10 +127,15 @@ object Bench {
   }
 
   /** `"key":value` from a prior bench_full artifact — but ONLY when
-    * that artifact did not itself flag the key degraded (a degraded
-    * fallback chain must bottom out at a clean measurement, never at an
-    * older noisy one). Unreadable/absent prior ⇒ None (the measured
-    * value then stands, flagged). */
+    * that artifact EXPLICITLY marks the key clean (`<key>_degraded: 0`).
+    * A degraded fallback chain must bottom out at a PROVEN-clean
+    * measurement: a prior that flags the key degraded is refused, and
+    * so is a pre-gate legacy artifact with no flag at all — the first
+    * in-vivo firing of this gate (r17) fell back to r16's legacy
+    * 30.9 ms append mean, the exact number the r16 verdict had called
+    * headline-invalid (it shipped off a 152.3% spread before the gate
+    * existed); "assumed clean" is not clean. Unreadable/absent prior ⇒
+    * None (the measured value then stands, flagged). */
   def cleanPriorMetric(priorJson: Option[String],
       key: String): Option[Double] = priorJson.flatMap { txt =>
     def num(k: String): Option[Double] = {
@@ -138,7 +143,7 @@ object Bench {
         "\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)").r
       p.findFirstMatchIn(txt).flatMap(m => m.group(1).toDoubleOption)
     }
-    if (num(key + "_degraded").exists(_ > 0.5)) None else num(key)
+    if (num(key + "_degraded").exists(_ <= 0.5)) num(key) else None
   }
 
   def main(args: Array[String]): Unit = {

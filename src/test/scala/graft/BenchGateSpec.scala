@@ -93,7 +93,7 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!g.contains("st_fullvolume_runs_degraded"))
   }
 
-  test("a degraded prior value is never used as the fallback") {
+  test("a degraded or unproven prior value is never used as fallback") {
     val measured = Map(
       "st_append_fullvolume_mean" -> 0.0309,
       "st_append_fullvolume_mean_spread_pct" -> 152.3)
@@ -108,11 +108,25 @@ class BenchGateSpec extends AnyFunSuite {
     val g2 = Bench.gateStreaming(measured, None)
     assert(g2("st_append_fullvolume_mean") == 0.0309 &&
       g2("st_append_fullvolume_mean_degraded") == 1.0)
+    // a PRE-GATE legacy prior (value present, no _degraded flag) is
+    // refused too: the first in-vivo firing fell back to r16's legacy
+    // 30.9 ms — a number that itself shipped off a 152.3% spread.
+    // "Assumed clean" is not clean; fallback needs an explicit 0.
+    val legacyPrior = Some("""{"st_append_fullvolume_mean":0.0309}""")
+    val g3 = Bench.gateStreaming(measured, legacyPrior)
+    assert(g3("st_append_fullvolume_mean") == 0.0309 &&
+      g3("st_append_fullvolume_mean_degraded") == 1.0 &&
+      g3("st_append_fullvolume_mean_measured") == 0.0309)
+    assert(Bench.cleanPriorMetric(legacyPrior,
+      "st_append_fullvolume_mean").isEmpty)
   }
 
   test("cleanPriorMetric parses the artifact's number formats") {
     val txt = Some(
-      """{"a_mean":0.0418,"b_mean":-1.0,"c_mean":3.0E-4,"d_mean":12}""")
+      """{"a_mean":0.0418,"a_mean_degraded":0,
+        |"b_mean":-1.0,"b_mean_degraded":0.0,
+        |"c_mean":3.0E-4,"c_mean_degraded":0,
+        |"d_mean":12,"d_mean_degraded":0}""".stripMargin)
     assert(Bench.cleanPriorMetric(txt, "a_mean").contains(0.0418))
     assert(Bench.cleanPriorMetric(txt, "b_mean").contains(-1.0))
     assert(Bench.cleanPriorMetric(txt, "c_mean").contains(3.0e-4))
