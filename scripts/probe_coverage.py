@@ -52,7 +52,19 @@ def main() -> None:
             d = json.load(open(f))
         except Exception:
             continue
-        for p in d.get("parts", []):
+        # multi-part shape (assembled sweeps) and ScaleProbe's flat
+        # single-run shape ({"copies", "ratio": {q: r}, ...}) both count
+        parts = d.get("parts", [])
+        if not parts and "ratio" in d:
+            parts = [
+                {
+                    "copies": d.get("copies", 0),
+                    "queries": {
+                        q: {"ratio": r} for q, r in d.get("ratio", {}).items()
+                    },
+                }
+            ]
+        for p in parts:
             for q, row in p.get("queries", {}).items():
                 # a failed probe run (ratio -1) is not coverage
                 if row.get("ratio", -1) > 0:
