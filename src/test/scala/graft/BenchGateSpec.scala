@@ -121,6 +121,14 @@ class BenchGateSpec extends AnyFunSuite {
       "st_append_fullvolume_mean").isEmpty)
   }
 
+  test("a spread exactly on the 25% bar is clean (bar is exclusive)") {
+    val g = Bench.gateStreaming(Map(
+      "st_append_fullvolume_mean" -> 0.042,
+      "st_append_fullvolume_mean_spread_pct" -> 25.0), None)
+    assert(g("st_append_fullvolume_mean_degraded") == 0.0)
+    assert(g("st_append_fullvolume_mean") == 0.042)
+  }
+
   test("cleanPriorMetric parses the artifact's number formats") {
     val txt = Some(
       """{"a_mean":0.0418,"a_mean_degraded":0,
