@@ -49,14 +49,43 @@ mkdir -p "$WT/src/main/scala/graft/tools"
 cp "$REPO/src/main/scala/graft/tools/ABPanel.scala" \
    "$WT/src/main/scala/graft/tools/ABPanel.scala"
 
-echo "[ab] timing OLD build $OLD_HASH"
-(cd "$WT" && sbt -batch "runMain graft.tools.ABPanel $SF /tmp/ab_old.json old_$OLD_HASH $PANEL")
-echo "[ab] timing NEW build $(git rev-parse HEAD)"
-sbt -batch "runMain graft.tools.ABPanel $SF /tmp/ab_new.json new_$(git rev-parse HEAD) $PANEL"
+# Degraded-divert + retry (r17 directive #4): the r17 panel's per-query
+# noise floor hit ±40% on KNOWN-unchanged queries — fine for
+# adjudicating catastrophes, useless for a real 5-15% regression. The
+# bench_full.json pattern, applied here: compute a panel-drift
+# statistic (median |delta_pct| over the drift set — common queries
+# minus any the round INTENTIONALLY touched, named in
+# GRAFT_AB_CHANGED=q1,q2 so real signal is not counted as drift),
+# divert the artifact to $OUT.degraded when it exceeds the ~10% bar,
+# and retry the WHOLE control (both sides — drift means the window was
+# loaded, so neither side's numbers stand) after waiting for the host
+# to quiet down. A degraded attempt never overwrites a clean prior
+# $OUT (the Bench.artifactTarget rule).
+ATTEMPTS="${GRAFT_AB_ATTEMPTS:-2}"
+DRIFT_BAR="${GRAFT_AB_DRIFT_BAR_PCT:-10}"
+CHANGED="${GRAFT_AB_CHANGED:-}"
+for attempt in $(seq 1 "$ATTEMPTS"); do
+  if [ "$attempt" -gt 1 ]; then
+    # wait for a quiet window (1-min load < 2, the documented bar this
+    # host's spikes settle under), capped at 15 min so the control
+    # always completes
+    echo "[ab] attempt $attempt: waiting for 1-min load < 2"
+    for _ in $(seq 1 90); do
+      LOAD="$(cut -d' ' -f1 /proc/loadavg)"
+      awk -v l="$LOAD" 'BEGIN{exit !(l < 2.0)}' && break
+      sleep 10
+    done
+  fi
+  echo "[ab] timing OLD build $OLD_HASH (attempt $attempt)"
+  (cd "$WT" && sbt -batch "runMain graft.tools.ABPanel $SF /tmp/ab_old.json old_$OLD_HASH $PANEL")
+  echo "[ab] timing NEW build $(git rev-parse HEAD) (attempt $attempt)"
+  sbt -batch "runMain graft.tools.ABPanel $SF /tmp/ab_new.json new_$(git rev-parse HEAD) $PANEL"
 
-python3 - "$OLD_HASH" "$(git rev-parse HEAD)" "$OUT" <<'EOF'
-import json, sys, datetime, os
-old_hash, new_hash, out = sys.argv[1:4]
+  TARGET="$(python3 - "$OLD_HASH" "$(git rev-parse HEAD)" "$OUT" "$DRIFT_BAR" "$attempt" "$CHANGED" <<'EOF'
+import json, sys, datetime, os, statistics
+old_hash, new_hash, out, bar, attempt, changed = sys.argv[1:7]
+bar = float(bar)
+changed = set(q for q in changed.split(',') if q)
 old = json.load(open('/tmp/ab_old.json'))
 new = json.load(open('/tmp/ab_new.json'))
 qs = sorted(old['queries_min'])
@@ -74,23 +103,60 @@ for q in qs:
 common = [q for q in qs if per[q]['old_sec'] >= 0 and per[q]['new_sec'] >= 0]
 ot = round(sum(per[q]['old_sec'] for q in common), 3)
 nt = round(sum(per[q]['new_sec'] for q in common), 3)
+# r17 advice #3: derive old-side failures from old_sec < 0 symmetrically
+# with the new side — an old artifact lacking 'failed' (older ABPanel)
+# must not under-report; union with the published set when present
 failed = sorted(set(old.get('failed', [])) |
+                {q for q in qs if per[q]['old_sec'] < 0} |
                 {q for q in qs if per[q]['new_sec'] < 0})
+# drift statistic: median |delta| over common queries NOT intentionally
+# changed this round — on an unchanged panel this IS the ambient-drift
+# measurement; a robust median keeps one genuinely-moved query from
+# masquerading as host noise (and vice versa)
+drift_qs = [q for q in common if q not in changed]
+drift = (round(statistics.median(abs(per[q]['delta_pct']) for q in drift_qs), 1)
+         if drift_qs else None)
+degraded = drift is None or drift > bar
 doc = {
   'metric': 'ab_panel_control',
   'old_ref': old_hash, 'new_ref': new_hash,
   'sf': old['sf'],
-  'protocol': 'same host, same hour, per side: 1 warm + min of %d timed passes per query (GRAFT_AB_PASSES); old build checked out via git worktree with this round\'s ABPanel timer dropped in; totals over the intersection of queries that succeeded on BOTH sides'
-              % max(len(v['old_passes']) for v in per.values()),
+  'protocol': 'same host, same hour, per side: 1 warm + min of %d timed passes per query (GRAFT_AB_PASSES); old build checked out via git worktree with this round\'s ABPanel timer dropped in; totals over the intersection of queries that succeeded on BOTH sides; panel_drift_pct = median |delta| over common-minus-GRAFT_AB_CHANGED queries, > %s%% diverts to .degraded and retries'
+              % (max(len(v['old_passes']) for v in per.values()), bar),
   'run_utc': datetime.datetime.now(datetime.timezone.utc).isoformat(timespec='seconds'),
+  'attempt': int(attempt),
   'panel_total_old_sec': ot, 'panel_total_new_sec': nt,
   'panel_total_old_raw_sec': old['panel_total_min_sec'],
   'panel_total_new_raw_sec': new['panel_total_min_sec'],
   'panel_common_queries': len(common),
   'panel_failed_either_side': failed,
   'panel_delta_pct': round((nt - ot) / ot * 100, 1) if common and ot > 0 else None,
+  'panel_drift_pct': drift,
+  'panel_drift_bar_pct': bar,
+  'panel_drift_excluded_changed': sorted(changed),
+  'panel_drift_degraded': degraded,
   'queries': per,
 }
-json.dump(doc, open(out, 'w'), indent=1)
-print('[ab] wrote', out, 'panel', ot, '->', nt)
+target = out
+if degraded and os.path.exists(out):
+    # a degraded attempt never clobbers a clean prior artifact; an
+    # unreadable prior counts as clean (fail closed, the
+    # Bench.artifactTarget rule)
+    try:
+        prior_degraded = json.load(open(out)).get('panel_drift_degraded') is True
+    except Exception:
+        prior_degraded = False
+    if not prior_degraded:
+        target = out + '.degraded'
+json.dump(doc, open(target, 'w'), indent=1)
+print('[ab] wrote %s panel %s -> %s drift %s%% (bar %s)'
+      % (target, ot, nt, drift, bar), file=sys.stderr)
+print(target)
 EOF
+)"
+  if [ "$TARGET" = "$OUT" ]; then
+    echo "[ab] clean control at attempt $attempt: $OUT"
+    break
+  fi
+  echo "[ab] attempt $attempt drifted; artifact at $TARGET"
+done

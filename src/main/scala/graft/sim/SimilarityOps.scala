@@ -767,9 +767,14 @@ object SimilarityOps {
     * argmin, lowest-cid tiebreak — the determinism contract proven in
     * [[graft.sim.KMeansOps.kmeansAssign]]) used by [[embSemDedup]] AND
     * [[embSemDedupIncr]]: ONE quantizer definition, so the full and
-    * the incremental dedup block identically — exactly how a real
-    * incremental index works (the coarse quantizer is trained once
-    * and frozen across snapshots). */
+    * the incremental dedup block identically. The centroid set is a
+    * fixed `vec_id < k` stand-in SHARED by both operators — not a
+    * base-only trained quantizer (the picked ids can themselves be
+    * delta-snapshot rows); what matters for the incremental contract
+    * is that both sides block identically and deterministically, which
+    * this guarantees. A production index would train k-means on the
+    * base snapshot and freeze those centroids — same shape, same
+    * sharing, different centroid choice. */
   private def clusterAssigned(spark: SparkSession, sfDir: String,
       k: Int): DataFrame = {
     val e = withVec(Tables.embeddings(spark, sfDir))

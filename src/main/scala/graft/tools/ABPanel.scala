@@ -33,6 +33,12 @@ object ABPanel {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bounded-census windows (plan-audited) would otherwise spam one
+    // WindowExec warning per execution across the panel's min-of-N
+    // passes — same silencing as Bench.main (r17 directive #6)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     def drop(): Unit = spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     def runOnce(name: String): Double = {
@@ -51,8 +57,12 @@ object ABPanel {
       // min-of-N, default 3; GRAFT_AB_PASSES=5 for a settle run (r16
       // verdict #4: pipe_mix_optimizer's +41% blip needed min-of-5 to
       // adjudicate — more passes squeeze the noise floor further on
-      // sub-second panel entries)
-      val nPasses = sys.env.getOrElse("GRAFT_AB_PASSES", "3").toInt
+      // sub-second panel entries). Validated parse (r17 advice #1): a
+      // bare .toInt threw on garbage, and 0/negative silently yielded
+      // ZERO timed passes — every query then read -1 "failed" and
+      // poisoned the ab_bench totals. Garbage or <1 ⇒ the default 3.
+      val nPasses = sys.env.get("GRAFT_AB_PASSES")
+        .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
       val rows = qs.map { q =>
         runOnce(q) // warm
         val passes = (1 to nPasses).map(_ => runOnce(q))

@@ -143,6 +143,28 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.cleanPriorMetric(None, "a_mean").isEmpty)
   }
 
+  test("cleanPriorMetric is anchored to the streaming object (r17 advice)") {
+    // a key echoed OUTSIDE the streaming map (a headline copy earlier
+    // in the file) must not shadow the authoritative streaming value —
+    // whole-file first-match would return 0.99 here
+    val echoed = Some(
+      """{"a_mean":0.99,"a_mean_degraded":0,
+        |"streaming":{"a_mean":0.0418,"a_mean_degraded":0,
+        |"b_mean":0.05,"b_mean_degraded":1}}""".stripMargin)
+    assert(Bench.cleanPriorMetric(echoed, "a_mean").contains(0.0418))
+    // the streaming object is AUTHORITATIVE, not a first preference: a
+    // degraded-in-streaming key is refused even if a clean-looking
+    // echo exists outside
+    assert(Bench.cleanPriorMetric(echoed, "b_mean").isEmpty)
+    // legacy artifact with no streaming object: whole-text fallback
+    val legacy = Some("""{"a_mean":0.0418,"a_mean_degraded":0}""")
+    assert(Bench.cleanPriorMetric(legacy, "a_mean").contains(0.0418))
+    // unbalanced streaming object (truncated artifact): fallback too
+    val truncated = Some("""{"streaming":{"a_mean":0.0418,"a_mean_degraded":0""")
+    assert(Bench.streamingObject(truncated.get).isEmpty)
+    assert(Bench.cleanPriorMetric(truncated, "a_mean").contains(0.0418))
+  }
+
   test("published best-3 spread and the verdict share one definition") {
     val r15 = Seq(112.0, 621.3, 112.8, 206.9)
     // best-3 = [112.0, 112.8, 206.9] -> (206.9-112.0)/112.0 = 84.73%

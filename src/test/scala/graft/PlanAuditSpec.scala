@@ -8,10 +8,13 @@ package graft
   */
 class PlanAuditSpec extends SparkSuite {
 
-  private lazy val plans: Map[String, String] =
+  private lazy val physPlans: Map[String, org.apache.spark.sql.execution.SparkPlan] =
     SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf0001).queryExecution.executedPlan.toString
+      name -> fn(spark, sf0001).queryExecution.executedPlan
     }
+
+  private lazy val plans: Map[String, String] =
+    physPlans.map { case (name, p) => name -> p.toString }
 
   test("no query plans a CartesianProduct") {
     val offenders = plans.filter(_._2.contains("CartesianProduct")).keys
@@ -19,90 +22,85 @@ class PlanAuditSpec extends SparkSuite {
       s"cartesian product in: ${offenders.mkString(", ")}")
   }
 
-  test("no unpartitioned window without a group-limit bound") {
-    // A Window over Exchange(SinglePartition) funnels the whole input
-    // through one task — fatal at scale unless Catalyst bounded it
-    // with WindowGroupLimit (rank <= k rewrites). Today NO catalog
-    // query plans one (verified empty); this keeps it that way.
-    // Named exemptions from the string-conjunction heuristic — each
-    // one's real bound is pinned structurally in its own spec:
-    //  - ev_ewma_hourly: the SinglePartition is the 1-row global-clock
-    //    agg (denseHourly's max, a scalar broadcast), NOT the window's
-    //    input; the FIR window is hash-partitioned by event_type
-    //    (EwmaHourlySpec pins "hashpartitioning(event_type").
-    //  - hybrid_rrf_topk: both rank windows sit ABOVE a limit-pushed
-    //    TakeOrderedAndProject(limit=100) — bounded before the window,
-    //    better than WindowGroupLimit (HybridRrfSpec pins both heads);
-    //    its SinglePartition is the BM25 N/L scalar agg.
-    //  - pipe_curriculum: the SinglePartition is the 3-value quartile
-    //    aggregate (a broadcast scalar); the rank window is partitioned
-    //    by (stage, md5 bucket) — CurriculumSpec pins the permutation
-    //    against a driver re-derivation.
-    //  - ev_gapfill: the SinglePartition is the 2-value min/max spine
-    //    bounds agg (a broadcast scalar); the LOCF window partitions by
-    //    event_type over the hours×types spine, whose size is bounded
-    //    by the time range — GapFillSpec re-derives every cell.
-    //  - text_zipf_fit: the global rank window runs AFTER a limit(1000)
-    //    bound (TakeOrdered head) and the SinglePartition aggregates are
-    //    the 5-value regression sums — same limit-before-window shape as
-    //    hybrid_rrf_topk.
-    //  - text_ppl_bucket: the running-sum window's input is the
-    //    localCheckpoint'ed per-score census, bounded by the quantized
-    //    nll_e4 domain (~1e5 rows at ANY corpus size), never
-    //    corpus-sized rows; replaced the r10 O(S²) triangular BNLJ
-    //    (TextPplBucketSpec re-derives every decile on the driver).
-    //  - text_dsir_weight: the totals window's input is the ≤1024-row
-    //    bucket census (domain-bounded); the former crossJoin(agg)
-    //    re-derived the census and defeated exchange reuse.
-    //  - stat_ks_test / stat_mannwhitney / stat_gini: the ECDF/rank/
-    //    prefix windows run over the rankCells cents-grid census,
-    //    bounded by the PRICE domain (≤ max_cents+1 ≈ 56 K rows at ANY
-    //    corpus size), never corpus rows — same bounded-domain argument
-    //    as text_ppl_bucket (KsMwSpec re-derives D, U, and z; GiniSpec
-    //    re-derives both Gini coefficients on the driver).
-    //  - ev_forecast_baseline: the SinglePartition is denseHourly's
-    //    global-max spine bound (a 1-value scalar agg, the ev_gapfill
-    //    shape); the lag windows partition by event_type over the
-    //    hours×types-bounded grid (ForecastBaselineSpec re-derives
-    //    every MAE cell on the driver).
-    //  - ev_rfm: the ordered prefix windows run over the three value
-    //    CENSUSES (distinct days / counts / log-scale spend buckets,
-    //    the last capped <1,920 rows under ANY distribution — all
-    //    domain-bounded), never user rows; users are scored against
-    //    nine broadcast scalars (RfmSpec re-derives every segment).
-    //  - ev_lorenz_curve: the top-down cumulative window runs over
-    //    ev_rfm's log-scale spend census (<1,920 rows under ANY spend
-    //    distribution — the same bounded-domain argument; LorenzSpec
-    //    re-derives every cumulative share).
-    //  - pipe_token_budget: the ordered prefix-sum window runs over
-    //    the (q_e4 → docs, tokens) census, bounded by the e4 SCORE
-    //    domain (≤10⁴+1 rows at ANY corpus size) — the text_ppl_bucket
-    //    argument verbatim (TokenBudgetSpec re-derives the greedy).
-    //  - text_vocab_growth: the running-sum window's input is the
-    //    10-row DECILE census (bounded by construction at any corpus
-    //    size); the corpus-sized stage is the min-first-doc hash agg
-    //    below it (TextVocabGrowthSpec re-derives every decile).
-    //  - dedup_recall_audit: the SinglePartition nodes are the three
-    //    1-row scalar COUNTS (n_exact/n_lsh/n_hit broadcast back); the
-    //    only windows are the prefix-filter ranks, partitioned by
-    //    doc_id exactly as in dedup_ngram_jaccard/dedup_minhash_lsh
-    //    (both unexempt and clean — the audit merely composes them).
-    val exempt = Set("ev_ewma_hourly", "hybrid_rrf_topk", "pipe_curriculum",
-      "ev_gapfill", "text_zipf_fit", "text_ppl_bucket", "text_dsir_weight",
-      "stat_ks_test", "stat_mannwhitney", "stat_gini",
-      "ev_forecast_baseline", "ev_rfm", "dedup_recall_audit",
-      "text_vocab_growth", "pipe_token_budget", "ev_lorenz_curve",
-      // the water-filling spine: unpartitioned windows over the
-      // ≤|sources| census (never corpus rows), the pipe_token_budget
-      // argument verbatim
-      "pipe_mix_optimizer")
-    val offenders = plans.filter { case (name, p) =>
-      !exempt(name) &&
-        p.contains("Window") && p.contains("SinglePartition") &&
-        !p.contains("WindowGroupLimit")
-    }.keys
+  test("every SinglePartition-fed window is structurally bounded") {
+    // A Window over a SinglePartition child funnels the whole input
+    // through one task — fatal at scale unless the input is provably
+    // bounded BEFORE the window. Until r17 this was a string screen
+    // ("Window" + "SinglePartition" + no "WindowGroupLimit") with 17
+    // NAMED exemptions, each carrying a prose bounded-input argument;
+    // the list grew ~2/round and a future operator could claim an
+    // exemption whose bound silently stopped holding (r17 directive
+    // #5). This walks the physical tree instead: for EVERY WindowExec
+    // whose child's output partitioning is SinglePartition, the
+    // window's input subtree must contain one of the bounding shapes
+    // every legitimate case claims —
+    //  - an Aggregate (the bounded-census shape: the window's input is
+    //    a domain-bounded groupBy census — score grids, cents grids,
+    //    deciles, per-source rows — never corpus rows; text_ppl_bucket,
+    //    stat_ks_test/mannwhitney/gini, ev_rfm, ev_lorenz_curve,
+    //    pipe_token_budget, pipe_mix_optimizer, text_vocab_growth,
+    //    text_dsir_weight, text_zipf_fit),
+    //  - a Limit / TakeOrderedAndProject (the bounded-head shape:
+    //    limit-before-window, better than WindowGroupLimit;
+    //    hybrid_rrf_topk, text_zipf_fit), or
+    //  - a WindowGroupLimit (Catalyst's own rank<=k bound).
+    // The 10 one-time exemptions whose SinglePartition was only ever a
+    // scalar agg's (ev_ewma_hourly, pipe_curriculum, ev_gapfill,
+    // ev_forecast_baseline, dedup_recall_audit, ...) need no seat at
+    // all now — the walk inspects the WINDOW's child, not the whole
+    // plan string, so a scalar-agg SinglePartition elsewhere never
+    // trips it. No name list: a new operator gets the same structural
+    // proof obligation automatically.
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        // AQE roots hold their plan out-of-band (children = Nil)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    def bounded(subtree: Seq[SparkPlan]): Boolean = subtree.exists {
+      case _: BaseAggregateExec => true
+      case _: WindowGroupLimitExec => true
+      case _: BaseLimitExec => true // Global/LocalLimitExec
+      case _: TakeOrderedAndProjectExec => true
+      case _: CollectLimitExec => true
+      case _ => false
+    }
+    // The one shape the walk cannot see through: a window fed by a
+    // localCheckpoint'ed census (the checkpoint breaks the plan, so
+    // the producing Aggregate lives in an earlier job). The residual
+    // exemption is ONE name — text_ppl_bucket, whose checkpointed
+    // input is the quantized nll_e4-domain census (~1e5 rows at ANY
+    // corpus size; TextPplBucketSpec re-derives every decile) — and
+    // it is conditional, not a blanket pass: every LEAF under the
+    // window must be the checkpoint scan itself. If a corpus FileScan
+    // is ever joined in under that window, the exemption stops
+    // applying by construction.
+    val checkpointCensus = Set("text_ppl_bucket")
+    def allLeavesCheckpoint(subtree: Seq[SparkPlan]): Boolean = {
+      val leaves = subtree.filter(_.children.isEmpty)
+      leaves.nonEmpty && leaves.forall(_.isInstanceOf[RDDScanExec])
+    }
+    val offenders = physPlans.toSeq.sortBy(_._1).flatMap { case (name, plan) =>
+      flatten(plan).collect {
+        case w: WindowExec
+            if w.child.outputPartitioning == SinglePartition && {
+              val subtree = flatten(w.child)
+              !bounded(subtree) &&
+                !(checkpointCensus(name) && allLeavesCheckpoint(subtree))
+            } =>
+          s"$name:\n${w.treeString.linesIterator.take(12).mkString("\n")}"
+      }
+    }
     assert(offenders.isEmpty,
-      s"unbounded global window in: ${offenders.mkString(", ")}")
+      s"unbounded SinglePartition window in:\n${offenders.mkString("\n---\n")}")
   }
 
   test("item-cooccur degree join is AQE-broadcast with no hint (r13 #6)") {
