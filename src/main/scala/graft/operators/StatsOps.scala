@@ -1459,13 +1459,16 @@ object StatsOps {
   // H0: p = 0.15 vs H1: p = 0.25, alpha = beta = 0.05. math.log on
   // double literals is the same IEEE value at class-init on every JVM,
   // and only the ROUNDED longs ever reach either engine.
-  private val SprtLogS =
+  // private[graft]: the transformWithState streaming twin
+  // (graft.streaming.SprtStream) accumulates the SAME increments
+  // against the SAME boundaries — three engines, one set of constants
+  private[graft] val SprtLogS =
     math.round(math.log(0.25 / 0.15) * 1e6) // +510826 per success
-  private val SprtLogF =
+  private[graft] val SprtLogF =
     math.round(math.log(0.75 / 0.85) * 1e6) // -125163 per failure
-  private val SprtUpper =
+  private[graft] val SprtUpper =
     math.round(math.log(0.95 / 0.05) * 1e6) // accept H1 at +2944439
-  private val SprtLower = -SprtUpper        // accept H0 (Wald's B)
+  private[graft] val SprtLower = -SprtUpper // accept H0 (Wald's B)
 
   /** Wald sequential probability ratio test over a hash-split A/B
     * experiment (Wald 1945) — the sequential STOPPING companion to
@@ -1494,8 +1497,14 @@ object StatsOps {
     * calendar-bounded rows (arms × days), so only the census scan
     * scales with the corpus — a crawler user adds trials, never state.
     */
-  def statSprt(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.events(spark, sfDir)
+  /** The (variant, day) conversion census statSprt accumulates over —
+    * extracted so the batch operator and the transformWithState
+    * streaming twin ([[graft.streaming.SprtStream]]) derive variants
+    * and increments from ONE definition (the clusterAssigned /
+    * SprtLog* sharing discipline). One events scan, map-side combine;
+    * output is calendar-bounded (arms × days). */
+  private[graft] def sprtDailyCensus(events: DataFrame): DataFrame =
+    events
       .select(
         expr("if(substring(md5(concat('ab42:', cast(user_id as string)" +
           ")), 1, 1) < '8', 'A', 'B')").as("variant"),
@@ -1505,6 +1514,9 @@ object StatsOps {
       .agg(count(lit(1)).as("n"), sum("s").as("conv"))
       .withColumn("llr_day_e6",
         expr(s"conv * ${SprtLogS}L + (n - conv) * ${SprtLogF}L"))
+
+  def statSprt(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = sprtDailyCensus(Tables.events(spark, sfDir))
     val wCum = Window.partitionBy("variant").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wArm = Window.partitionBy("variant")
