@@ -873,12 +873,21 @@ object SimilarityOps {
     * engines). Base rows never appear in the output — they are
     * immutable by definition of the incremental contract.
     */
-  def embSemDedupIncr(spark: SparkSession, sfDir: String, k: Int = 16,
-      tau: Double = 0.3, blockSize: Int = 16): DataFrame = {
-    val assigned = clusterAssigned(spark, sfDir, k)
+  /** The (vec_id, cluster, vec, norm, is_delta) input of the
+    * incremental semdedup — ONE definition of quantizer assignment +
+    * snapshot split shared by the batch operator below and the
+    * transformWithState streaming twin
+    * ([[graft.streaming.SemDedupStream]]) and its parity spec. */
+  private[graft] def semDedupIncrAssigned(spark: SparkSession,
+      sfDir: String, k: Int = 16): DataFrame =
+    clusterAssigned(spark, sfDir, k)
       .withColumn("is_delta", expr(
         "substring(md5(concat('snap42:', cast(vec_id as string))), " +
           "1, 1) >= 'c'"))
+
+  def embSemDedupIncr(spark: SparkSession, sfDir: String, k: Int = 16,
+      tau: Double = 0.3, blockSize: Int = 16): DataFrame = {
+    val assigned = semDedupIncrAssigned(spark, sfDir, k)
       .localCheckpoint() // read 3×: base side + delta side twice
     val base = assigned.filter(!col("is_delta"))
     val delta = assigned.filter(col("is_delta"))

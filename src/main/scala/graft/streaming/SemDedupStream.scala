@@ -1,0 +1,185 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Streaming incremental semantic dedup — the second r17-verdict #7
+  * twin: [[graft.sim.SimilarityOps.embSemDedupIncr]] re-expressed as a
+  * LIVE ingest monitor over `transformWithState`. The batch operator's
+  * whole design argument is that a growing corpus should only ever pay
+  * delta-vs-kept work; this is that argument made literal — the kept
+  * set IS the state, snapshots are triggers, and base×base never
+  * exists even as a concept.
+  *
+  * Semantics (the batch recurrence, verbatim): per coarse cluster,
+  * rows flagged `is_delta = false` are BOOTSTRAP — an already-
+  * deduplicated corpus absorbed into state as-is, emitting nothing
+  * (the batch contract: "base rows never appear in the output").
+  * Delta rows are judged: dropped iff they match (rounded cosine ≥
+  * tau) any accumulated KEPT vector (`dup_of_base`, min such id —
+  * the corpus always wins) or any SMALLER-id delta row of the same
+  * snapshot regardless of that row's own fate (`dup_of_delta`, the
+  * batch's delta×delta join has no kept filter); `dup_of` is the
+  * least of the two. Survivors join the kept set for every later
+  * trigger; dropped rows never do.
+  *
+  * Shared definitions with the batch side: the input is
+  * [[graft.sim.SimilarityOps.semDedupIncrAssigned]] (one quantizer,
+  * one snapshot split), and [[cosRounded]] reproduces the
+  * CosineSimilarity expression's fused dot/na/nb loop (same
+  * accumulation order ⇒ same IEEE doubles) followed by Spark Round's
+  * HALF_UP BigDecimal — SemDedupStreamSpec pins streamed == batch
+  * rows EXACTLY over the sf0.001 corpus, plus a hand-computed
+  * three-snapshot recurrence.
+  *
+  * Scale shape: keyed by cluster — the coarse quantizer IS the shard
+  * map (k here matches the batch twin's 16; production raises k with
+  * the corpus, exactly as an IVF index does). Per-arm state is the
+  * cluster's kept list in RocksDB `ListState`: appends are O(delta)
+  * per trigger and the dup_of_base scan streams the list off-heap in
+  * ONE pass per trigger (per-delta running minima, O(|delta|) heap),
+  * never materializing it. Per-trigger work per cluster is
+  * O(|kept|·|delta| + |delta|²) — the batch incremental's own
+  * asymptotic with no shuffle. Honest caveat vs batch: the batch op
+  * tiles a hot cluster's work to blockSize² tasks; here a cluster's
+  * trigger work is one task, bounded by the TRIGGER (a crawl
+  * snapshot), not the corpus — the monitor shape, while the batch
+  * operator remains the bulk-reprocess shape.
+  */
+object SemDedupStream {
+
+  /** One vector of one snapshot: `is_delta = false` ⇒ bootstrap. */
+  final case class VecIn(vec_id: Long, cluster: Long,
+      vec: Array[Double], is_delta: Boolean)
+
+  /** Mirrors embSemDedupIncr's output schema column-for-column. */
+  final case class SemDedupOut(vec_id: Long, cluster: Long,
+      dup_of_base: Option[Long], dup_of_delta: Option[Long],
+      dup_of: Option[Long], kept: Boolean)
+
+  final case class KeptVec(vec_id: Long, vec: Array[Double])
+
+  /** `round(cosine_sim(a, b), 4)` exactly as the batch plan computes
+    * it: CosineSimilarity's fused loop (dot, na, nb accumulated in
+    * index order — the same floating-point sums), then Spark Round's
+    * scala-BigDecimal HALF_UP. None where the expression yields null
+    * (length mismatch, zero norm). */
+  private[streaming] def cosRounded(a: Array[Double],
+      b: Array[Double]): Option[Double] = {
+    if (a.length != b.length) None
+    else {
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i)
+        val y = b(i)
+        dot += x * y
+        na += x * x
+        nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) None
+      else {
+        val c = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (c.isNaN || c.isInfinite) Some(c)
+        else Some(BigDecimal(c)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
+
+  class SemDedupProcessor(tau: Double)
+      extends StatefulProcessor[Long, VecIn, SemDedupOut] {
+    @transient private var kept: ListState[KeptVec] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      kept = getHandle.getListState[KeptVec]("kept",
+        Encoders.product[KeptVec], TTLConfig.NONE)
+
+    override def handleInputRows(cluster: Long, rows: Iterator[VecIn],
+        timers: TimerValues): Iterator[SemDedupOut] = {
+      val batch = rows.toIndexedSeq.sortBy(_.vec_id)
+      val (bootstrap, delta) = batch.partition(v => !v.is_delta)
+      if (delta.isEmpty) {
+        // bootstrap-only trigger: absorb, emit nothing
+        if (bootstrap.nonEmpty)
+          kept.appendList(
+            bootstrap.map(v => KeptVec(v.vec_id, v.vec)).toArray)
+        Iterator.empty
+      } else {
+        // dup_of_base: one streamed pass over the accumulated kept
+        // list (read BEFORE this trigger's appends, so the visibility
+        // of same-batch writes never matters), per-delta running min
+        val NoDup = Long.MaxValue
+        val dupBase = Array.fill(delta.length)(NoDup)
+        def scanBase(kvId: Long, kvVec: Array[Double]): Unit = {
+          var i = 0
+          while (i < delta.length) {
+            if (kvId < dupBase(i) &&
+                cosRounded(kvVec, delta(i).vec).exists(_ >= tau))
+              dupBase(i) = kvId
+            i += 1
+          }
+        }
+        val it = kept.get()
+        while (it.hasNext) {
+          val kv = it.next()
+          scanBase(kv.vec_id, kv.vec)
+        }
+        // a bootstrap arriving WITH deltas in one trigger is base for
+        // them too (the batch processes base and delta side by side)
+        bootstrap.foreach(b => scanBase(b.vec_id, b.vec))
+        if (bootstrap.nonEmpty)
+          kept.appendList(
+            bootstrap.map(v => KeptVec(v.vec_id, v.vec)).toArray)
+        // dup_of_delta: all smaller SAME-snapshot ids, kept or not —
+        // the batch delta×delta join has no kept filter
+        val dupDelta = Array.fill(delta.length)(NoDup)
+        var j = 1
+        while (j < delta.length) {
+          var i = 0
+          while (i < j) {
+            if (delta(i).vec_id < dupDelta(j) &&
+                cosRounded(delta(i).vec, delta(j).vec).exists(_ >= tau))
+              dupDelta(j) = delta(i).vec_id
+            i += 1
+          }
+          j += 1
+        }
+        val out = delta.indices.map { i =>
+          val db = if (dupBase(i) == NoDup) None else Some(dupBase(i))
+          val dd = if (dupDelta(i) == NoDup) None else Some(dupDelta(i))
+          val dup = (db, dd) match {
+            case (Some(a), Some(b)) => Some(math.min(a, b))
+            case _ => db.orElse(dd)
+          }
+          // only survivors join the kept set — a dropped row is gone
+          // from every future trigger's comparison space
+          if (dup.isEmpty)
+            kept.appendValue(KeptVec(delta(i).vec_id, delta(i).vec))
+          SemDedupOut(delta(i).vec_id, cluster, db, dd, dup, dup.isEmpty)
+        }
+        out.iterator
+      }
+    }
+  }
+
+  /** assigned: streaming DataFrame with (vec_id, cluster, vec,
+    * is_delta) — see [[graft.sim.SimilarityOps.semDedupIncrAssigned]]
+    * for the batch-shared projection. */
+  def semDedupStream(assigned: DataFrame,
+      tau: Double = 0.3): Dataset[SemDedupOut] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned
+      .select(col("vec_id").cast("long"), col("cluster").cast("long"),
+        col("vec").cast("array<double>"), col("is_delta").cast("boolean"))
+      .as[VecIn]
+      .groupByKey(_.cluster)
+      .transformWithState(new SemDedupProcessor(tau),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

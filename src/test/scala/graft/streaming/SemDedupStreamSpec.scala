@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.sim.SimilarityOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import SemDedupStream.{SemDedupOut, VecIn}
+
+/** The streaming incremental-semdedup twin's contract: replaying the
+  * batch operator's own (assigned, snapshot-split) input through
+  * transformWithState yields embSemDedupIncr's oracle-green rows
+  * EXACTLY — and the state machine honors the recurrence the batch
+  * can only assume: survivors of snapshot N are base for snapshot
+  * N+1, dropped rows vanish from every later comparison space, and
+  * within-snapshot attribution counts dropped smaller ids (the batch
+  * delta×delta join has no kept filter).
+  */
+class SemDedupStreamSpec extends SparkSuite {
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private type OutRow =
+    (Long, Long, Option[Long], Option[Long], Option[Long], Boolean)
+
+  private def runStream(name: String,
+      triggers: Seq[Seq[VecIn]]): Set[OutRow] = {
+    import spark.implicits._
+    val stream = MemoryStream[VecIn](spark)
+    val q = SemDedupStream.semDedupStream(stream.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      triggers.foreach { g =>
+        if (g.nonEmpty) stream.addData(g)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name).collect().map { r =>
+      def optLong(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getLong(0), r.getLong(1), optLong(2), optLong(3), optLong(4),
+        r.getBoolean(5))
+    }.toSet
+  }
+
+  private lazy val assignedRows: Seq[VecIn] =
+    SimilarityOps.semDedupIncrAssigned(spark, sf0001)
+      .select("vec_id", "cluster", "vec", "is_delta")
+      .collect()
+      .map(r => VecIn(r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray, r.getBoolean(3)))
+      .sortBy(_.vec_id)
+
+  private lazy val batchRows: Set[OutRow] =
+    SimilarityOps.embSemDedupIncr(spark, sf0001).collect().map { r =>
+      def optLong(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getLong(0), r.getLong(1), optLong(2), optLong(3), optLong(4),
+        r.getBoolean(5))
+    }.toSet
+
+  test("streamed semdedup equals the batch operator (base, then delta)") {
+    withRocksDb {
+      assert(batchRows.nonEmpty)
+      val (delta, base) = assignedRows.partition(_.is_delta)
+      assert(base.nonEmpty && delta.nonEmpty)
+      assert(runStream("semdedup_two_triggers", Seq(base, delta))
+        == batchRows)
+    }
+  }
+
+  test("a bootstrap arriving WITH the delta in one trigger is its base") {
+    withRocksDb {
+      assert(runStream("semdedup_one_trigger", Seq(assignedRows))
+        == batchRows)
+    }
+  }
+
+  test("the recurrence: survivors accumulate, dropped rows vanish") {
+    withRocksDb {
+      // hand-computed three-snapshot history in one cluster, tau 0.3;
+      // all cosines land >= 0.02 from the threshold after rounding
+      def v(id: Long, x: Double, y: Double, z: Double, delta: Boolean) =
+        VecIn(id, 0L, Array(x, y, z), delta)
+      val t1 = Seq(v(1, 1, 0, 0, delta = false)) // bootstrap corpus
+      val t2 = Seq(
+        v(10, 0, 1, 0, delta = true), // cos 0 vs base -> kept
+        v(11, 0.6, 0.8, 0, delta = true), // 0.6 vs 1; 0.8 vs 10
+        v(12, 0.21, 0.28, 0.936, delta = true)) // only matches 11 (0.35)
+      val t3 = Seq(
+        v(19, 0.21, 0.28, 0.936, delta = true), // == 12; 11/12 dropped
+        v(20, 0, 1, 0, delta = true), // cos 1.0 vs the KEPT 10
+        v(21, 0.6, 0.8, 0, delta = true)) // 1 and 10 in base; 19 in-trigger
+      val out = runStream("semdedup_recurrence", Seq(t1, t2, t3))
+      assert(out == Set[OutRow](
+        // snapshot 1 (bootstrap) emits nothing
+        // snapshot 2
+        (10L, 0L, None, None, None, true),
+        (11L, 0L, Some(1L), Some(10L), Some(1L), false),
+        // attribution to the DROPPED 11 — delta x delta has no kept
+        // filter — while 12 misses the whole base
+        (12L, 0L, None, Some(11L), Some(11L), false),
+        // snapshot 3
+        // 19 repeats the dropped 12 verbatim: dropped rows are NOT in
+        // the comparison space, so it is kept
+        (19L, 0L, None, None, None, true),
+        // 20 matches the snapshot-2 SURVIVOR 10 as base
+        (20L, 0L, Some(10L), None, Some(10L), false),
+        // 21: base min(1, 10) = 1; in-trigger min(19, 20) = 19;
+        // dup_of = least
+        (21L, 0L, Some(1L), Some(19L), Some(1L), false)))
+    }
+  }
+}
