@@ -61,7 +61,9 @@ class PlanAuditSpec extends SparkSuite {
       val inner = p match {
         // AQE roots hold their plan out-of-band (children = Nil)
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case other => other.children
+        // subquery plans are not children either — the old string
+        // screen saw them via toString, so the walk must descend too
+        case other => other.children ++ other.subqueries
       }
       p +: inner.flatMap(flatten)
     }
