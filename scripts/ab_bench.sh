@@ -151,11 +151,19 @@ if degraded and os.path.exists(out):
 json.dump(doc, open(target, 'w'), indent=1)
 print('[ab] wrote %s panel %s -> %s drift %s%% (bar %s)'
       % (target, ot, nt, drift, bar), file=sys.stderr)
+# line 1: where the artifact landed; line 2: the VERDICT. The shell
+# must branch on the verdict, not on the path — a degraded attempt
+# with no prior clean artifact (the normal fresh-round case) writes
+# to OUT itself (self-describing, the artifactTarget rule), so
+# target==OUT does NOT mean clean.
 print(target)
+print('degraded' if degraded else 'clean')
 EOF
 )"
-  if [ "$TARGET" = "$OUT" ]; then
-    echo "[ab] clean control at attempt $attempt: $OUT"
+  VERDICT="$(printf '%s\n' "$TARGET" | sed -n 2p)"
+  TARGET="$(printf '%s\n' "$TARGET" | sed -n 1p)"
+  if [ "$VERDICT" = "clean" ]; then
+    echo "[ab] clean control at attempt $attempt: $TARGET"
     break
   fi
   echo "[ab] attempt $attempt drifted; artifact at $TARGET"

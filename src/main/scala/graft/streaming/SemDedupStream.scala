@@ -91,6 +91,16 @@ object SemDedupStream {
     }
   }
 
+  /** `cos >= tau` under SPARK's comparison semantics, not Scala's:
+    * Spark orders NaN above every double (empirically:
+    * `filter(cast('NaN' as double) >= 0.3)` KEEPS the row), so a
+    * NaN cosine — reachable only through overflowing ±1e200-class
+    * vector components — is a MATCH in the batch plan and must be
+    * one here too, or the twin diverges on corrupt embeddings. */
+  private def matches(a: Array[Double], b: Array[Double],
+      tau: Double): Boolean =
+    cosRounded(a, b).exists(c => c.isNaN || c >= tau)
+
   class SemDedupProcessor(tau: Double)
       extends StatefulProcessor[Long, VecIn, SemDedupOut] {
     @transient private var kept: ListState[KeptVec] = _
@@ -118,8 +128,7 @@ object SemDedupStream {
         def scanBase(kvId: Long, kvVec: Array[Double]): Unit = {
           var i = 0
           while (i < delta.length) {
-            if (kvId < dupBase(i) &&
-                cosRounded(kvVec, delta(i).vec).exists(_ >= tau))
+            if (kvId < dupBase(i) && matches(kvVec, delta(i).vec, tau))
               dupBase(i) = kvId
             i += 1
           }
@@ -143,7 +152,7 @@ object SemDedupStream {
           var i = 0
           while (i < j) {
             if (delta(i).vec_id < dupDelta(j) &&
-                cosRounded(delta(i).vec, delta(j).vec).exists(_ >= tau))
+                matches(delta(i).vec, delta(j).vec, tau))
               dupDelta(j) = delta(i).vec_id
             i += 1
           }

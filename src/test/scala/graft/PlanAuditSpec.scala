@@ -67,25 +67,50 @@ class PlanAuditSpec extends SparkSuite {
       }
       p +: inner.flatMap(flatten)
     }
-    def bounded(subtree: Seq[SparkPlan]): Boolean = subtree.exists {
+    // A window input is structurally bounded iff EVERY path from the
+    // window's child down to a data-producing leaf crosses a bounding
+    // node first — an exists-anywhere test would let a Limit(1000)
+    // that is later joined back against a corpus FileScan (or an
+    // aggregate on a side branch) vouch for corpus rows flowing into
+    // the window unbounded (r18 self-review finding #2). Residual
+    // this check cannot decide statically: an Aggregate's output
+    // cardinality (a score-grid census vs a groupBy(user_id)) — that
+    // domain-bound argument lives in each census operator's own spec;
+    // the audit pins the structural half.
+    def pathBounded(p: SparkPlan): Boolean = p match {
       case _: BaseAggregateExec => true
       case _: WindowGroupLimitExec => true
       case _: BaseLimitExec => true // Global/LocalLimitExec
       case _: TakeOrderedAndProjectExec => true
       case _: CollectLimitExec => true
-      case _ => false
+      // a broadcast side is bounded by the broadcast threshold
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        true
+      case a: AdaptiveSparkPlanExec => pathBounded(a.executedPlan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        pathBounded(r.child)
+      case l if l.children.isEmpty && l.subqueries.isEmpty => l match {
+        case _: LocalTableScanExec => true // literal rows
+        case _: RangeExec => true // literal-bounded
+        case _ => false // FileScan / RDDScan / anything corpus-shaped
+      }
+      case other =>
+        (other.children ++ other.subqueries).forall(pathBounded)
     }
     // The one shape the walk cannot see through: a window fed by a
     // localCheckpoint'ed census (the checkpoint breaks the plan, so
-    // the producing Aggregate lives in an earlier job). The residual
-    // exemption is ONE name — text_ppl_bucket, whose checkpointed
-    // input is the quantized nll_e4-domain census (~1e5 rows at ANY
-    // corpus size; TextPplBucketSpec re-derives every decile) — and
-    // it is conditional, not a blanket pass: every LEAF under the
-    // window must be the checkpoint scan itself. If a corpus FileScan
-    // is ever joined in under that window, the exemption stops
+    // the producing Aggregate lives in an earlier job). TWO residual
+    // names — text_ppl_bucket, whose checkpointed input is the
+    // quantized nll_e4-domain census (~1e5 rows at ANY corpus size;
+    // TextPplBucketSpec re-derives every decile), and
+    // pipe_mix_optimizer, whose water-filling windows run over the
+    // checkpointed ≤|sources| census (never corpus rows; its spec
+    // pins the allocation against a driver re-derivation) — and the
+    // exemption is conditional, not a blanket pass: every LEAF under
+    // the window must be a checkpoint scan. If a corpus FileScan is
+    // ever joined in under those windows, the exemption stops
     // applying by construction.
-    val checkpointCensus = Set("text_ppl_bucket")
+    val checkpointCensus = Set("text_ppl_bucket", "pipe_mix_optimizer")
     def allLeavesCheckpoint(subtree: Seq[SparkPlan]): Boolean = {
       val leaves = subtree.filter(_.children.isEmpty)
       leaves.nonEmpty && leaves.forall(_.isInstanceOf[RDDScanExec])
@@ -93,11 +118,10 @@ class PlanAuditSpec extends SparkSuite {
     val offenders = physPlans.toSeq.sortBy(_._1).flatMap { case (name, plan) =>
       flatten(plan).collect {
         case w: WindowExec
-            if w.child.outputPartitioning == SinglePartition && {
-              val subtree = flatten(w.child)
-              !bounded(subtree) &&
-                !(checkpointCensus(name) && allLeavesCheckpoint(subtree))
-            } =>
+            if w.child.outputPartitioning == SinglePartition &&
+              !pathBounded(w.child) &&
+              !(checkpointCensus(name) &&
+                allLeavesCheckpoint(flatten(w.child))) =>
           s"$name:\n${w.treeString.linesIterator.take(12).mkString("\n")}"
       }
     }

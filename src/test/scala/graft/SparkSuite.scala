@@ -16,4 +16,21 @@ trait SparkSuite extends AnyFunSuite {
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
   val sf01 = "/root/testdata/sf0.1"
+
+  /** Pin the RocksDB state-store provider for the body's duration —
+    * transformWithState does not run on the default provider. One
+    * definition for every streaming-state suite (it was copy-pasted
+    * into three specs before a config change could silently leave
+    * them testing different providers). */
+  def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -16,17 +16,6 @@ import SprtStream.DailyCensus
   */
 class SprtStreamSpec extends SparkSuite {
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
 
   private type OutRow = (String, String, Long, Long, Long, Long, String, Int)
 

@@ -12,17 +12,6 @@ class TwsSessionsSpec extends SparkSuite {
       f"${t.getHour}%02d:${t.getMinute}%02d:00"
   }
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
 
   test("transformWithState sessionization matches flatMapGroupsWithState") {
     withRocksDb {
