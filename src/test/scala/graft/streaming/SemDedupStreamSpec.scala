@@ -72,6 +72,56 @@ class SemDedupStreamSpec extends SparkSuite {
     }
   }
 
+  test("the kept set survives a checkpoint restart") {
+    withRocksDb {
+      import spark.implicits._
+      // the recurrence fixture again, but the query is STOPPED after
+      // snapshot 2 and a fresh query resumes from the checkpoint —
+      // snapshot 3's verdicts depend entirely on state (who survived
+      // t1/t2), so getting them right proves the ListState recovered,
+      // not merely persisted within one run
+      def v(id: Long, x: Double, y: Double, z: Double, delta: Boolean) =
+        VecIn(id, 0L, Array(x, y, z), delta)
+      val stream = MemoryStream[VecIn](spark)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_semdedup_ckpt").toString
+      // the memory sink refuses checkpoint recovery (not fault-
+      // tolerant); foreachBatch is the recovery-capable sink
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Option[Long], Option[Long], Option[Long], Boolean)]
+      def start() = SemDedupStream.semDedupStream(stream.toDF())
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[SemDedupOut], _: Long) =>
+            val rows = ds.collect().map(o =>
+              (o.vec_id, o.dup_of_base, o.dup_of_delta, o.dup_of, o.kept))
+            buf.synchronized { buf ++= rows; () }
+        }.start()
+      val q1 = start()
+      try {
+        stream.addData(Seq(v(1, 1, 0, 0, delta = false)))
+        q1.processAllAvailable()
+        stream.addData(Seq(v(10, 0, 1, 0, delta = true),
+          v(11, 0.6, 0.8, 0, delta = true)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      buf.synchronized(buf.clear()) // only the post-restart verdicts
+      val q2 = start()
+      try {
+        stream.addData(Seq(v(20, 0, 1, 0, delta = true),
+          v(21, 0.6, 0.8, 0, delta = true)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val after = buf.synchronized(buf.toSet)
+      // 20 must match the RECOVERED survivor 10 (not the dropped 11);
+      // 21 must see base {1, 10} across the restart boundary (min id
+      // 1) and its same-trigger smaller sibling 20 (cos 0.8)
+      assert(after == Set(
+        (20L, Some(10L), None, Some(10L), false),
+        (21L, Some(1L), Some(20L), Some(1L), false)))
+    }
+  }
+
   test("the recurrence: survivors accumulate, dropped rows vanish") {
     withRocksDb {
       // hand-computed three-snapshot history in one cluster, tau 0.3;

@@ -72,6 +72,49 @@ class SprtStreamSpec extends SparkSuite {
     }
   }
 
+  test("a frozen decision survives a checkpoint restart") {
+    withRocksDb {
+      import spark.implicits._
+      // arm X crosses in the first query's lifetime; the query is
+      // stopped and a fresh one resumes from the checkpoint — the
+      // day-2 verdict depends entirely on recovered state (the frozen
+      // crossing AND the cumulative LLR)
+      val stream = MemoryStream[DailyCensus](spark)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_sprt_ckpt").toString
+      // the memory sink refuses checkpoint recovery (not fault-
+      // tolerant); foreachBatch is the recovery-capable sink
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, String, Int)]
+      def start() = SprtStream.sprtStream(stream.toDF())
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[SprtStream.SprtOut], _: Long) =>
+            val rows = ds.collect()
+              .map(o => (o.day, o.llr_e6, o.state, o.post_stop))
+            buf.synchronized { buf ++= rows; () }
+        }.start()
+      val q1 = start()
+      try {
+        stream.addData(Seq(DailyCensus("X", "2024-01-01", 6, 6)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      buf.synchronized(buf.clear()) // only the post-restart verdicts
+      val q2 = start()
+      try {
+        stream.addData(Seq(DailyCensus("X", "2024-01-02", 50, 0)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val s = StatsOps.SprtLogS
+      val f = StatsOps.SprtLogF
+      val after = buf.synchronized(buf.toSet)
+      // cumulative LLR continues from the recovered 6*s, the decision
+      // stays accept_h1, and the post-crossing day is marked
+      assert(after == Set(
+        ("2024-01-02", 6 * s + 50 * f, "accept_h1", 1)))
+    }
+  }
+
   test("a crossing in trigger t is frozen in trigger t+1") {
     withRocksDb {
       // arm X: day 1 crosses the upper boundary (6 successes:
