@@ -11,6 +11,14 @@
 #            (message "round N: verdict/advice/correctness/bench")
 #   OUT_JSON defaults to AB_r16.json
 #   PANEL    defaults to the pinned 13-query panel below
+# Env knobs:
+#   GRAFT_AB_PASSES        timed passes per query per side (default 3)
+#   GRAFT_AB_ATTEMPTS      max control attempts on drift (default 2)
+#   GRAFT_AB_DRIFT_BAR_PCT panel-drift divert bar (default 10)
+#   GRAFT_AB_CHANGED       comma-separated queries the round
+#                          INTENTIONALLY touched — excluded from the
+#                          drift statistic so real signal is not
+#                          counted as host noise
 set -euo pipefail
 cd "$(dirname "$0")/.."
 REPO="$PWD"
