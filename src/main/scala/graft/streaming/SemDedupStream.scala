@@ -112,6 +112,12 @@ object SemDedupStream {
     override def handleInputRows(cluster: Long, rows: Iterator[VecIn],
         timers: TimerValues): Iterator[SemDedupOut] = {
       val batch = rows.toIndexedSeq.sortBy(_.vec_id)
+      batch.iterator.sliding(2).withPartial(false).foreach { p =>
+        if (p(0).vec_id == p(1).vec_id)
+          throw new IllegalStateException(
+            s"SemDedupStream contract violation in cluster $cluster: " +
+              s"vec_id ${p(0).vec_id} appears twice in one trigger")
+      }
       val (bootstrap, delta) = batch.partition(v => !v.is_delta)
       if (delta.isEmpty) {
         // bootstrap-only trigger: absorb, emit nothing
@@ -128,6 +134,15 @@ object SemDedupStream {
         def scanBase(kvId: Long, kvVec: Array[Double]): Unit = {
           var i = 0
           while (i < delta.length) {
+            // contract guard, free inside the scan we already pay
+            // for: a delta id colliding with a kept/bootstrap id is a
+            // replayed row — folding it would silently corrupt every
+            // later dup_of attribution, so fail the query loudly
+            if (kvId == delta(i).vec_id)
+              throw new IllegalStateException(
+                s"SemDedupStream contract violation in cluster $cluster" +
+                  s": delta vec_id ${kvId} already exists in the kept " +
+                  "set — snapshot rows must not replay ids")
             if (kvId < dupBase(i) && matches(kvVec, delta(i).vec, tau))
               dupBase(i) = kvId
             i += 1

@@ -57,10 +57,12 @@ object SprtStream {
       conv: Long, llr_day_e6: Long, llr_e6: Long, state: String,
       post_stop: Int)
 
-  /** Per-arm monitor state: the running LLR and the frozen decision.
-    * `crossDay == null` ⇔ still in (log B, log A). */
+  /** Per-arm monitor state: the running LLR, the frozen decision, and
+    * the last day folded in (the in-order contract's watermark).
+    * `crossDay == null` ⇔ still in (log B, log A); `lastDay == null`
+    * ⇔ no day seen yet. */
   final case class SprtState(llrE6: Long, crossDay: String,
-      llrAtCross: Long)
+      llrAtCross: Long, lastDay: String)
 
   class SprtProcessor
       extends StatefulProcessor[String, DailyCensus, SprtOut] {
@@ -74,10 +76,29 @@ object SprtStream {
         rows: Iterator[DailyCensus],
         timers: TimerValues): Iterator[SprtOut] = {
       // day order within the trigger (iterator order is not
-      // guaranteed); cross-trigger order is the input contract
+      // guaranteed); cross-trigger order is the input contract — and
+      // a contract VIOLATION fails the query loudly rather than fold
+      // a late day into the wrong prefix sum (a sequential test whose
+      // evidence order is wrong is wrong everywhere after; silent
+      // acceptance would be a lie in every later verdict)
       val days = rows.toIndexedSeq.sortBy(_.day)
       var st = if (state.exists()) state.get()
-        else SprtState(0L, null, 0L)
+        else SprtState(0L, null, 0L, null)
+      if (st.lastDay != null && days.nonEmpty &&
+          days.head.day <= st.lastDay)
+        throw new IllegalStateException(
+          s"SprtStream contract violation for variant '$variant': day " +
+            s"'${days.head.day}' arrived at or before the already-folded " +
+            s"'${st.lastDay}' — the census stream must deliver closed " +
+            "days in order (late or replayed days cannot be folded " +
+            "into a sequential test's prefix)")
+      days.iterator.sliding(2).withPartial(false).foreach { p =>
+        if (p(0).day == p(1).day)
+          throw new IllegalStateException(
+            s"SprtStream contract violation for variant '$variant': two " +
+              s"census rows for day '${p(0).day}' in one trigger — a day " +
+              "must arrive as ONE closed census row")
+      }
       val out = days.map { d =>
         val inc = d.conv * StatsOps.SprtLogS +
           (d.n - d.conv) * StatsOps.SprtLogF
@@ -98,6 +119,7 @@ object SprtStream {
           if (st.crossDay != null && d.day > st.crossDay) 1 else 0
         SprtOut(variant, d.day, d.n, d.conv, inc, llr, decided, postStop)
       }
+      if (days.nonEmpty) st = st.copy(lastDay = days.last.day)
       state.update(st)
       out.iterator
     }

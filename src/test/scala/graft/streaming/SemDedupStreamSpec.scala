@@ -72,6 +72,40 @@ class SemDedupStreamSpec extends SparkSuite {
     }
   }
 
+  test("a replayed vec_id fails the query loudly") {
+    withRocksDb {
+      import spark.implicits._
+      def violations(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => String.valueOf(x.getMessage)).toSeq
+      def v(id: Long, delta: Boolean) =
+        VecIn(id, 0L, Array(1.0, 0.0), delta)
+      // a delta id already in the kept set is a replayed snapshot row;
+      // folding it would corrupt every later dup_of attribution
+      val s1 = MemoryStream[VecIn](spark)
+      val q1 = SemDedupStream.semDedupStream(s1.toDF()).writeStream
+        .format("memory").queryName("semdedup_replay")
+        .outputMode("append").start()
+      try {
+        s1.addData(Seq(v(1, delta = false)))
+        q1.processAllAvailable()
+        s1.addData(Seq(v(1, delta = true)))
+        val e = intercept[Exception](q1.processAllAvailable())
+        assert(violations(e).exists(_.contains("contract violation")))
+      } finally q1.stop()
+      // the same id twice inside one trigger
+      val s2 = MemoryStream[VecIn](spark)
+      val q2 = SemDedupStream.semDedupStream(s2.toDF()).writeStream
+        .format("memory").queryName("semdedup_dupid")
+        .outputMode("append").start()
+      try {
+        s2.addData(Seq(v(7, delta = true), v(7, delta = true)))
+        val e = intercept[Exception](q2.processAllAvailable())
+        assert(violations(e).exists(_.contains("appears twice")))
+      } finally q2.stop()
+    }
+  }
+
   test("the kept set survives a checkpoint restart") {
     withRocksDb {
       import spark.implicits._

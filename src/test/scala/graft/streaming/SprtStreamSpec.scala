@@ -72,6 +72,38 @@ class SprtStreamSpec extends SparkSuite {
     }
   }
 
+  test("a contract-violating census fails the query loudly") {
+    withRocksDb {
+      import spark.implicits._
+      def violations(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => String.valueOf(x.getMessage)).toSeq
+      // a late day cannot be folded into a sequential test's prefix —
+      // silent acceptance would falsify every later verdict, so the
+      // monitor fails fast instead
+      val s1 = MemoryStream[DailyCensus](spark)
+      val q1 = SprtStream.sprtStream(s1.toDF()).writeStream
+        .format("memory").queryName("sprt_ooo").outputMode("append").start()
+      try {
+        s1.addData(Seq(DailyCensus("X", "2024-01-02", 1, 0)))
+        q1.processAllAvailable()
+        s1.addData(Seq(DailyCensus("X", "2024-01-01", 1, 0)))
+        val e = intercept[Exception](q1.processAllAvailable())
+        assert(violations(e).exists(_.contains("contract violation")))
+      } finally q1.stop()
+      // two census rows for one (variant, day) in a single trigger
+      val s2 = MemoryStream[DailyCensus](spark)
+      val q2 = SprtStream.sprtStream(s2.toDF()).writeStream
+        .format("memory").queryName("sprt_dup").outputMode("append").start()
+      try {
+        s2.addData(Seq(DailyCensus("X", "2024-01-01", 1, 0),
+          DailyCensus("X", "2024-01-01", 2, 1)))
+        val e = intercept[Exception](q2.processAllAvailable())
+        assert(violations(e).exists(_.contains("ONE closed census row")))
+      } finally q2.stop()
+    }
+  }
+
   test("a frozen decision survives a checkpoint restart") {
     withRocksDb {
       import spark.implicits._
