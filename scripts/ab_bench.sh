@@ -32,15 +32,20 @@ flock -n 9 || { echo "[ab] another ab_bench.sh is running; aborting" >&2; exit 1
 OLD_REF="${1:-$(git log --grep='^round .*: verdict' -1 --format=%H)}"
 OUT="${2:-AB_r17.json}"
 # Pinned panel: one representative per family plus every query a recent
-# round moved or watched — emb_label_centroid / emb_lda_axis (the r15
-# 2x-bar crossers), ann_ivf_topk / ann_nprobe_curve (the r16 native
-# nearest_cell change), text_bigram_lm / text_dsir_weight (the cleared
-# r14 weak marks), mm_audio_fingerprint (the r15 SPI codec pin),
-# graph_degree_hist / graph_item_cooccur (r16 verdict #1: the
-# cappedInteractions int-range filter is the one §2 path r16 touched
-# and read +31-44% at cross-artifact face value — these two seats let
-# the same-host control adjudicate drift vs real cost there).
-PANEL="${3:-q05_top_order_per_customer,q12_daily_events,emb_label_centroid,emb_lda_axis,ann_ivf_topk,ann_nprobe_curve,text_bigram_lm,text_dsir_weight,graph_event_pagerank,graph_degree_hist,graph_item_cooccur,dedup_minhash_lsh,mm_audio_fingerprint,ev_holt_winters,pipe_mix_optimizer}"
+# round moved or watched — emb_label_centroid (the r15 2x-bar
+# crosser), ann_ivf_topk / ann_nprobe_curve (the r16 native
+# nearest_cell change), text_bigram_lm (the cleared r14 weak mark),
+# mm_audio_fingerprint (the r15 SPI codec pin), graph_degree_hist /
+# graph_item_cooccur (r16 verdict #1: the cappedInteractions int-range
+# filter — these two seats let the same-host control adjudicate drift
+# vs real cost there). r19 seat refresh (r18 directive #6): the
+# adjudicated-stale emb_lda_axis and text_dsir_weight seats retire in
+# favor of the two newest operators with moving parts — stat_sprt
+# (the stats suite's first panel seat; its constants now feed three
+# engines) and emb_semdedup_incr (the incremental-dedup batch side the
+# streaming twin shares projections with) — so the control watches
+# where change actually happens.
+PANEL="${3:-q05_top_order_per_customer,q12_daily_events,emb_label_centroid,stat_sprt,ann_ivf_topk,ann_nprobe_curve,text_bigram_lm,emb_semdedup_incr,graph_event_pagerank,graph_degree_hist,graph_item_cooccur,dedup_minhash_lsh,mm_audio_fingerprint,ev_holt_winters,pipe_mix_optimizer}"
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 
@@ -72,6 +77,20 @@ cp "$REPO/src/main/scala/graft/tools/ABPanel.scala" \
 ATTEMPTS="${GRAFT_AB_ATTEMPTS:-2}"
 DRIFT_BAR="${GRAFT_AB_DRIFT_BAR_PCT:-10}"
 CHANGED="${GRAFT_AB_CHANGED:-}"
+# GRAFT_AB_CHANGED entries must name panel queries (r18 advice #2): a
+# typo would silently leave the intentionally-changed query IN the
+# drift set — re-creating the exact false-degraded divert the knob was
+# built to prevent. Fail fast, before an hour of timing.
+if [ -n "$CHANGED" ]; then
+  IFS=',' read -ra _CH <<< "$CHANGED"
+  for q in "${_CH[@]}"; do
+    case ",$PANEL," in
+      *",$q,"*) ;;
+      *) echo "[ab] ERROR: GRAFT_AB_CHANGED entry '$q' is not in the panel ($PANEL)" >&2
+         exit 2 ;;
+    esac
+  done
+fi
 for attempt in $(seq 1 "$ATTEMPTS"); do
   if [ "$attempt" -gt 1 ]; then
     # wait for a quiet window (1-min load < 2, the documented bar this
@@ -125,6 +144,11 @@ drift_qs = [q for q in common if q not in changed]
 drift = (round(statistics.median(abs(per[q]['delta_pct']) for q in drift_qs), 1)
          if drift_qs else None)
 degraded = drift is None or drift > bar
+# r18 advice #2: an EMPTY drift set (every common query marked changed,
+# or nothing succeeded on both sides) makes every attempt
+# unconditionally degraded — retrying is futile and must say so
+# explicitly instead of burning attempts on a structural condition
+empty_drift = not drift_qs
 doc = {
   'metric': 'ab_panel_control',
   'old_ref': old_hash, 'new_ref': new_hash,
@@ -159,19 +183,31 @@ if degraded and os.path.exists(out):
 json.dump(doc, open(target, 'w'), indent=1)
 print('[ab] wrote %s panel %s -> %s drift %s%% (bar %s)'
       % (target, ot, nt, drift, bar), file=sys.stderr)
+if empty_drift:
+    print('[ab] drift set is EMPTY (common=%d, changed covers %d): no '
+          'unchanged query survived on both sides, so the drift '
+          'statistic cannot be computed and a retry cannot fix it — '
+          'shrink GRAFT_AB_CHANGED or fix the failing queries'
+          % (len(common), len(changed & set(common))), file=sys.stderr)
 # line 1: where the artifact landed; line 2: the VERDICT. The shell
 # must branch on the verdict, not on the path — a degraded attempt
 # with no prior clean artifact (the normal fresh-round case) writes
 # to OUT itself (self-describing, the artifactTarget rule), so
-# target==OUT does NOT mean clean.
+# target==OUT does NOT mean clean. 'empty_drift' is degraded AND
+# structurally unretryable.
 print(target)
-print('degraded' if degraded else 'clean')
+print('empty_drift' if empty_drift else
+      ('degraded' if degraded else 'clean'))
 EOF
 )"
   VERDICT="$(printf '%s\n' "$TARGET" | sed -n 2p)"
   TARGET="$(printf '%s\n' "$TARGET" | sed -n 1p)"
   if [ "$VERDICT" = "clean" ]; then
     echo "[ab] clean control at attempt $attempt: $TARGET"
+    break
+  fi
+  if [ "$VERDICT" = "empty_drift" ]; then
+    echo "[ab] attempt $attempt has an EMPTY drift set — structural, not host noise; not retrying. Artifact at $TARGET"
     break
   fi
   echo "[ab] attempt $attempt drifted; artifact at $TARGET"

@@ -157,19 +157,33 @@ object Bench {
   /** The balanced-brace `"streaming":{...}` object of a bench_full
     * artifact — the one authoritative home of the streaming metrics.
     * None when absent or unbalanced (then the caller's legacy
-    * whole-text fallback applies). */
+    * whole-text fallback applies).
+    *
+    * Two scanner rules (r18 advice #3 — the old first-'{'-after-key
+    * scan was safe only against the current writer's output): the
+    * opening brace must IMMEDIATELY follow the key's ':' (a
+    * non-object `"streaming"` field, or a '{' inside some earlier
+    * string value, anchors nothing), and brace counting skips quoted
+    * strings — a '{' or '}' inside a string literal (a query named
+    * after a brace, an escaped message) must not unbalance the
+    * scope. */
   def streamingObject(txt: String): Option[String] = {
-    val i = txt.indexOf("\"streaming\"")
-    val start = if (i < 0) -1 else txt.indexOf('{', i)
-    if (start < 0) None
-    else {
+    "\"streaming\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).flatMap { m =>
+      val start = m.end - 1
       var depth = 0
       var j = start
       var end = -1
+      var inStr = false
       while (j < txt.length && end < 0) {
         val c = txt.charAt(j)
-        if (c == '{') depth += 1
-        else if (c == '}') { depth -= 1; if (depth == 0) end = j }
+        if (inStr) {
+          if (c == '\\') j += 1 // the escaped char is part of the string
+          else if (c == '"') inStr = false
+        } else {
+          if (c == '"') inStr = true
+          else if (c == '{') depth += 1
+          else if (c == '}') { depth -= 1; if (depth == 0) end = j }
+        }
         j += 1
       }
       if (end > start) Some(txt.substring(start, end + 1)) else None

@@ -119,11 +119,30 @@ object SemDedupStream {
               s"vec_id ${p(0).vec_id} appears twice in one trigger")
       }
       val (bootstrap, delta) = batch.partition(v => !v.is_delta)
+      // contract guard, SYMMETRIC across both arrival kinds (r18
+      // advice #1): ANY incoming id — bootstrap or delta — that
+      // already exists in the kept state is a replayed row; folding a
+      // delta replay corrupts dup_of attribution, and appending a
+      // bootstrap replay silently duplicates the ListState entry it
+      // shadows (the same corruption, one trigger later). The ids of
+      // this trigger's batch are checked against the kept list in the
+      // one streamed pass the delta path already pays for; a
+      // bootstrap-only trigger pays its own single pass.
+      val inIds = batch.map(_.vec_id).toSet
+      def guardReplay(keptId: Long): Unit =
+        if (inIds.contains(keptId))
+          throw new IllegalStateException(
+            s"SemDedupStream contract violation in cluster $cluster: " +
+              s"vec_id ${keptId} already exists in the kept set — " +
+              "snapshot rows must not replay ids")
       if (delta.isEmpty) {
         // bootstrap-only trigger: absorb, emit nothing
-        if (bootstrap.nonEmpty)
+        if (bootstrap.nonEmpty) {
+          val it = kept.get()
+          while (it.hasNext) guardReplay(it.next().vec_id)
           kept.appendList(
             bootstrap.map(v => KeptVec(v.vec_id, v.vec)).toArray)
+        }
         Iterator.empty
       } else {
         // dup_of_base: one streamed pass over the accumulated kept
@@ -134,15 +153,6 @@ object SemDedupStream {
         def scanBase(kvId: Long, kvVec: Array[Double]): Unit = {
           var i = 0
           while (i < delta.length) {
-            // contract guard, free inside the scan we already pay
-            // for: a delta id colliding with a kept/bootstrap id is a
-            // replayed row — folding it would silently corrupt every
-            // later dup_of attribution, so fail the query loudly
-            if (kvId == delta(i).vec_id)
-              throw new IllegalStateException(
-                s"SemDedupStream contract violation in cluster $cluster" +
-                  s": delta vec_id ${kvId} already exists in the kept " +
-                  "set — snapshot rows must not replay ids")
             if (kvId < dupBase(i) && matches(kvVec, delta(i).vec, tau))
               dupBase(i) = kvId
             i += 1
@@ -151,6 +161,10 @@ object SemDedupStream {
         val it = kept.get()
         while (it.hasNext) {
           val kv = it.next()
+          // the replay guard rides the scan we already pay for —
+          // collisions within the trigger itself are caught by the
+          // sorted sliding-pairs check above
+          guardReplay(kv.vec_id)
           scanBase(kv.vec_id, kv.vec)
         }
         // a bootstrap arriving WITH deltas in one trigger is base for

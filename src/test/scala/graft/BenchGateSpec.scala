@@ -165,6 +165,25 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.cleanPriorMetric(truncated, "a_mean").contains(0.0418))
   }
 
+  test("streamingObject is anchored and string-safe (r18 advice #3)") {
+    // a '{' inside an EARLIER string value must not mis-anchor the
+    // scope to an unrelated object — the brace must immediately
+    // follow the key's ':'
+    val decoy =
+      """{"note":"streaming","other":{"x":1},
+        |"streaming":{"a_mean":0.5,"a_mean_degraded":0}}""".stripMargin
+    assert(Bench.streamingObject(decoy)
+      .contains("""{"a_mean":0.5,"a_mean_degraded":0}"""))
+    // a non-object streaming field anchors nothing (legacy fallback)
+    assert(Bench.streamingObject("""{"streaming":"none","a":1}""").isEmpty)
+    // braces INSIDE string values within the object must not
+    // unbalance the count (query names, escaped quotes)
+    val braced =
+      """{"streaming":{"worst":"q_{brace}","msg":"say \"}\"","a_mean":2.0}}"""
+    assert(Bench.streamingObject(braced)
+      .contains("""{"worst":"q_{brace}","msg":"say \"}\"","a_mean":2.0}"""))
+  }
+
   test("published best-3 spread and the verdict share one definition") {
     val r15 = Seq(112.0, 621.3, 112.8, 206.9)
     // best-3 = [112.0, 112.8, 206.9] -> (206.9-112.0)/112.0 = 84.73%

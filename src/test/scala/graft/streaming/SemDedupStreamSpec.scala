@@ -103,6 +103,32 @@ class SemDedupStreamSpec extends SparkSuite {
         val e = intercept[Exception](q2.processAllAvailable())
         assert(violations(e).exists(_.contains("appears twice")))
       } finally q2.stop()
+      // the guard is SYMMETRIC (r18 advice #1): a replayed BOOTSTRAP
+      // id fails too — in a bootstrap-only trigger...
+      val s3 = MemoryStream[VecIn](spark)
+      val q3 = SemDedupStream.semDedupStream(s3.toDF()).writeStream
+        .format("memory").queryName("semdedup_boot_replay")
+        .outputMode("append").start()
+      try {
+        s3.addData(Seq(v(3, delta = false)))
+        q3.processAllAvailable()
+        s3.addData(Seq(v(3, delta = false)))
+        val e = intercept[Exception](q3.processAllAvailable())
+        assert(violations(e).exists(_.contains("contract violation")))
+      } finally q3.stop()
+      // ...and in a mixed trigger, where the delta path's kept scan
+      // carries the check
+      val s4 = MemoryStream[VecIn](spark)
+      val q4 = SemDedupStream.semDedupStream(s4.toDF()).writeStream
+        .format("memory").queryName("semdedup_boot_replay_mixed")
+        .outputMode("append").start()
+      try {
+        s4.addData(Seq(v(5, delta = false)))
+        q4.processAllAvailable()
+        s4.addData(Seq(v(5, delta = false), v(6, delta = true)))
+        val e = intercept[Exception](q4.processAllAvailable())
+        assert(violations(e).exists(_.contains("contract violation")))
+      } finally q4.stop()
     }
   }
 
