@@ -190,6 +190,60 @@ object Bench {
     }
   }
 
+  /** 1-minute load average from /proc/loadavg; None where unreadable
+    * (non-Linux, sandbox) — the caller must then proceed, never stall. */
+  def readLoadAvg1(): Option[Double] = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+").headOption.flatMap(_.toDoubleOption)
+  } catch { case _: Throwable => None }
+
+  /** Load-aware start (r18 directive #1a): BENCH_r18's official run
+    * landed its first timed pass on a 9.9-load host spike (pass totals
+    * [323.6, 94.8, 114.5] s) and the whole record was — correctly —
+    * diverted as degraded. The fix is to not START measuring into a
+    * spike: poll the 1-min load and wait, bounded by `maxWaitSec`,
+    * until it is below `barLoad` AND not rising (the documented
+    * spike-decay pattern on this host). Runs BEFORE any Spark work so
+    * the reading is ambient load, not this process's own warmup — a
+    * 32-thread catalog pass pins loadavg near the core count for
+    * minutes after it ends, which is why this check cannot be
+    * meaningfully re-run mid-bench (the degraded-retry arm covers
+    * mid-run spikes instead).
+    *
+    * Returns (waitedSec, firstLoad, lastLoad); first/last are -1 when
+    * the sensor is unreadable. Injectable load/sleep/clock for the
+    * spec. Never throws, never waits past the bound.
+    */
+  def awaitQuietHost(maxWaitSec: Double, barLoad: Double,
+      pollSec: Double = 15.0,
+      load: () => Option[Double] = () => readLoadAvg1(),
+      sleep: Double => Unit = s => Thread.sleep(math.max(0, (s * 1000).toLong)),
+      clock: () => Long = () => System.nanoTime()): (Double, Double, Double) = {
+    val first = load().getOrElse(-1.0)
+    if (first < 0 || first < barLoad) return (0.0, first, first)
+    val start = clock()
+    var prev = first
+    var cur = first
+    var waited = 0.0
+    var quiet = false
+    while (!quiet && waited < maxWaitSec) {
+      sleep(math.min(pollSec, maxWaitSec - waited))
+      waited = (clock() - start) / 1e9
+      prev = cur
+      cur = load().getOrElse(-1.0)
+      // a sensor that vanishes mid-wait ends the wait (proceed); once
+      // a spike has been OBSERVED, quiet requires two consecutive
+      // below-bar samples with the second falling-or-flat (±0.1 — two
+      // successive /proc/loadavg reads of a decaying average jitter at
+      // that scale): a single dip below the bar, or a below-bar
+      // reading that is climbing, is the spike's edge, not its end
+      quiet = cur < 0 ||
+        (cur < barLoad && prev < barLoad && cur <= prev + 0.1)
+    }
+    (math.round(waited * 10) / 10.0, first, cur)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -220,6 +274,19 @@ object Bench {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
 
+    // Load-aware start (r18 directive #1a) — BEFORE the budget clock
+    // starts: the wait is a recorded preamble, not bench work, so a
+    // 6-minute quiet-wait cannot eat the evidence the budget protects.
+    // Bounded and bar env-tunable; defaults from the judge's documented
+    // host pattern (spikes decay in minutes; ambient quiet is load < 2).
+    val loadBar = sys.env.get("GRAFT_BENCH_LOAD_BAR")
+      .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(2.0)
+    val loadWaitMax = sys.env.get("GRAFT_BENCH_LOAD_WAIT_MAX_SEC")
+      .flatMap(_.toDoubleOption).filter(_ >= 0).getOrElse(360.0)
+    val (loadWaitedSec, loadAtStart, loadAfterWait) =
+      awaitQuietHost(loadWaitMax, loadBar)
+    println(s"""{"metric":"load_wait","waited_sec":$loadWaitedSec,"load_at_start":$loadAtStart,"load_after_wait":$loadAfterWait,"bar":$loadBar,"max_wait_sec":$loadWaitMax}""")
+
     // r17 directive #1: the wall-clock budget starts ticking here —
     // everything below asks `budget.allow` before an OPTIONAL block
     // and sheds it loudly when it no longer fits (see BenchBudget doc)
@@ -228,13 +295,17 @@ object Bench {
         s"""{"metric":"budget_shed","block":"$block","remaining_sec":${math.round(remaining)}}"""))
     println(s"""{"metric":"budget","budget_sec":${budget.budgetSec}}""")
     // quiet-host cost estimates for the gated blocks, from the r16
-    // driver bench (57:16 total) and the r17 builder close: the
-    // mandatory streaming blocks (N=5 A/B + N=3 full-volume) ~6 min,
+    // driver bench (57:16 total) and the r17/r18 builder closes: the
+    // mandatory streaming blocks (warm once + N=5 A/B + N=5
+    // full-volume) ~8 min, the sf0.001 twins parity block ~1.5 min,
     // the 10× volume point ~4 min, the big-probe sweep (corpus
     // generation + min-of-2 probes + paired bases) ~10 min. Estimates,
     // not caps — a block that starts is never killed mid-flight; the
     // budget decides only whether it STARTS.
-    val StreamMandatoryEstSec = 360.0
+    // (the mandatory streaming blocks need no cost constant anymore:
+    // they run FIRST — r18 directive #3 — so no later gate reserves
+    // for them)
+    val TwinsEstSec = 90.0
     val Streaming10xEstSec = 240.0
     val BigProbeEstSec = 600.0
     val ArtifactMarginSec = 60.0
@@ -284,6 +355,268 @@ object Bench {
     layoutSetup(sfDir)
     println(s"""{"metric":"warmup_done","codegen_compiles":${compiles()}}""")
 
+    // BASELINE-PARITY STREAMING, FIRST (r18 directive #3): the
+    // full-volume append/update means were spread-flagged three rounds
+    // running (62-146%) — always measured AFTER ~6 catalog passes had
+    // heated the host. The streaming section now runs before any
+    // target-SF pass, directly behind the load-aware start, and the
+    // full-volume point takes min-of-5 instead of min-of-3. One
+    // UNTIMED warm run absorbs the streaming path's first-execution
+    // JIT/state-store init (the catalog warmup above does not touch
+    // foreachBatch/CSV-metrics code), so run 1 of the timed N no
+    // longer carries cold-start into the spread.
+    //
+    // streaming per-trigger latency A/B — the reference's headline
+    // experiment (BASELINE.md: append 70.40 ms mean vs update+earliest
+    // 82.97 ms). Reported in seconds-per-trigger alongside the batch
+    // queries so the comparison is direct.
+    // N=5 runs per invocation with mean ± stddev ± n PUBLISHED (r8
+    // item: the A/B mean drifted 31.4→39.6 ms across rounds with the
+    // host-load explanation living in prose — the variance now ships
+    // in the artifact, so a cross-round delta is attributable from the
+    // numbers alone; the min is kept for continuity with r7/r8 lines)
+    val streaming: Map[String, Double] = try {
+      def once(): (Double, Double) = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+        try {
+          val batches = (0 until 40).map(i =>
+            graft.streaming.FeedbackGenerator.batch("random", i * 25, 25))
+          val res = graft.streaming.ModesBenchmark.run(spark, batches, dir,
+            backlogFactor = 15)
+          (res.append.meanMs, res.updateEarliest.meanMs)
+        } finally rmrf(dir)
+      }
+      once() // untimed streaming-path warmup, result discarded
+      val n = 5
+      val runs = Seq.fill(n)(once())
+      def stats(xs: Seq[Double]): (Double, Double) = {
+        val m = xs.sum / xs.size
+        val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+        (m / 1000.0, sd / 1000.0)
+      }
+      val (am, asd) = stats(runs.map(_._1))
+      val (um, usd) = stats(runs.map(_._2))
+      Map(
+        "st_append_trigger_mean" -> am,
+        "st_append_trigger_stddev" -> asd,
+        "st_append_trigger_min" -> runs.map(_._1).min / 1000.0,
+        "st_update_earliest_trigger_mean" -> um,
+        "st_update_earliest_trigger_stddev" -> usd,
+        "st_update_earliest_trigger_min" -> runs.map(_._2).min / 1000.0,
+        "st_trigger_runs" -> n.toDouble)
+    } catch { case _: Throwable => Map.empty[String, Double] }
+
+    // FULL-VOLUME streaming parity (r11 verdict #6): the baseline's
+    // published numbers come from 639 triggers / 10,000 msgs (append)
+    // and a 146,626-row epoch-0 replay (update+earliest; 6,662.54 ms).
+    // One run at EXACTLY those volumes makes the 2×-faster headline
+    // audit-proof at like-for-like load — batch sizes 16/15 sum to
+    // 10,000 across 639 triggers. Gated to the per-round sf0.1 run.
+    // r13 verdict #4: the full-volume point is the headline
+    // baseline-parity number, and a single measurement let a +27%
+    // host-load drift masquerade as a regression. r18 directive #3:
+    // N raised 3 → 5 — publish the MIN of the per-run trigger means
+    // (the same agreeing-evidence rule as the batch bench's
+    // pass_totals — a genuinely slow pipeline is slow five times, a
+    // noisy host isn't) plus the max/min spread so drift is
+    // attributable from the artifact alone.
+    val streamingFull: Map[String, Double] =
+      if (!sfDir.endsWith("sf0.1")) Map.empty
+      else try {
+        def once(): graft.streaming.ModesBenchmark.Result = {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_bench_stream_full")
+          try {
+            var off = 0
+            val batches = (0 until 639).map { i =>
+              val sz = if (i < 415) 16 else 15
+              val b =
+                graft.streaming.FeedbackGenerator.batch("random", off, sz)
+              off += sz
+              b
+            }
+            graft.streaming.ModesBenchmark.run(spark, batches, dir,
+              backlogRows = 146626)
+          } finally rmrf(dir)
+        }
+        val n = 5
+        val runs = Seq.fill(n)(once())
+        def spreadPct(xs: Seq[Double]): Double =
+          math.round((xs.max / math.max(xs.min, 1e-9) - 1) * 1000) / 10.0
+        val appendMeans = runs.map(_.append.meanMs)
+        val updateMeans = runs.map(_.updateEarliest.meanMs)
+        val best = runs.minBy(_.append.meanMs)
+        Map(
+          "st_append_fullvolume_mean" -> appendMeans.min / 1000.0,
+          "st_append_fullvolume_mean_spread_pct" -> spreadPct(appendMeans),
+          "st_append_fullvolume_median" -> best.append.medianMs / 1000.0,
+          "st_append_fullvolume_triggers" -> best.append.n.toDouble,
+          "st_update_earliest_fullvolume_mean" -> updateMeans.min / 1000.0,
+          "st_update_earliest_fullvolume_mean_spread_pct" ->
+            spreadPct(updateMeans),
+          "st_update_earliest_fullvolume_median" ->
+            runs.minBy(_.updateEarliest.meanMs).updateEarliest
+              .medianMs / 1000.0,
+          "st_append_fullvolume_p95" -> best.append.p95Ms / 1000.0,
+          "st_append_fullvolume_p99" -> best.append.p99Ms / 1000.0,
+          "st_update_earliest_fullvolume_p95" ->
+            runs.minBy(_.updateEarliest.meanMs).updateEarliest
+              .p95Ms / 1000.0,
+          "st_update_earliest_fullvolume_p99" ->
+            runs.minBy(_.updateEarliest.meanMs).updateEarliest
+              .p99Ms / 1000.0,
+          "st_fullvolume_epoch0_replay_sec" ->
+            runs.map(_.epoch0ReplayMs).min / 1000.0,
+          "st_fullvolume_epoch0_replay_sec_spread_pct" ->
+            spreadPct(runs.map(_.epoch0ReplayMs)),
+          "st_fullvolume_runs" -> n.toDouble,
+          "st_fullvolume_msgs" -> 10000.0,
+          "st_fullvolume_backlog_rows" -> 146626.0)
+      } catch { case _: Throwable => Map.empty[String, Double] }
+
+    // STREAMING-TWINS EVIDENCE (r18 directive #5): SprtStream and
+    // SemDedupStream are spec-proven twins of their batch operators,
+    // but until now that proof lived only in CI — invisible to the
+    // artifact diff. Re-run the parity check here at sf0.001 and ship
+    // it: per twin, the streamed row count vs the batch operator's, an
+    // exact-equality parity bit, and the wall-clock of the one trigger
+    // that carries the data — so a regression in the
+    // transformWithState path shows up in bench_full.json, not only in
+    // a test run. Cheap (~1.5 min); budget-gated like any optional
+    // block (first to be asked, so it sheds only when the budget is
+    // already blown at streaming's end).
+    val stTwins: Map[String, Double] =
+      if (!budget.allow("st_twins", TwinsEstSec, ArtifactMarginSec))
+        Map.empty
+      else try {
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = spark.conf.getOption(provKey)
+        spark.conf.set(provKey, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider")
+        try {
+          def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+            df.collect().map(_.toString).toSet
+          // SPRT twin: the whole sf0.001 census in ONE trigger — the
+          // timed trigger therefore carries every (variant, day) row
+          val sprt: Seq[(String, Double)] = {
+            val census = graft.operators.StatsOps
+              .sprtDailyCensus(graft.core.Tables.events(spark, warmDir))
+              .collect().toSeq
+              .map(r => graft.streaming.SprtStream.DailyCensus(
+                r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+              .sortBy(c => (c.day, c.variant))
+            val batch =
+              rows(graft.operators.StatsOps.statSprt(spark, warmDir))
+            val stream =
+              MemoryStream[graft.streaming.SprtStream.DailyCensus](spark)
+            val q = graft.streaming.SprtStream.sprtStream(stream.toDF())
+              .writeStream.format("memory").queryName("bench_twin_sprt")
+              .outputMode("append").start()
+            val dt = try {
+              val t0 = System.nanoTime()
+              stream.addData(census)
+              q.processAllAvailable()
+              (System.nanoTime() - t0) / 1e9
+            } finally q.stop()
+            val streamed = rows(spark.table("bench_twin_sprt"))
+            Seq(
+              "st_twin_sprt_parity" ->
+                (if (streamed == batch) 1.0 else 0.0),
+              "st_twin_sprt_rows" -> streamed.size.toDouble,
+              "st_twin_sprt_batch_rows" -> batch.size.toDouble,
+              "st_twin_sprt_trigger_sec" -> dt)
+          }
+          // semdedup twin: bootstrap absorbed untimed, then the whole
+          // delta snapshot as the ONE timed trigger (the monitor's
+          // steady-state shape: delta-vs-kept work only)
+          val sem: Seq[(String, Double)] = {
+            val assigned = graft.sim.SimilarityOps
+              .semDedupIncrAssigned(spark, warmDir)
+              .select("vec_id", "cluster", "vec", "is_delta")
+              .collect().toSeq
+              .map(r => graft.streaming.SemDedupStream.VecIn(r.getLong(0),
+                r.getLong(1), r.getSeq[Double](2).toArray, r.getBoolean(3)))
+              .sortBy(_.vec_id)
+            val (delta, base) = assigned.partition(_.is_delta)
+            val batch =
+              rows(graft.sim.SimilarityOps.embSemDedupIncr(spark, warmDir))
+            val stream =
+              MemoryStream[graft.streaming.SemDedupStream.VecIn](spark)
+            val q = graft.streaming.SemDedupStream
+              .semDedupStream(stream.toDF())
+              .writeStream.format("memory")
+              .queryName("bench_twin_semdedup")
+              .outputMode("append").start()
+            val dt = try {
+              stream.addData(base)
+              q.processAllAvailable()
+              val t0 = System.nanoTime()
+              stream.addData(delta)
+              q.processAllAvailable()
+              (System.nanoTime() - t0) / 1e9
+            } finally q.stop()
+            val streamed = rows(spark.table("bench_twin_semdedup"))
+            Seq(
+              "st_twin_semdedup_parity" ->
+                (if (streamed == batch) 1.0 else 0.0),
+              "st_twin_semdedup_rows" -> streamed.size.toDouble,
+              "st_twin_semdedup_batch_rows" -> batch.size.toDouble,
+              "st_twin_semdedup_trigger_sec" -> dt)
+          }
+          // ingest-dedup twin: corpus absorbed untimed, then the whole
+          // delivery as the ONE timed trigger (point-probe MapState —
+          // the flat-per-delivery-cost claim, measured)
+          val ingest: Seq[(String, Double)] = {
+            val assigned = graft.dedup.DedupOps
+              .bloomIncrAssigned(spark, warmDir)
+              .collect().toSeq
+              .map(r => graft.streaming.IngestDedupStream.DocIn(
+                r.getLong(0), r.getLong(1), r.getBoolean(2)))
+              .sortBy(_.doc_id)
+            val (delta, corpus) = assigned.partition(_.is_delta)
+            val batch = rows(
+              graft.dedup.DedupOps.dedupBloomIncremental(spark, warmDir))
+            val stream =
+              MemoryStream[graft.streaming.IngestDedupStream.DocIn](spark)
+            val q = graft.streaming.IngestDedupStream
+              .ingestDedupStream(stream.toDF())
+              .writeStream.format("memory")
+              .queryName("bench_twin_ingest")
+              .outputMode("append").start()
+            val dt = try {
+              stream.addData(corpus)
+              q.processAllAvailable()
+              val t0 = System.nanoTime()
+              stream.addData(delta)
+              q.processAllAvailable()
+              (System.nanoTime() - t0) / 1e9
+            } finally q.stop()
+            val streamed = rows(spark.table("bench_twin_ingest"))
+            Seq(
+              "st_twin_ingest_parity" ->
+                (if (streamed == batch) 1.0 else 0.0),
+              "st_twin_ingest_rows" -> streamed.size.toDouble,
+              "st_twin_ingest_batch_rows" -> batch.size.toDouble,
+              "st_twin_ingest_trigger_sec" -> dt)
+          }
+          (sprt ++ sem ++ ingest).toMap
+        } finally {
+          prevProv match {
+            case Some(v) => spark.conf.set(provKey, v)
+            case None => spark.conf.unset(provKey)
+          }
+          spark.catalog.dropTempView("bench_twin_sprt")
+          spark.catalog.dropTempView("bench_twin_semdedup")
+          spark.catalog.dropTempView("bench_twin_ingest")
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    if (stTwins.nonEmpty)
+      println(s"""{"metric":"st_twins",${stTwins.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + math.round(v * 10000) / 10000.0 }
+        .mkString(",")}}""")
+
     // ADAPTIVE untimed warmup at the TARGET SF (round-8 item: pass 1
     // ran ~53% above steady state — sf-sized shuffle buffers, page
     // cache, and deeper JIT tiers were being measured inside the first
@@ -302,10 +635,13 @@ object Bench {
     // estimate every later gate uses); passes 2-4 are a REFINEMENT —
     // the last thing worth shedding, so their gate reserves the full
     // mandatory remainder: 3 timed passes + the scale-ratio passes
-    // (~1 pass-equivalent across mid+small) + the streaming blocks
+    // (~1 pass-equivalent across mid+small) + the artifact margin (the
+    // baseline-parity streaming blocks already RAN above — r18
+    // directive #3 moved them ahead of everything pass-shaped — so no
+    // gate reserves for them anymore)
     while (warmIdx < 4 && !converged && (warmIdx == 0 ||
         budget.allow("warmup_refinement", prevWarm,
-          4 * prevWarm + StreamMandatoryEstSec))) {
+          4 * prevWarm + ArtifactMarginSec))) {
       warmIdx += 1
       val w0 = compiles()
       val t0 = System.nanoTime()
@@ -371,20 +707,64 @@ object Bench {
     // 3 passes, plus a 4th when the pass-total spread exceeds 10%
     // (r14 verdict #4: a 15.3% spread weakens every per-query delta
     // claim; one more agreeing sample restores a trustworthy min and
-    // median on a noisy host, while a quiet host never pays for it)
-    val bigPasses: Seq[Map[String, Double]] = {
-      val three = (1 to 3).map(i => timedPass(sfDir, i))
+    // median on a noisy host, while a quiet host never pays for it).
+    //
+    // CORE-SHED LEVER (r18 directive #2): the r18 official run shed
+    // every optional block yet still overran its 2,400 s budget by
+    // 36% — the mandatory 3-4 passes under a load spike simply cost
+    // that much, and nothing could give ground. The core now has ONE
+    // recorded degradation step: when elapsed crosses 80% of the
+    // budget after pass 2, pass 3 is dropped (min still honest,
+    // spread computed over what ran, never fewer than 2 passes) and
+    // the artifact carries `core_shed:["pass3"]` so a 2-pass record
+    // self-describes instead of silently overrunning into an rc 124.
+    val coreShedBuf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val bigPasses0: Seq[Map[String, Double]] = {
+      val firstTwo = (1 to 2).map(i => timedPass(sfDir, i))
+      val three =
+        if (budget.elapsedSec <= 0.8 * budget.budgetSec)
+          firstTwo :+ timedPass(sfDir, 3)
+        else {
+          coreShedBuf += "pass3"
+          println(s"""{"metric":"core_shed","block":"pass3","elapsed_sec":${math.round(budget.elapsedSec)},"budget_sec":${budget.budgetSec}}""")
+          firstTwo
+        }
       val totals = three.map(_.values.filter(_ >= 0).sum)
-      if (totals.min > 0 && (totals.max - totals.min) / totals.min > 0.10 &&
+      if (three.size == 3 && totals.min > 0 &&
+          (totals.max - totals.min) / totals.min > 0.10 &&
           // extra passes outrank the 10× streaming and the probe (which
           // are deliberately NOT reserved here) but must not eat the
-          // scale-ratio passes or the baseline-parity streaming blocks
+          // scale-ratio passes
           budget.allow("extra_pass", totals.min,
-            totals.min + StreamMandatoryEstSec)) {
+            totals.min + ArtifactMarginSec)) {
         println(s"""{"metric":"extra_pass_trigger","pass_totals":[${totals.map(t => math.round(t * 100) / 100.0).mkString(",")}],"spread_over_10pct":true}""")
         three :+ timedPass(sfDir, 4)
       } else three
     }
+    // DEGRADED RETRY (r18 directive #1b): when even the best 3 of the
+    // passes so far disagree by >15%, the run is headed for the
+    // degraded divert — which protects the record's quality but (as in
+    // r18) leaves the round without a clean official artifact. Before
+    // accepting that, buy two more timed passes if the budget still
+    // fits them: a transient spike leaves the retry passes agreeing
+    // with the fastest original pass (best-3 then reads clean — the
+    // min-of-N discipline, two more samples), while a genuine sustained
+    // slowdown reproduces and the divert proceeds with the retry
+    // recorded. No quiet-wait here: after our own 32-thread passes,
+    // loadavg reads THIS process for minutes, so a load poll at this
+    // point cannot distinguish neighbor noise from self.
+    val hostDegradedPreRetry =
+      degradedVerdict(bigPasses0.map(_.values.filter(_ >= 0).sum))._1
+    val bigPasses: Seq[Map[String, Double]] = {
+      val minPass = bigPasses0.map(_.values.filter(_ >= 0).sum).min
+      if (hostDegradedPreRetry && minPass > 0 &&
+          budget.allow("degraded_retry", 2 * minPass, ArtifactMarginSec)) {
+        println(s"""{"metric":"degraded_retry","pass_totals":[${bigPasses0.map(p => math.round(p.values.filter(_ >= 0).sum * 100) / 100.0).mkString(",")}]}""")
+        bigPasses0 ++ Seq(timedPass(sfDir, bigPasses0.size + 1),
+          timedPass(sfDir, bigPasses0.size + 2))
+      } else bigPasses0
+    }
+    val degradedRetried = bigPasses.size > bigPasses0.size
     // NOISE SELF-DIAGNOSIS (r11 verdict #3: the driver's pass spread
     // hit 14% and three text queries "regressed" in exactly one pass).
     // A query whose max/min pass ratio exceeds 1.5 — with a 0.2 s floor
@@ -403,12 +783,12 @@ object Bench {
     val extraPasses: Seq[Map[String, Double]] =
       if (noisyQueries.isEmpty ||
           // same rank as the 4th pass: reserve the mandatory remainder
-          // (scale passes + streaming), never the 10×/probe below it
+          // (the scale passes), never the 10×/probe below it
           !budget.allow("noisy_repass",
             2 * noisyQueries.map(k =>
               bigPasses.map(_(k)).filter(_ >= 0).max).sum,
             bigPasses.map(_.values.filter(_ >= 0).sum).min +
-              StreamMandatoryEstSec)) Seq.empty
+              ArtifactMarginSec)) Seq.empty
       else (1 to 2).map { i =>
         val pass = noisyQueries.map { name =>
           val t0 = System.nanoTime()
@@ -486,112 +866,6 @@ object Bench {
       .filter { case (k, r) => r > ScaleFlagRatio && results(k) >= 1.0 }
       .keys.toSeq.sorted
 
-    // streaming per-trigger latency A/B — the reference's headline
-    // experiment (BASELINE.md: append 70.40 ms mean vs update+earliest
-    // 82.97 ms). Reported in seconds-per-trigger alongside the batch
-    // queries so the comparison is direct.
-    // N=5 runs per invocation with mean ± stddev ± n PUBLISHED (r8
-    // item: the A/B mean drifted 31.4→39.6 ms across rounds with the
-    // host-load explanation living in prose — the variance now ships
-    // in the artifact, so a cross-round delta is attributable from the
-    // numbers alone; the min is kept for continuity with r7/r8 lines)
-    val streaming: Map[String, Double] = try {
-      def once(): (Double, Double) = {
-        val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
-        try {
-          val batches = (0 until 40).map(i =>
-            graft.streaming.FeedbackGenerator.batch("random", i * 25, 25))
-          val res = graft.streaming.ModesBenchmark.run(spark, batches, dir,
-            backlogFactor = 15)
-          (res.append.meanMs, res.updateEarliest.meanMs)
-        } finally rmrf(dir)
-      }
-      val n = 5
-      val runs = Seq.fill(n)(once())
-      def stats(xs: Seq[Double]): (Double, Double) = {
-        val m = xs.sum / xs.size
-        val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
-        (m / 1000.0, sd / 1000.0)
-      }
-      val (am, asd) = stats(runs.map(_._1))
-      val (um, usd) = stats(runs.map(_._2))
-      Map(
-        "st_append_trigger_mean" -> am,
-        "st_append_trigger_stddev" -> asd,
-        "st_append_trigger_min" -> runs.map(_._1).min / 1000.0,
-        "st_update_earliest_trigger_mean" -> um,
-        "st_update_earliest_trigger_stddev" -> usd,
-        "st_update_earliest_trigger_min" -> runs.map(_._2).min / 1000.0,
-        "st_trigger_runs" -> n.toDouble)
-    } catch { case _: Throwable => Map.empty[String, Double] }
-
-    // FULL-VOLUME streaming parity (r11 verdict #6): the baseline's
-    // published numbers come from 639 triggers / 10,000 msgs (append)
-    // and a 146,626-row epoch-0 replay (update+earliest; 6,662.54 ms).
-    // One run at EXACTLY those volumes makes the 2×-faster headline
-    // audit-proof at like-for-like load — batch sizes 16/15 sum to
-    // 10,000 across 639 triggers. Gated to the per-round sf0.1 run.
-    // r13 verdict #4: the full-volume point is the headline
-    // baseline-parity number, and a single measurement let a +27%
-    // host-load drift masquerade as a regression. Run it N=3 times
-    // and publish the MIN of the per-run trigger means (the same
-    // agreeing-evidence rule as the batch bench's pass_totals — a
-    // genuinely slow pipeline is slow three times, a noisy host
-    // isn't) plus the max/min spread so drift is attributable from
-    // the artifact alone.
-    val streamingFull: Map[String, Double] =
-      if (!sfDir.endsWith("sf0.1")) Map.empty
-      else try {
-        def once(): graft.streaming.ModesBenchmark.Result = {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft_bench_stream_full")
-          try {
-            var off = 0
-            val batches = (0 until 639).map { i =>
-              val sz = if (i < 415) 16 else 15
-              val b =
-                graft.streaming.FeedbackGenerator.batch("random", off, sz)
-              off += sz
-              b
-            }
-            graft.streaming.ModesBenchmark.run(spark, batches, dir,
-              backlogRows = 146626)
-          } finally rmrf(dir)
-        }
-        val n = 3
-        val runs = Seq.fill(n)(once())
-        def spreadPct(xs: Seq[Double]): Double =
-          math.round((xs.max / math.max(xs.min, 1e-9) - 1) * 1000) / 10.0
-        val appendMeans = runs.map(_.append.meanMs)
-        val updateMeans = runs.map(_.updateEarliest.meanMs)
-        val best = runs.minBy(_.append.meanMs)
-        Map(
-          "st_append_fullvolume_mean" -> appendMeans.min / 1000.0,
-          "st_append_fullvolume_mean_spread_pct" -> spreadPct(appendMeans),
-          "st_append_fullvolume_median" -> best.append.medianMs / 1000.0,
-          "st_append_fullvolume_triggers" -> best.append.n.toDouble,
-          "st_update_earliest_fullvolume_mean" -> updateMeans.min / 1000.0,
-          "st_update_earliest_fullvolume_mean_spread_pct" ->
-            spreadPct(updateMeans),
-          "st_update_earliest_fullvolume_median" ->
-            runs.minBy(_.updateEarliest.meanMs).updateEarliest
-              .medianMs / 1000.0,
-          "st_append_fullvolume_p95" -> best.append.p95Ms / 1000.0,
-          "st_append_fullvolume_p99" -> best.append.p99Ms / 1000.0,
-          "st_update_earliest_fullvolume_p95" ->
-            runs.minBy(_.updateEarliest.meanMs).updateEarliest
-              .p95Ms / 1000.0,
-          "st_update_earliest_fullvolume_p99" ->
-            runs.minBy(_.updateEarliest.meanMs).updateEarliest
-              .p99Ms / 1000.0,
-          "st_fullvolume_epoch0_replay_sec" ->
-            runs.map(_.epoch0ReplayMs).min / 1000.0,
-          "st_fullvolume_epoch0_replay_sec_spread_pct" ->
-            spreadPct(runs.map(_.epoch0ReplayMs)),
-          "st_fullvolume_runs" -> n.toDouble,
-          "st_fullvolume_msgs" -> 10000.0,
-          "st_fullvolume_backlog_rows" -> 146626.0)
-      } catch { case _: Throwable => Map.empty[String, Double] }
 
     // 10× the reference's volume (r12 verdict #5): same 639 triggers,
     // 10× the rows per trigger (160/150-msg batches summing exactly
@@ -600,9 +874,10 @@ object Bench {
     // claim for ST2/ST3 is that per-trigger latency grows with the
     // PER-TRIGGER batch, not with how long the stream has been running
     // — mean/median ~flat vs the 1× run is that evidence.
-    // min-of-2 (same agreeing-evidence rule; 2 not 3 because this run
-    // is ~10× the data of the full-volume point and the 1× point
-    // above already anchors the host-noise estimate with N=3)
+    // min-of-2 (same agreeing-evidence rule; 2 not 5 because this run
+    // is ~10× the data of the full-volume point and the 1× point —
+    // run earlier, directly behind the load-aware start — already
+    // anchors the host-noise estimate with N=5)
     val streaming10x: Map[String, Double] =
       if (!sfDir.endsWith("sf0.1")) Map.empty
       // second in the shed order: the 1× full-volume parity point above
@@ -810,7 +1085,7 @@ object Bench {
     val stDegradedJson =
       stDegraded.map("\"" + _ + "\"").mkString("[", ",", "]")
 
-    val all = results ++ streaming ++ streamingFullG ++ streaming10xG
+    val all = results ++ streaming ++ streamingFullG ++ streaming10xG ++ stTwins
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // totals sum SUCCESSFUL queries only — a failed query's -1 sentinel
@@ -859,6 +1134,9 @@ object Bench {
     // artifact missing its probe/10× sections must say WHY from its
     // own bytes (all gated blocks have run or been refused by here)
     val shedJson = budget.shed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the core's own recorded degradation (r18 directive #2) — distinct
+    // from budget_shed: these are MANDATORY blocks given up mid-run
+    val coreShedJson = coreShedBuf.map("\"" + _ + "\"").mkString("[", ",", "]")
     // pass_spread_pct makes run-to-run reproducibility a FIRST-CLASS
     // reading: (max−min)/min over the timed target-SF pass totals. A
     // quiet host lands ≲10%; ambient driver load shows up here instead
@@ -930,7 +1208,7 @@ object Bench {
       val short = if (i < 0) probeCoverage else probeCoverage.substring(0, i)
       if (short.endsWith(",")) short else short + ","
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"big_probe_copies":$BigProbeCopies,"big_probe_flag_threshold":$ScaleFlagRatio,"noisy_queries":$nqJson,"st_degraded":$stDegradedJson,"st_append_fullvolume_mean":${streamingFullG.getOrElse("st_append_fullvolume_mean", -1.0)},"st_append_fullvolume_mean_spread_pct":${streamingFullG.getOrElse("st_append_fullvolume_mean_spread_pct", -1.0)},"st_update_earliest_fullvolume_mean":${streamingFullG.getOrElse("st_update_earliest_fullvolume_mean", -1.0)},"st_update_earliest_fullvolume_mean_spread_pct":${streamingFullG.getOrElse("st_update_earliest_fullvolume_mean_spread_pct", -1.0)},"st_fullvolume_epoch0_replay_sec":${streamingFullG.getOrElse("st_fullvolume_epoch0_replay_sec", -1.0)},"st_fullvolume_runs":${streamingFullG.getOrElse("st_fullvolume_runs", 0.0).toInt},"st_append_10x_mean":${streaming10xG.getOrElse("st_append_10x_mean", -1.0)},"st_append_10x_mean_spread_pct":${streaming10xG.getOrElse("st_append_10x_mean_spread_pct", -1.0)},"st_update_earliest_10x_mean":${streaming10xG.getOrElse("st_update_earliest_10x_mean", -1.0)},"st_update_earliest_10x_mean_spread_pct":${streaming10xG.getOrElse("st_update_earliest_10x_mean_spread_pct", -1.0)},"st_10x_epoch0_replay_sec":${streaming10xG.getOrElse("st_10x_epoch0_replay_sec", -1.0)},"st_10x_runs":${streaming10xG.getOrElse("st_10x_runs", 0.0).toInt},${probeCoverageSummary}"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,"pass_spread_best3_pct":$spreadBest3Pct,"host_degraded":$hostDegraded,"culprit_pass":$culpritPass,"budget_sec":${budget.budgetSec},"budget_elapsed_sec":${math.round(budget.elapsedSec)},"budget_shed":$shedJson,"codegen_compiles_total":${compiles()}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"catalog_size":${SparkEntry.queries.size},"bench_ok":${results.count(_._2 >= 0)},"failed_count":${failedQueries.size},"failed":$fqJson,"st_append_trigger_mean":$stAppend,"st_append_trigger_stddev":$stAppendSd,"st_update_earliest_trigger_mean":$stUpdate,"st_update_earliest_trigger_stddev":$stUpdateSd,"st_trigger_runs":$stN,"sf":"$sfDir","scale_flagged":${flagged.size},"flagged":$flJson,"worst_scale_ratios":$worst10,"big_probe_flagged":$pbJson,"big_probe_copies":$BigProbeCopies,"big_probe_flag_threshold":$ScaleFlagRatio,"noisy_queries":$nqJson,"st_degraded":$stDegradedJson,"st_append_fullvolume_mean":${streamingFullG.getOrElse("st_append_fullvolume_mean", -1.0)},"st_append_fullvolume_mean_spread_pct":${streamingFullG.getOrElse("st_append_fullvolume_mean_spread_pct", -1.0)},"st_update_earliest_fullvolume_mean":${streamingFullG.getOrElse("st_update_earliest_fullvolume_mean", -1.0)},"st_update_earliest_fullvolume_mean_spread_pct":${streamingFullG.getOrElse("st_update_earliest_fullvolume_mean_spread_pct", -1.0)},"st_fullvolume_epoch0_replay_sec":${streamingFullG.getOrElse("st_fullvolume_epoch0_replay_sec", -1.0)},"st_fullvolume_runs":${streamingFullG.getOrElse("st_fullvolume_runs", 0.0).toInt},"st_append_10x_mean":${streaming10xG.getOrElse("st_append_10x_mean", -1.0)},"st_append_10x_mean_spread_pct":${streaming10xG.getOrElse("st_append_10x_mean_spread_pct", -1.0)},"st_update_earliest_10x_mean":${streaming10xG.getOrElse("st_update_earliest_10x_mean", -1.0)},"st_update_earliest_10x_mean_spread_pct":${streaming10xG.getOrElse("st_update_earliest_10x_mean_spread_pct", -1.0)},"st_10x_epoch0_replay_sec":${streaming10xG.getOrElse("st_10x_epoch0_replay_sec", -1.0)},"st_10x_runs":${streaming10xG.getOrElse("st_10x_runs", 0.0).toInt},${probeCoverageSummary}"pass_totals_big_sf":$ptJson,"pass_spread_pct":$spreadPct,"pass_spread_best3_pct":$spreadBest3Pct,"host_degraded":$hostDegraded,"culprit_pass":$culpritPass,"host_degraded_pre_retry":$hostDegradedPreRetry,"degraded_retry":${if (degradedRetried) 1 else 0},"core_shed":$coreShedJson,"load_waited_sec":$loadWaitedSec,"load_at_start":$loadAtStart,"st_twin_sprt_parity":${stTwins.getOrElse("st_twin_sprt_parity", -1.0)},"st_twin_sprt_trigger_sec":${stTwins.getOrElse("st_twin_sprt_trigger_sec", -1.0)},"st_twin_semdedup_parity":${stTwins.getOrElse("st_twin_semdedup_parity", -1.0)},"st_twin_semdedup_trigger_sec":${stTwins.getOrElse("st_twin_semdedup_trigger_sec", -1.0)},"st_twin_ingest_parity":${stTwins.getOrElse("st_twin_ingest_parity", -1.0)},"st_twin_ingest_trigger_sec":${stTwins.getOrElse("st_twin_ingest_trigger_sec", -1.0)},"budget_sec":${budget.budgetSec},"budget_elapsed_sec":${math.round(budget.elapsedSec)},"budget_shed":$shedJson,"codegen_compiles_total":${compiles()}}""")
     // FULL machine-readable artifact (r10 verdict item #2): stdout-tail
     // truncation eats the long per-query maps, so everything a verdict
     // needs to diff round-over-round — every per-query min AND median,
@@ -966,12 +1244,31 @@ object Bench {
            |"big_probe_paired_base_sec":${jm(probePairedBase.toMap)},
            |"big_probe_ratio_vs_sf01":${jm(probeRatios.toMap)},
            |"streaming":${jm(streaming ++ streamingFullG ++ streaming10xG)},"st_degraded":$stDegradedJson,
+           |"st_twins":${jm(stTwins)},
+           |"core_shed":$coreShedJson,
+           |"host_degraded_pre_retry":$hostDegradedPreRetry,
+           |"degraded_retry":${if (degradedRetried) 1 else 0},
+           |"load_waited_sec":$loadWaitedSec,
+           |"load_at_start":$loadAtStart,"load_after_wait":$loadAfterWait,
            |"probe_coverage":{$probeCoverage},
            |"budget_sec":${budget.budgetSec},
            |"budget_elapsed_sec":${math.round(budget.elapsedSec)},
            |"budget_shed":$shedJson,
            |"codegen_compiles_total":${compiles()}}""".stripMargin
           .replace("\n", "")
+      // ALWAYS-PARSEABLE summary (r18 directive #1c): the degraded
+      // divert protects bench_full.json's clean lineage, but it left
+      // the driver's record with parsed:null two rounds running — the
+      // official artifact must never be hidden by its own quality
+      // gate. bench_last.json carries this run's FULL summary
+      // unconditionally (it self-describes via host_degraded /
+      // core_shed / degraded_retry inside), written FIRST so even a
+      // divert-path failure cannot lose it; bench_full.json keeps the
+      // clean-lineage divert semantics unchanged.
+      val lastOut = sys.env.getOrElse("GRAFT_BENCH_LAST_OUT",
+        "bench_last.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(lastOut), full)
+      println(s"""{"metric":"bench_last_written","path":"$lastOut","host_degraded":$hostDegraded}""")
       val out = artifactTarget(
         sys.env.getOrElse("GRAFT_BENCH_FULL_OUT", "bench_full.json"),
         hostDegraded)

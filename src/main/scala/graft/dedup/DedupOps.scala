@@ -979,13 +979,27 @@ object DedupOps {
     * engine-portable 60-bit md5 prefix, so the oracle reproduces `h`
     * bit-for-bit.
     */
-  def dedupBloomIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared fingerprint + corpus/delivery split — ONE definition
+    * feeding the batch screen below AND the streaming ingest twin
+    * ([[graft.streaming.IngestDedupStream]]), the same
+    * shared-projection discipline as `semDedupIncrAssigned` /
+    * `sprtDailyCensus`: (doc_id, h, is_delta) where `h` is the 60-bit
+    * md5 prefix of the canonical fingerprint and `is_delta` marks the
+    * deterministic 25% "today's delivery" slice.
+    */
+  private[graft] def bloomIncrAssigned(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val fp = "array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')"
-    val docs = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        expr(s"cast(conv(substr(md5($fp), 1, 15), 16, 10) as bigint)").as("h"))
-    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
-    val batch = docs.filter(col("doc_id") % 4 === 0)
+        expr(s"cast(conv(substr(md5($fp), 1, 15), 16, 10) as bigint)").as("h"),
+        (col("doc_id") % 4 === 0).as("is_delta"))
+  }
+
+  def dedupBloomIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = bloomIncrAssigned(spark, sfDir)
+    val corpus = docs.filter(!col("is_delta")).select("doc_id", "h")
+    val batch = docs.filter(col("is_delta")).select("doc_id", "h")
     // one corpus pass -> mergeable bloom sketch on the driver (bounded:
     // bit-array bytes, not rows); expectedNumItems from a pruned count
     // (table stats at scale)
