@@ -30,7 +30,7 @@ exec 9>/tmp/graft_ab.lock
 flock -n 9 || { echo "[ab] another ab_bench.sh is running; aborting" >&2; exit 1; }
 
 OLD_REF="${1:-$(git log --grep='^round .*: verdict' -1 --format=%H)}"
-OUT="${2:-AB_r17.json}"
+OUT="${2:-AB_r19.json}"
 # Pinned panel: one representative per family plus every query a recent
 # round moved or watched — emb_label_centroid (the r15 2x-bar
 # crosser), ann_ivf_topk / ann_nprobe_curve (the r16 native
