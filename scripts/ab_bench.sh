@@ -144,11 +144,16 @@ drift_qs = [q for q in common if q not in changed]
 drift = (round(statistics.median(abs(per[q]['delta_pct']) for q in drift_qs), 1)
          if drift_qs else None)
 degraded = drift is None or drift > bar
-# r18 advice #2: an EMPTY drift set (every common query marked changed,
-# or nothing succeeded on both sides) makes every attempt
-# unconditionally degraded — retrying is futile and must say so
-# explicitly instead of burning attempts on a structural condition
+# r18 advice #2, refined by the r19 self-review: an empty drift set
+# has TWO causes with opposite remedies. Every common query marked
+# changed is STRUCTURAL (no retry can conjure an unchanged query —
+# only shrinking GRAFT_AB_CHANGED can), but an empty COMMON set —
+# nothing succeeded on both sides — is frequently a transient spike
+# or OOM killing one side's queries, i.e. exactly what the retry
+# (which waits for the host to quiet) exists for. Only the first
+# cause forfeits the remaining attempts.
 empty_drift = not drift_qs
+structural_empty = empty_drift and bool(common)
 doc = {
   'metric': 'ab_panel_control',
   'old_ref': old_hash, 'new_ref': new_hash,
@@ -183,20 +188,25 @@ if degraded and os.path.exists(out):
 json.dump(doc, open(target, 'w'), indent=1)
 print('[ab] wrote %s panel %s -> %s drift %s%% (bar %s)'
       % (target, ot, nt, drift, bar), file=sys.stderr)
-if empty_drift:
-    print('[ab] drift set is EMPTY (common=%d, changed covers %d): no '
-          'unchanged query survived on both sides, so the drift '
-          'statistic cannot be computed and a retry cannot fix it — '
-          'shrink GRAFT_AB_CHANGED or fix the failing queries'
+if structural_empty:
+    print('[ab] drift set is EMPTY (common=%d, changed covers %d): every '
+          'common query is marked changed, so the drift statistic '
+          'cannot be computed and a retry cannot fix it — shrink '
+          'GRAFT_AB_CHANGED'
           % (len(common), len(changed & set(common))), file=sys.stderr)
+elif empty_drift:
+    print('[ab] no query succeeded on BOTH sides (common=0) — treating '
+          'as host-degraded and leaving the retry to adjudicate',
+          file=sys.stderr)
 # line 1: where the artifact landed; line 2: the VERDICT. The shell
 # must branch on the verdict, not on the path — a degraded attempt
 # with no prior clean artifact (the normal fresh-round case) writes
 # to OUT itself (self-describing, the artifactTarget rule), so
 # target==OUT does NOT mean clean. 'empty_drift' is degraded AND
-# structurally unretryable.
+# structurally unretryable (changed covers the panel); an empty
+# COMMON set stays plain 'degraded' so the retry arm gets its shot.
 print(target)
-print('empty_drift' if empty_drift else
+print('empty_drift' if structural_empty else
       ('degraded' if degraded else 'clean'))
 EOF
 )"

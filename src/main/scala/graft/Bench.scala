@@ -204,12 +204,16 @@ object Bench {
     * diverted as degraded. The fix is to not START measuring into a
     * spike: poll the 1-min load and wait, bounded by `maxWaitSec`,
     * until it is below `barLoad` AND not rising (the documented
-    * spike-decay pattern on this host). Runs BEFORE any Spark work so
-    * the reading is ambient load, not this process's own warmup — a
-    * 32-thread catalog pass pins loadavg near the core count for
-    * minutes after it ends, which is why this check cannot be
-    * meaningfully re-run mid-bench (the degraded-retry arm covers
-    * mid-run spikes instead).
+    * spike-decay pattern on this host). Runs before any of THIS
+    * process's Spark work, so the reading is the host as the timed
+    * blocks will find it — honestly including whatever loadavg an
+    * `sbt compile` immediately before launch left behind (loadavg
+    * cannot attribute; waiting out a self-compile tail costs a couple
+    * of bounded minutes and buys the streaming section a genuinely
+    * settling host). A 32-thread catalog pass pins loadavg near the
+    * core count for minutes after it ends, which is why this check
+    * cannot be meaningfully re-run mid-bench (the degraded-retry arm
+    * covers mid-run spikes instead).
     *
     * Returns (waitedSec, firstLoad, lastLoad); first/last are -1 when
     * the sensor is unreadable. Injectable load/sleep/clock for the
@@ -498,6 +502,34 @@ object Bench {
         try {
           def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
             df.collect().map(_.toString).toSet
+          // one harness for every twin: absorb the untimed prefix (the
+          // corpus/bootstrap), then time the SINGLE trigger that
+          // carries the data, and compare the sink's rows against the
+          // batch operator's — Row.toString sets; the schemas match
+          // column-for-column by each twin's construction
+          def twin[T](name: String, batch: Set[String], untimed: Seq[T],
+              timed: Seq[T], stream: MemoryStream[T],
+              out: org.apache.spark.sql.Dataset[_]): Seq[(String, Double)] = {
+            val q = out.writeStream.format("memory")
+              .queryName("bench_twin_" + name).outputMode("append").start()
+            val dt = try {
+              if (untimed.nonEmpty) {
+                stream.addData(untimed)
+                q.processAllAvailable()
+              }
+              val t0 = System.nanoTime()
+              stream.addData(timed)
+              q.processAllAvailable()
+              (System.nanoTime() - t0) / 1e9
+            } finally q.stop()
+            val streamed = rows(spark.table("bench_twin_" + name))
+            Seq(
+              s"st_twin_${name}_parity" ->
+                (if (streamed == batch) 1.0 else 0.0),
+              s"st_twin_${name}_rows" -> streamed.size.toDouble,
+              s"st_twin_${name}_batch_rows" -> batch.size.toDouble,
+              s"st_twin_${name}_trigger_sec" -> dt)
+          }
           // SPRT twin: the whole sf0.001 census in ONE trigger — the
           // timed trigger therefore carries every (variant, day) row
           val sprt: Seq[(String, Double)] = {
@@ -507,26 +539,12 @@ object Bench {
               .map(r => graft.streaming.SprtStream.DailyCensus(
                 r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
               .sortBy(c => (c.day, c.variant))
-            val batch =
-              rows(graft.operators.StatsOps.statSprt(spark, warmDir))
             val stream =
               MemoryStream[graft.streaming.SprtStream.DailyCensus](spark)
-            val q = graft.streaming.SprtStream.sprtStream(stream.toDF())
-              .writeStream.format("memory").queryName("bench_twin_sprt")
-              .outputMode("append").start()
-            val dt = try {
-              val t0 = System.nanoTime()
-              stream.addData(census)
-              q.processAllAvailable()
-              (System.nanoTime() - t0) / 1e9
-            } finally q.stop()
-            val streamed = rows(spark.table("bench_twin_sprt"))
-            Seq(
-              "st_twin_sprt_parity" ->
-                (if (streamed == batch) 1.0 else 0.0),
-              "st_twin_sprt_rows" -> streamed.size.toDouble,
-              "st_twin_sprt_batch_rows" -> batch.size.toDouble,
-              "st_twin_sprt_trigger_sec" -> dt)
+            twin("sprt",
+              rows(graft.operators.StatsOps.statSprt(spark, warmDir)),
+              Nil, census, stream,
+              graft.streaming.SprtStream.sprtStream(stream.toDF()))
           }
           // semdedup twin: bootstrap absorbed untimed, then the whole
           // delta snapshot as the ONE timed trigger (the monitor's
@@ -540,30 +558,12 @@ object Bench {
                 r.getLong(1), r.getSeq[Double](2).toArray, r.getBoolean(3)))
               .sortBy(_.vec_id)
             val (delta, base) = assigned.partition(_.is_delta)
-            val batch =
-              rows(graft.sim.SimilarityOps.embSemDedupIncr(spark, warmDir))
             val stream =
               MemoryStream[graft.streaming.SemDedupStream.VecIn](spark)
-            val q = graft.streaming.SemDedupStream
-              .semDedupStream(stream.toDF())
-              .writeStream.format("memory")
-              .queryName("bench_twin_semdedup")
-              .outputMode("append").start()
-            val dt = try {
-              stream.addData(base)
-              q.processAllAvailable()
-              val t0 = System.nanoTime()
-              stream.addData(delta)
-              q.processAllAvailable()
-              (System.nanoTime() - t0) / 1e9
-            } finally q.stop()
-            val streamed = rows(spark.table("bench_twin_semdedup"))
-            Seq(
-              "st_twin_semdedup_parity" ->
-                (if (streamed == batch) 1.0 else 0.0),
-              "st_twin_semdedup_rows" -> streamed.size.toDouble,
-              "st_twin_semdedup_batch_rows" -> batch.size.toDouble,
-              "st_twin_semdedup_trigger_sec" -> dt)
+            twin("semdedup",
+              rows(graft.sim.SimilarityOps.embSemDedupIncr(spark, warmDir)),
+              base, delta, stream,
+              graft.streaming.SemDedupStream.semDedupStream(stream.toDF()))
           }
           // ingest-dedup twin: corpus absorbed untimed, then the whole
           // delivery as the ONE timed trigger (point-probe MapState —
@@ -576,30 +576,13 @@ object Bench {
                 r.getLong(0), r.getLong(1), r.getBoolean(2)))
               .sortBy(_.doc_id)
             val (delta, corpus) = assigned.partition(_.is_delta)
-            val batch = rows(
-              graft.dedup.DedupOps.dedupBloomIncremental(spark, warmDir))
             val stream =
               MemoryStream[graft.streaming.IngestDedupStream.DocIn](spark)
-            val q = graft.streaming.IngestDedupStream
-              .ingestDedupStream(stream.toDF())
-              .writeStream.format("memory")
-              .queryName("bench_twin_ingest")
-              .outputMode("append").start()
-            val dt = try {
-              stream.addData(corpus)
-              q.processAllAvailable()
-              val t0 = System.nanoTime()
-              stream.addData(delta)
-              q.processAllAvailable()
-              (System.nanoTime() - t0) / 1e9
-            } finally q.stop()
-            val streamed = rows(spark.table("bench_twin_ingest"))
-            Seq(
-              "st_twin_ingest_parity" ->
-                (if (streamed == batch) 1.0 else 0.0),
-              "st_twin_ingest_rows" -> streamed.size.toDouble,
-              "st_twin_ingest_batch_rows" -> batch.size.toDouble,
-              "st_twin_ingest_trigger_sec" -> dt)
+            twin("ingest",
+              rows(graft.dedup.DedupOps.dedupBloomIncremental(spark, warmDir)),
+              corpus, delta, stream,
+              graft.streaming.IngestDedupStream
+                .ingestDedupStream(stream.toDF()))
           }
           (sprt ++ sem ++ ingest).toMap
         } finally {
@@ -607,9 +590,8 @@ object Bench {
             case Some(v) => spark.conf.set(provKey, v)
             case None => spark.conf.unset(provKey)
           }
-          spark.catalog.dropTempView("bench_twin_sprt")
-          spark.catalog.dropTempView("bench_twin_semdedup")
-          spark.catalog.dropTempView("bench_twin_ingest")
+          Seq("sprt", "semdedup", "ingest")
+            .foreach(n => spark.catalog.dropTempView("bench_twin_" + n))
         }
       } catch { case _: Throwable => Map.empty[String, Double] }
     if (stTwins.nonEmpty)
@@ -758,7 +740,13 @@ object Bench {
     val bigPasses: Seq[Map[String, Double]] = {
       val minPass = bigPasses0.map(_.values.filter(_ >= 0).sum).min
       if (hostDegradedPreRetry && minPass > 0 &&
-          budget.allow("degraded_retry", 2 * minPass, ArtifactMarginSec)) {
+          // same reservation rule as extra_pass/noisy_repass: the
+          // retry must leave room for the mandatory scale-ratio
+          // passes (~1 pass-equivalent) + margin, or a spike-priced
+          // retry walks the run right back into the rc-124 overrun
+          // it exists to prevent (r19 self-review finding #1)
+          budget.allow("degraded_retry", 2 * minPass,
+            minPass + ArtifactMarginSec)) {
         println(s"""{"metric":"degraded_retry","pass_totals":[${bigPasses0.map(p => math.round(p.values.filter(_ >= 0).sum * 100) / 100.0).mkString(",")}]}""")
         bigPasses0 ++ Seq(timedPass(sfDir, bigPasses0.size + 1),
           timedPass(sfDir, bigPasses0.size + 2))
@@ -1265,10 +1253,16 @@ object Bench {
       // core_shed / degraded_retry inside), written FIRST so even a
       // divert-path failure cannot lose it; bench_full.json keeps the
       // clean-lineage divert semantics unchanged.
-      val lastOut = sys.env.getOrElse("GRAFT_BENCH_LAST_OUT",
-        "bench_last.json")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(lastOut), full)
-      println(s"""{"metric":"bench_last_written","path":"$lastOut","host_degraded":$hostDegraded}""")
+      // each write in its own try: a failure on one surface must not
+      // silently take the other down with it (the whole point of the
+      // always-parseable path is that SOMETHING lands)
+      try {
+        val lastOut = sys.env.getOrElse("GRAFT_BENCH_LAST_OUT",
+          "bench_last.json")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(lastOut), full)
+        println(s"""{"metric":"bench_last_written","path":"$lastOut","host_degraded":$hostDegraded}""")
+      } catch { case _: Throwable => () }
       val out = artifactTarget(
         sys.env.getOrElse("GRAFT_BENCH_FULL_OUT", "bench_full.json"),
         hostDegraded)

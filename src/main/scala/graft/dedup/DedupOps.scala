@@ -950,6 +950,23 @@ object DedupOps {
        |WHERE rk = 1
        |ORDER BY cluster""".stripMargin
 
+  /** Shared fingerprint + corpus/delivery split — ONE definition
+    * feeding the batch screen below AND the streaming ingest twin
+    * ([[graft.streaming.IngestDedupStream]]), the same
+    * shared-projection discipline as `semDedupIncrAssigned` /
+    * `sprtDailyCensus`: (doc_id, h, is_delta) where `h` is the 60-bit
+    * md5 prefix of the canonical fingerprint and `is_delta` marks the
+    * deterministic 25% "today's delivery" slice.
+    */
+  private[graft] def bloomIncrAssigned(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val fp = "array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')"
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"cast(conv(substr(md5($fp), 1, 15), 16, 10) as bigint)").as("h"),
+        (col("doc_id") % 4 === 0).as("is_delta"))
+  }
+
   /** Incremental ingest dedup: screen a NEW BATCH of documents against
     * the EXISTING CORPUS and keep only genuinely-new ones. The batch is
     * `doc_id % 4 == 0` (a deterministic 25% slice), the corpus is the
@@ -979,23 +996,6 @@ object DedupOps {
     * engine-portable 60-bit md5 prefix, so the oracle reproduces `h`
     * bit-for-bit.
     */
-  /** Shared fingerprint + corpus/delivery split — ONE definition
-    * feeding the batch screen below AND the streaming ingest twin
-    * ([[graft.streaming.IngestDedupStream]]), the same
-    * shared-projection discipline as `semDedupIncrAssigned` /
-    * `sprtDailyCensus`: (doc_id, h, is_delta) where `h` is the 60-bit
-    * md5 prefix of the canonical fingerprint and `is_delta` marks the
-    * deterministic 25% "today's delivery" slice.
-    */
-  private[graft] def bloomIncrAssigned(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val fp = "array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')"
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        expr(s"cast(conv(substr(md5($fp), 1, 15), 16, 10) as bigint)").as("h"),
-        (col("doc_id") % 4 === 0).as("is_delta"))
-  }
-
   def dedupBloomIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = bloomIncrAssigned(spark, sfDir)
     val corpus = docs.filter(!col("is_delta")).select("doc_id", "h")

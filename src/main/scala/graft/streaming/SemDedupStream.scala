@@ -36,10 +36,15 @@ import org.apache.spark.sql.streaming._
   * Scale shape: keyed by cluster — the coarse quantizer IS the shard
   * map (k here matches the batch twin's 16; production raises k with
   * the corpus, exactly as an IVF index does). Per-arm state is the
-  * cluster's kept list in RocksDB `ListState`: appends are O(delta)
-  * per trigger and the dup_of_base scan streams the list off-heap in
-  * ONE pass per trigger (per-delta running minima, O(|delta|) heap),
-  * never materializing it. Per-trigger work per cluster is
+  * cluster's kept set in RocksDB `MapState` keyed by vec_id: puts are
+  * O(delta) per trigger, the dup_of_base scan streams the entries
+  * off-heap in ONE pass per trigger (per-delta running minima,
+  * O(|delta|) heap, never materialized), and the replay guard is a
+  * POINT `containsKey` probe per incoming id — so a bootstrap-only
+  * trigger (a chunked corpus load) costs O(|chunk|) point probes +
+  * appends, not a scan of everything absorbed so far (the r19
+  * self-review: the r18 guard paid O(|kept|) per bootstrap chunk,
+  * deserializing full vectors just to read ids). Per-trigger work per cluster is
   * O(|kept|·|delta| + |delta|²) — the batch incremental's own
   * asymptotic with no shuffle. Honest caveat vs batch: the batch op
   * tiles a hot cluster's work to blockSize² tasks; here a cluster's
@@ -103,11 +108,13 @@ object SemDedupStream {
 
   class SemDedupProcessor(tau: Double)
       extends StatefulProcessor[Long, VecIn, SemDedupOut] {
-    @transient private var kept: ListState[KeptVec] = _
+    // keyed by vec_id so replay guards are point probes; the value
+    // keeps the KeptVec row shape (vec_id + vec) the scan consumes
+    @transient private var kept: MapState[Long, KeptVec] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      kept = getHandle.getListState[KeptVec]("kept",
-        Encoders.product[KeptVec], TTLConfig.NONE)
+      kept = getHandle.getMapState[Long, KeptVec]("kept",
+        Encoders.scalaLong, Encoders.product[KeptVec], TTLConfig.NONE)
 
     override def handleInputRows(cluster: Long, rows: Iterator[VecIn],
         timers: TimerValues): Iterator[SemDedupOut] = {
@@ -122,27 +129,22 @@ object SemDedupStream {
       // contract guard, SYMMETRIC across both arrival kinds (r18
       // advice #1): ANY incoming id — bootstrap or delta — that
       // already exists in the kept state is a replayed row; folding a
-      // delta replay corrupts dup_of attribution, and appending a
-      // bootstrap replay silently duplicates the ListState entry it
-      // shadows (the same corruption, one trigger later). The ids of
-      // this trigger's batch are checked against the kept list in the
-      // one streamed pass the delta path already pays for; a
-      // bootstrap-only trigger pays its own single pass.
-      val inIds = batch.map(_.vec_id).toSet
-      def guardReplay(keptId: Long): Unit =
-        if (inIds.contains(keptId))
+      // delta replay corrupts dup_of attribution, and absorbing a
+      // bootstrap replay silently shadows the kept entry it collides
+      // with (the same corruption, one trigger later). Each incoming
+      // id costs one POINT containsKey probe — O(|batch|) regardless
+      // of how large the kept set has grown.
+      batch.foreach { v =>
+        if (kept.containsKey(v.vec_id))
           throw new IllegalStateException(
             s"SemDedupStream contract violation in cluster $cluster: " +
-              s"vec_id ${keptId} already exists in the kept set — " +
+              s"vec_id ${v.vec_id} already exists in the kept set — " +
               "snapshot rows must not replay ids")
+      }
       if (delta.isEmpty) {
         // bootstrap-only trigger: absorb, emit nothing
-        if (bootstrap.nonEmpty) {
-          val it = kept.get()
-          while (it.hasNext) guardReplay(it.next().vec_id)
-          kept.appendList(
-            bootstrap.map(v => KeptVec(v.vec_id, v.vec)).toArray)
-        }
+        bootstrap.foreach(v =>
+          kept.updateValue(v.vec_id, KeptVec(v.vec_id, v.vec)))
         Iterator.empty
       } else {
         // dup_of_base: one streamed pass over the accumulated kept
@@ -158,21 +160,16 @@ object SemDedupStream {
             i += 1
           }
         }
-        val it = kept.get()
+        val it = kept.values()
         while (it.hasNext) {
           val kv = it.next()
-          // the replay guard rides the scan we already pay for —
-          // collisions within the trigger itself are caught by the
-          // sorted sliding-pairs check above
-          guardReplay(kv.vec_id)
           scanBase(kv.vec_id, kv.vec)
         }
         // a bootstrap arriving WITH deltas in one trigger is base for
         // them too (the batch processes base and delta side by side)
         bootstrap.foreach(b => scanBase(b.vec_id, b.vec))
-        if (bootstrap.nonEmpty)
-          kept.appendList(
-            bootstrap.map(v => KeptVec(v.vec_id, v.vec)).toArray)
+        bootstrap.foreach(v =>
+          kept.updateValue(v.vec_id, KeptVec(v.vec_id, v.vec)))
         // dup_of_delta: all smaller SAME-snapshot ids, kept or not —
         // the batch delta×delta join has no kept filter
         val dupDelta = Array.fill(delta.length)(NoDup)
@@ -197,7 +194,8 @@ object SemDedupStream {
           // only survivors join the kept set — a dropped row is gone
           // from every future trigger's comparison space
           if (dup.isEmpty)
-            kept.appendValue(KeptVec(delta(i).vec_id, delta(i).vec))
+            kept.updateValue(delta(i).vec_id,
+              KeptVec(delta(i).vec_id, delta(i).vec))
           SemDedupOut(delta(i).vec_id, cluster, db, dd, dup, dup.isEmpty)
         }
         out.iterator

@@ -89,7 +89,8 @@ class BenchBudgetSpec extends AnyFunSuite {
     // the 4th pass is only reachable off a full 3-pass spread
     if (coreShed.isEmpty && b.allow("extra_pass", passSec, passSec + 60.0))
       advance(passSec)
-    if (retryNeeded && b.allow("degraded_retry", 2 * passSec, 60.0))
+    if (retryNeeded && b.allow("degraded_retry", 2 * passSec,
+        passSec + 60.0))
       advance(2 * passSec)
     if (b.allow("noisy_repass", 0.2 * passSec, passSec + 60.0))
       advance(0.2 * passSec)

@@ -138,7 +138,7 @@ class SemDedupStreamSpec extends SparkSuite {
       // the recurrence fixture again, but the query is STOPPED after
       // snapshot 2 and a fresh query resumes from the checkpoint —
       // snapshot 3's verdicts depend entirely on state (who survived
-      // t1/t2), so getting them right proves the ListState recovered,
+      // t1/t2), so getting them right proves the kept MapState recovered,
       // not merely persisted within one run
       def v(id: Long, x: Double, y: Double, z: Double, delta: Boolean) =
         VecIn(id, 0L, Array(x, y, z), delta)
