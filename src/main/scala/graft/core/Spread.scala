@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Scan-parallelism floor for CPU-heavy per-row stages (optimization
+  * guide §2.5 "input skew: one huge unsplittable file" and §1.2 step 1).
+  *
+  * The driver's testdata tables are single-row-group parquet files, so
+  * a scan yields ONE input partition no matter how many cores the
+  * session has — and every per-row computation placed before the first
+  * exchange (JSON extraction, md5/xxhash shingling, regex normalize,
+  * tokenize+transform chains) runs single-threaded. Measured at sf0.1
+  * on local[32]: the graph family's `get_json_object` parse of 100k
+  * events cost 1.16 s in a 1-partition scan stage vs ~0.1 s spread.
+  *
+  * [[acrossCores]] round-robin-repartitions to `defaultParallelism`
+  * ONLY when the plan's scan actually arrives with fewer partitions
+  * than cores — on a real multi-file table (any cluster-scale input)
+  * it is a no-op, so no shuffle of scan-width rows is ever added at
+  * 100 TB. Callers should project to the columns the downstream stage
+  * needs BEFORE spreading so the one-time local shuffle carries only
+  * those bytes. Round-robin repartition never changes row content, so
+  * results are unaffected (downstream aggregations/joins are
+  * order-insensitive; rank windows in this codebase always carry
+  * total-order tiebreaks).
+  */
+object Spread {
+  /** Keyless spread. NOTE: a keyless `repartition(n)` first pays a
+    * local sort of its whole input rows (sortBeforeRepartition,
+    * SPARK-23207) — and that sort lands on the single-core scan stage
+    * this helper exists to relieve, so for wide rows prefer
+    * [[byKey]] (hash partitioning sorts nothing and a downstream
+    * groupBy/join on the same key reuses the exchange outright).
+    */
+  def acrossCores(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Spread by hash of `keys` — no pre-shuffle sort, and when the next
+    * keyed operation (groupBy/join) uses the same keys Catalyst reuses
+    * this exchange instead of planning its own, so the plan's exchange
+    * COUNT is unchanged: the shuffle just moves from after the
+    * CPU-heavy projection to before it. Same no-op-at-scale guard as
+    * [[acrossCores]].
+    */
+  def byKey(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, keys: _*) else df
+  }
+
+  /** Evaluate an expensive expression exactly ONCE per row.
+    *
+    * A `select(expensive.as(c)).filter(pred(c))` pipeline does NOT
+    * evaluate `expensive` once: Catalyst's filter pushdown substitutes
+    * the alias into every conjunct it pushes below the Project, so a
+    * 3-conjunct predicate re-evaluates the expression three more times
+    * per input row (the optimization guide §4.4 duplication, in its
+    * JVM-expression form — subexpression elimination does not span the
+    * Filter/Project operator boundary). Measured on the graph family's
+    * `get_json_object` prelude at sf0.1: parse-only 0.30 s,
+    * parse+filter 1.03 s — the filter pushdown tripled the JSON work.
+    *
+    * `explode(array(e))` pins the evaluation inside a Generate, which
+    * alias substitution cannot cross, restoring one-eval-per-row while
+    * staying whole-stage-codegen (`* Generate`). Row-preserving for
+    * every input: `array(e)` always has exactly one element (null
+    * included), so this never adds or drops rows. Predicates on OTHER
+    * columns still push past the Generate to the scan.
+    */
+  def evalOnce(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.array(e))
+}

@@ -234,9 +234,21 @@ object GraphOps {
     // like the previous string→int cast (null → dropped) and like the
     // oracle's window formulation, instead of surviving the bottom-k
     // and wrapping in the final long→int cast (r15 advice)
+    // r19, two measured fixes on the family's hottest stage (the JSON
+    // extraction — see graft.core.Spread for both mechanisms):
+    //  - evalOnce pins get_json_object to ONE evaluation per row; the
+    //    pushed-down range filter was re-evaluating it per conjunct
+    //    (capped fragment at sf0.1: 1.00 s → 0.39 s, identical rows);
+    //  - byKey(user_id) moves the user-keyed exchange BEFORE the parse
+    //    so the single-row-group scan's one-partition stage carries
+    //    only the scan, and the parse + O(cap) aggregate run on all
+    //    cores (0.39 s → 0.20 s); no-op on any multi-file table, and
+    //    the groupBy below reuses the exchange, so no shuffle is added
     Tables.events(spark, sfDir)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .select(col("user_id"), col("props"))
+      .transform(graft.core.Spread.byKey(_, col("user_id")))
+      .select(col("user_id"), graft.core.Spread.evalOnce(
+        get_json_object(col("props"), "$.k").cast("long")).as("item"))
       .filter(col("item").isNotNull &&
         col("item").between(Int.MinValue.toLong, Int.MaxValue.toLong))
       .groupBy("user_id")
