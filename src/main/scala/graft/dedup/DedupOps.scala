@@ -39,22 +39,52 @@ object DedupOps {
     * token sets collapse under a small vocabulary (every doc looks like
     * every other), while shingle sets stay sparse.
     */
+  /** Tokenized docs with >= 3 tokens: (doc_id, tk) — the shared prefix
+    * of every shingle pipeline here, in the r19-measured shape:
+    *  - [[graft.core.Spread.byKey]] replaces the former keyless
+    *    repartition (whose sortBeforeRepartition paid a single-core
+    *    whole-row sort on exactly the one-partition scan stage it was
+    *    spreading); still a no-op on any multi-file table;
+    *  - [[graft.core.Spread.evalOnce]] pins `split` to one evaluation
+    *    per row — the pushed-down `size(tk) >= 3` filter otherwise
+    *    re-evaluates the split per conjunct, and alias collapse inlines
+    *    it into the downstream shingle lambda's element_at calls.
+    * Fragment at sf0.1 (noop sink, min of 7): 0.44 s → 0.14 s,
+    * identical rows.
+    */
+  private def tokenizedDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.core.Spread.byKey(_, col("doc_id")))
+      .select(col("doc_id"),
+        graft.core.Spread.evalOnce(split(col("text"), " ")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+
+  /** (doc_id, ng: array<bigint>, n) with the 60-bit HASHED shingle sets
+    * of [[exactJaccardPairs]] / [[dedupContainment]] — same r19 shape
+    * as [[tokenizedDocs]] (see there for the measurements); NOT
+    * checkpointed, both callers checkpoint at their own reuse point.
+    */
+  private def hashedShingleDocs(spark: SparkSession, sfDir: String): DataFrame =
+    tokenizedDocs(spark, sfDir)
+      .select(col("doc_id"), graft.core.Spread.evalOnce(array_distinct(expr(
+        "transform(sequence(1, size(tk) - 2), i -> " +
+          "cast(conv(substr(md5(concat_ws(' ', element_at(tk, i), " +
+          "element_at(tk, i + 1), element_at(tk, i + 2))), 1, 15), 16, 10) " +
+          "as bigint))"))).as("ng"))
+      .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
+
   /** (doc_id, ng: array<string>, n) — one row per doc with its distinct
     * shingle set; checkpointed because several plan branches reuse it
     * AND because the barrier keeps the shingle build in its own small
     * codegen stage (fusing it into the downstream explode + minhash
     * agg was measured 7× slower at sf0.1). */
   private def shingleArrays(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      // small single-file inputs arrive as ONE partition; spread the
-      // CPU-heavy shingle build across cores (at 100 TB the scan itself
-      // provides the parallelism and this repartition is a no-op cost)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("tk", split(col("text"), " "))
-      .filter(size(col("tk")) >= 3)
-      .withColumn("ng", array_distinct(expr(
+    tokenizedDocs(spark, sfDir)
+      .select(col("doc_id"), graft.core.Spread.evalOnce(array_distinct(expr(
         "transform(sequence(1, size(tk) - 2), i -> " +
           "concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))")))
+        .as("ng"))
       .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
       .localCheckpoint()
 
@@ -204,16 +234,7 @@ object DedupOps {
     // odds at 150 shingles are ~10⁻¹⁶, and parity is exact by
     // construction either way). Jaccard over hashed shingle sets is
     // the standard production formulation.
-    val docs = Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("tk", split(col("text"), " "))
-      .filter(size(col("tk")) >= 3)
-      .withColumn("ng", array_distinct(expr(
-        "transform(sequence(1, size(tk) - 2), i -> " +
-          "cast(conv(substr(md5(concat_ws(' ', element_at(tk, i), " +
-          "element_at(tk, i + 1), element_at(tk, i + 2))), 1, 15), 16, 10) " +
-          "as bigint))")))
-      .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
+    val docs = hashedShingleDocs(spark, sfDir)
     val docsM = docs.localCheckpoint() // shared by prefix build + verify
     // postings feed the df counts and the prefix index
     val ex = docsM.select(col("doc_id"), col("n"),
@@ -381,17 +402,7 @@ object DedupOps {
     */
   def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("tk", split(col("text"), " "))
-      .filter(size(col("tk")) >= 3)
-      .withColumn("ng", array_distinct(expr(
-        "transform(sequence(1, size(tk) - 2), i -> " +
-          "cast(conv(substr(md5(concat_ws(' ', element_at(tk, i), " +
-          "element_at(tk, i + 1), element_at(tk, i + 2))), 1, 15), 16, 10) " +
-          "as bigint))")))
-      .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
-    val docsM = docs.localCheckpoint()
+    val docsM = hashedShingleDocs(spark, sfDir).localCheckpoint()
     // one driver-side count serves the hot bound AND the verify-side
     // broadcast decision (docsM is checkpointed: O(partitions))
     val ndocs = docsM.count()

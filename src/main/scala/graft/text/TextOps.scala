@@ -15,6 +15,33 @@ import graft.core.Tables
   */
 object TextOps {
 
+  /** documents projected to `keep` + text and spread across the
+    * session's cores by doc_id hash — the r19 fix for the single-row-
+    * group testdata scan arriving as ONE partition and pinning every
+    * per-row tokenize/HOF/md5 stage to one core (no-op on any
+    * multi-file table; see [[graft.core.Spread.byKey]]).
+    */
+  private def spreadText(spark: SparkSession, sfDir: String,
+      keep: String*): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select((keep.map(col) :+ col("text")): _*)
+      .transform(graft.core.Spread.byKey(_, col("doc_id")))
+
+  /** Tokenized docs `(keep…, tk)` in the r19-measured shape:
+    * [[spreadText]] plus [[graft.core.Spread.evalOnce]] around `split`
+    * so a pushed-down `size(tk) >= k` filter or a downstream lambda's
+    * element accesses cannot re-evaluate the split per reference
+    * (the dedup twin of this helper measured 0.44 s → 0.14 s at sf0.1
+    * with identical rows).
+    */
+  private def spreadTokens(spark: SparkSession, sfDir: String,
+      keep: String*): DataFrame = {
+    val k = if (keep.isEmpty) Seq("doc_id") else keep
+    spreadText(spark, sfDir, k: _*)
+      .select((k.map(col) :+
+        graft.core.Spread.evalOnce(split(col("text"), " ")).as("tk")): _*)
+  }
+
   /** Whitespace + BPE-ish token counts per document. `regexp_count` with
     * a word/number/punct alternation approximates a byte-pair tokenizer's
     * piece count without any dictionary.
@@ -342,8 +369,7 @@ object TextOps {
     */
   def textDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 5
-    val grams = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val grams = spreadTokens(spark, sfDir)
       .filter(size(col("tk")) >= k)
       .select(col("doc_id"), expr(
         s"""array_distinct(transform(sequence(0, size(tk) - $k),
@@ -401,8 +427,7 @@ object TextOps {
     */
   def textDupSpans(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val wins = spreadTokens(spark, sfDir)
       .filter(size(col("tk")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(tk) - $k),
@@ -478,8 +503,7 @@ object TextOps {
     */
   def textLineDedup(spark: SparkSession, sfDir: String,
       segLen: Int = 10, dfCap: Int = 2): DataFrame = {
-    val segs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+    val segs = spreadTokens(spark, sfDir, "doc_id", "source")
       .filter(size(col("tk")) > 0)
       .select(col("doc_id"), col("source"), posexplode(expr(
         s"""transform(sequence(0, (size(tk) + ${segLen - 1}) div $segLen - 1),
@@ -556,8 +580,7 @@ object TextOps {
     * proven bit-identical formulation.
     */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val base = spreadTokens(spark, sfDir)
       .filter(size(col("tk")) >= 3)
     // grams flow through the count agg as int64 multi-arg xxhash64, not
     // concatenated strings: no per-gram string build, 8-byte group keys
@@ -969,8 +992,7 @@ object TextOps {
   def textSubstringDedup(spark: SparkSession, sfDir: String, k: Int = 8)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokRows = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val tokRows = spreadTokens(spark, sfDir)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(tk, (x, i) -> named_struct(
            |  'tok', x,
@@ -1060,8 +1082,7 @@ object TextOps {
     // exchange (Spark's ReuseExchange/AQE shares the materialized
     // stage), so the corpus is tokenized exactly once with no
     // token-level materialization
-    val dkb = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val dkb = spreadTokens(spark, sfDir)
       .filter(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(tk) - 2),
@@ -1222,8 +1243,7 @@ object TextOps {
     */
   def textNgramTopK(spark: SparkSession, sfDir: String,
       k: Int = 20): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    spreadTokens(spark, sfDir)
       .select(col("doc_id"),
         explode(expr(
           "transform(slice(tk, 1, size(tk) - 1), " +
@@ -1272,15 +1292,17 @@ object TextOps {
     * by the md5-60-bit convention. Shared by the batch weight query and
     * the feature-table build so the two can't disagree. */
   private def dsirBigrams(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+    spreadTokens(spark, sfDir, "doc_id", "source")
       .filter(size(col("tk")) >= 2)
       .select(col("doc_id"), col("source"), explode(expr(
         """transform(sequence(0, size(tk) - 2),
           |  i -> concat(tk[i], ' ', tk[i + 1]))""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("source"),
-        expr(s"cast(conv(substr(md5(bg), 1, 15), 16, 10) as bigint)" +
-          s" % $DsirBuckets").as("bucket"))
+        // evalOnce: the isnotnull filter below otherwise re-evaluates
+        // the md5 per row via alias pushdown (guide §4.4 duplication)
+        graft.core.Spread.evalOnce(
+          expr(s"cast(conv(substr(md5(bg), 1, 15), 16, 10) as bigint)" +
+            s" % $DsirBuckets")).as("bucket"))
       // bucket is never null (md5 of a non-null string), but Catalyst
       // types it nullable, so the scoring JOIN pushes isnotnull into
       // its branch only — making the two dkb subtrees canonically
