@@ -633,8 +633,14 @@ object PipelineOps {
     val k = 5
     val h = substring(
       md5(concat(lit("split42:"), col("doc_id").cast("string"))), 1, 4)
+    // r19 shape (graft.core.Spread): keyed spread + one split eval per
+    // row — the pushed-down size filter re-evaluated the split, and the
+    // 5-gram transform ran single-core on the one-partition scan
     val presence = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("text"))
+      .transform(graft.core.Spread.byKey(_, col("doc_id")))
+      .select(col("doc_id"),
+        graft.core.Spread.evalOnce(split(col("text"), " ")).as("tk"))
       .filter(size(col("tk")) >= k)
       .withColumn("split",
         when(h < lit(f"${58982}%04x"), "train")
@@ -1251,6 +1257,13 @@ object PipelineOps {
     val stripped = regexp_replace(
       lower(substring(coalesce(col("text"), lit("")), 1, BpePrefixChars)),
       "[^a-z]", "")
+    // r19 note: the graph/dedup/text spread+evalOnce shape was A/B'd
+    // here and measured 1.3 s -> 2.9 s WORSE — the 8 merge rounds each
+    // launch jobs over the persisted corpus, so 32-partition snapshots
+    // multiply per-round task-scheduling overhead past any parse win;
+    // the one-partition snapshot is the right local shape for a
+    // driver-loop-bound operator (at scale the corpus arrives
+    // multi-file and each round is one normal shuffle pass)
     Tables.documents(spark, sfDir)
       .select(stripped.as("raw"))
       .filter(length(col("raw")) >= 2)
