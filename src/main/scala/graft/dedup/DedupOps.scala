@@ -220,6 +220,16 @@ object DedupOps {
     * its pruning strength changes).
     */
   private[dedup] def exactJaccardPairs(spark: SparkSession, sfDir: String,
+      num: Long, den: Long): DataFrame =
+    exactJaccardPairsFrom(hashedShingleDocs(spark, sfDir), num, den)
+
+  /** [[exactJaccardPairs]] over a caller-supplied hashed-shingle-docs
+    * relation (doc_id, ng: array<bigint>, n) — [[dedupRecallAudit]]
+    * derives that relation from the SAME checkpointed string-shingle
+    * arrays its LSH side reads, so the corpus is scanned and shingled
+    * once instead of twice (r19 verdict item 2).
+    */
+  private def exactJaccardPairsFrom(docs0: DataFrame,
       num: Long, den: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // HASHED-shingle formulation (round 9): every downstream stage —
@@ -234,8 +244,17 @@ object DedupOps {
     // odds at 150 shingles are ~10⁻¹⁶, and parity is exact by
     // construction either way). Jaccard over hashed shingle sets is
     // the standard production formulation.
-    val docs = hashedShingleDocs(spark, sfDir)
+    val docs = docs0
     val docsM = docs.localCheckpoint() // shared by prefix build + verify
+    // broadcast-decision count submitted CONCURRENTLY with the explode
+    // checkpoint below (guide §2.6) — both read the docsM checkpoint
+    // and are independent, so the count rides the explode job's idle
+    // cores instead of serializing in front of it
+    val fNdocs = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future(docsM.count())
+    }
     // postings feed the df counts and the prefix index
     val ex = docsM.select(col("doc_id"), col("n"),
       explode(col("ng")).as("ngram"))
@@ -281,7 +300,9 @@ object DedupOps {
     // one executor, shuffled join beyond — the r11 ×100 probe measured
     // the unconditional broadcast at 46 GB of spill (effectively hung),
     // exactly the corpus size where broadcast must hand over
-    val arrJoin = verifyArraysSide(docsM.count())
+    val arrJoin = verifyArraysSide(
+      scala.concurrent.Await.result(fNdocs,
+        scala.concurrent.duration.Duration.Inf))
     cand
       .join(arrJoin(docsM.select(col("doc_id").as("da"), col("ng").as("nga"))),
         Seq("da"))
@@ -402,14 +423,23 @@ object DedupOps {
     */
   def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val docsM = hashedShingleDocs(spark, sfDir).localCheckpoint()
     // one driver-side count serves the hot bound AND the verify-side
-    // broadcast decision (docsM is checkpointed: O(partitions))
-    val ndocs = docsM.count()
-    val hotB = hotDfBound(ndocs)
+    // broadcast decision (docsM is checkpointed: O(partitions)).
+    // Submitted CONCURRENTLY with the explode checkpoint below (guide
+    // §2.6: actions are only sequential because the driver calls them
+    // sequentially) — both read the docsM checkpoint and are
+    // independent, so the count's job rides the explode job's idle
+    // cores instead of serializing in front of it.
+    val fNdocs = Future(docsM.count())
     val ex = docsM.select(col("doc_id"), col("n"),
       explode(col("ng")).as("ngram"))
       .localCheckpoint()
+    val ndocs = Await.result(fNdocs, Duration.Inf)
+    val hotB = hotDfBound(ndocs)
     val dfs = ex.groupBy("ngram").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "ngram")
     val ranked = ex.join(dfs, Seq("ngram"))
@@ -446,6 +476,11 @@ object DedupOps {
     val hotDocs = pe.groupBy("doc_id").agg(min("df").as("mindf"))
       .filter(col("mindf") > hotB)
       .select("doc_id")
+    // (A candCold.localCheckpoint() materialized concurrently with this
+    // count was A/B-measured WORSE at sf0.1 — the extra materialization
+    // of the pre-distinct candidate rows costs more than the 0.12 s
+    // count it overlaps; see OPTIMIZATION_r20.md. The count stays on
+    // the critical path deliberately.)
     val nHot = hotDocs.count()
     val cand0 = if (nHot == 0) candCold else {
       // MinHash band signatures straight from the hashed shingles
@@ -602,7 +637,7 @@ object DedupOps {
     * so the shuffle only carries 4 rows per document and pair work is
     * confined to true collision buckets.
     */
-  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     // the signature pass reads the CHECKPOINTED shingle arrays: fusing
     // the shingle build straight into the explode + 16-way agg was
     // measured 7× SLOWER at sf0.1 (0.54 s → 3.88 s — the collapsed
@@ -611,7 +646,13 @@ object DedupOps {
     // (a candidate-pruned rebuild of the verify arrays was also
     // measured and LOST: the extra scan + checkpoint jobs cost more
     // than rereading the existing corpus checkpoint at this scale)
-    val arr = shingleArrays(spark, sfDir)
+    dedupMinhashLshFrom(shingleArrays(spark, sfDir))
+
+  /** [[dedupMinhashLsh]] over a caller-supplied CHECKPOINTED
+    * string-shingle-array relation, so [[dedupRecallAudit]] can feed
+    * both of its pipelines from one checkpoint.
+    */
+  private def dedupMinhashLshFrom(arr: DataFrame): DataFrame = {
     val toks = arr.select(col("doc_id"), explode(col("ng")).as("token"))
       .withColumn("hb", expr(sparkHb))
     val mhAggs = perms.zipWithIndex.map { case ((a, b), i) =>
@@ -1072,9 +1113,24 @@ object DedupOps {
     * counts.
     */
   def dedupRecallAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = exactJaccardPairs(spark, sfDir, lshNum, lshDen)
+    // ONE shared shingle checkpoint feeds both pipelines (r19 verdict
+    // item 2 — each side previously re-scanned, re-split and
+    // re-shingled the corpus): the LSH side reads the string arrays
+    // directly, and the exact side derives its 60-bit hashed sets from
+    // the same arrays with one md5 transform over the DISTINCT
+    // shingles (hash-then-distinct == distinct-then-hash as sets, and
+    // only set size/membership feed the Jaccard math downstream).
+    // evalOnce pins the transform to one evaluation per row — the
+    // collapsed size(ng) projection would otherwise inline it twice.
+    val arr = shingleArrays(spark, sfDir)
+    val hashed = arr
+      .select(col("doc_id"), graft.core.Spread.evalOnce(array_distinct(
+        expr("transform(ng, s -> cast(conv(substr(md5(s), 1, 15), 16, " +
+          "10) as bigint))"))).as("ng"))
+      .select(col("doc_id"), col("ng"), size(col("ng")).as("n"))
+    val exact = exactJaccardPairsFrom(hashed, lshNum, lshDen)
       .select("da", "db")
-    val lsh = dedupMinhashLsh(spark, sfDir).select("da", "db")
+    val lsh = dedupMinhashLshFrom(arr).select("da", "db")
     val hit = lsh.join(exact, Seq("da", "db"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
