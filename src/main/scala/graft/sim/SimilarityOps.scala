@@ -1176,7 +1176,13 @@ object SimilarityOps {
         "zip_with(vec, centroid, (x, c) -> " +
           "cast(floor((x - c) * 10000d + 0.5d) as bigint))"))
       .select("vec_id", "cell", "rq")
-      .localCheckpoint() // read 3x: codebook collect, encode, queries
+    // r20: the former resid.localCheckpoint() was a serialized
+    // corpus-wide materialization whose only consumers are the
+    // 16-row codebook-seed collect (the vec_id < ksub filter pushes
+    // straight to the checkpointed e scan, so the seed job computes
+    // 16 residuals, not N) and the single encode pass inside the
+    // final job — one real read each, so the checkpoint bought
+    // nothing and cost a full serial job.
     // residual codebook: subvectors of the first ksub residuals,
     // driver-inlined (m * ksub * dsub longs, constant-folded)
     val seeds: Array[Array[Long]] = resid.filter(col("vec_id") < ksub)
@@ -1334,8 +1340,11 @@ object SimilarityOps {
     */
   def embInt8Quant(spark: SparkSession, sfDir: String): DataFrame =
     withVec(Tables.embeddings(spark, sfDir))
-      .withColumn("maxabs", expr(
-        "aggregate(vec, cast(0 as double), (acc, x) -> greatest(acc, abs(x)))"))
+      // evalOnce (r20): the pushed maxabs > 0 filter re-evaluated the
+      // 64-element max-abs aggregate below the Project (r19 plan: the
+      // aggregate appears in 2 Filter conditions)
+      .withColumn("maxabs", graft.core.Spread.evalOnce(expr(
+        "aggregate(vec, cast(0 as double), (acc, x) -> greatest(acc, abs(x)))")))
       .filter(col("maxabs") > 0)
       .withColumn("qv", expr(
         "transform(vec, x -> cast(floor(x * 127.0 / maxabs + 0.5) as int))"))
@@ -2185,18 +2194,31 @@ object SimilarityOps {
             "named_struct('l1_rank', 2, 'l1', l1b))")).as("pr"))
       .select(col("vec_id"), col("label"), col("vec"), col("norm"),
         col("pr.l1_rank").as("l1_rank"), col("pr.l1").as("l1"))
-    // (2) sub-cell resolution: shuffle join on l1 (l2per rows per key),
-    // min_by partial-aggregates map-side so only N·probe rows shuffle
-    val l2df = l2.toSeq.map { case (c, s, cent) => (c, s, cent.toSeq) }
+    // (2) sub-cell resolution, FUSED (r19 verdict item 3): join on l1
+    // against the (l1 → sorted sub-centroid array) rollup and take the
+    // argmin with one array_min HOF — the former l2per-row join fanout
+    // + min_by groupBy re-shuffled all N·probe rows (with their vecs)
+    // by (vec_id, l1_rank) just to collapse what one in-row reduction
+    // computes. Same FLOPs (each probe still compares l2per
+    // sub-centroids), one fewer exchange of vec-width rows at every
+    // scale; argmin over struct(d2c, sub) is the same lexicographic
+    // (distance, sub) first-wins rule as min_by's struct ordering.
+    // The rollup has one row per l1 cell and stays a JOIN (never a
+    // broadcast hint): total centroid payload is nCells × 64 doubles,
+    // which grows with N past any sane broadcast.
+    val l2map = l2.toSeq.map { case (c, s, cent) => (c, s, cent.toSeq) }
       .toDF("l1", "sub", "cent")
-    val resolved = ranked1.join(l2df, Seq("l1"))
-      .withColumn("d2c", expr(
-        "aggregate(zip_with(vec, cent, (p, q) -> (p - q) * (p - q)), " +
-          "cast(0 as double), (acc, v) -> acc + v)"))
-      .groupBy("vec_id", "l1_rank")
-      .agg(min_by(col("sub"), struct(col("d2c"), col("sub"))).as("sub"),
-        first("l1").as("l1"), first("label").as("label"),
-        first("vec").as("vec"), first("norm").as("norm"))
+      .groupBy("l1")
+      .agg(sort_array(collect_list(struct(col("sub"), col("cent"))))
+        .as("subs"))
+    val resolved = ranked1.join(l2map, Seq("l1"))
+      .withColumn("best", expr(
+        "array_min(transform(subs, s -> named_struct(" +
+          "'d2c', aggregate(zip_with(vec, s.cent, " +
+          "(p, q) -> (p - q) * (p - q)), " +
+          "cast(0 as double), (acc, v) -> acc + v), 'sub', s.sub)))"))
+      .select(col("vec_id"), col("l1_rank"), col("best.sub").as("sub"),
+        col("l1"), col("label"), col("vec"), col("norm"))
       .localCheckpoint() // read twice: members (rank 1) + probes (all)
     val assigned = resolved.filter(col("l1_rank") === 1)
       .select(col("vec_id"), col("vec"), col("norm"),
@@ -2411,6 +2433,17 @@ object SimilarityOps {
       nCells: Int = 16, k: Int = 5): DataFrame = {
     import spark.implicits._
     val pvals = Seq(1, 2, 4, 8)
+    // r20 (guide §2.6): the brute-force truth side reads only the
+    // embeddings table — it is independent of the ENTIRE IVF chain
+    // (train → assign → candidates), yet sat serialized behind it as
+    // the 5th of 6 driver-ordered jobs. Materialize it concurrently;
+    // its jobs back-fill the idle cores of the chain's small stages.
+    val fTruth = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future(annBruteTopK(spark, sfDir)
+        .select(col("qid"), col("nid")).localCheckpoint())
+    }
     val e = withVec(Tables.embeddings(spark, sfDir)).localCheckpoint()
     val cents = trainIvfCentroids(e, nCells)
     // native codegen'd cell assignment — plan-embedded centroid table,
@@ -2448,8 +2481,8 @@ object SimilarityOps {
     val topk = cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("nprobe", "qid", "nid")
-    val truth = annBruteTopK(spark, sfDir)
-      .select(col("qid"), col("nid")).localCheckpoint()
+    val truth = scala.concurrent.Await.result(fTruth,
+      scala.concurrent.duration.Duration.Inf)
     val hits = topk.join(truth, Seq("qid", "nid"), "left_semi")
       .groupBy("nprobe").agg(count(lit(1)).as("n_hit"))
     cand.groupBy("nprobe").agg(count(lit(1)).as("cand_rows"))

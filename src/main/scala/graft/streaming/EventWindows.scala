@@ -1395,16 +1395,30 @@ object EventWindows {
         expr(graft.functions.LogBuckets.moneyExpr("m_cents"))
           .as("m_bucket"))
       .localCheckpoint() // three censuses + the scoring pass read once
+    // r20 (guide §2.4): ONE aggregation pass per dimension. The former
+    // shape planned the census→cum subtree THREE times per dimension
+    // (one filtered agg per quartile, crossJoined) plus a separate
+    // census total — 12 agg subtrees across the three dims, most of
+    // ev_rfm's 188-exchange plan. min(when(cum ≥ ⌈k·n/4⌉, v)) over one
+    // cum pass is the identical threshold (min over the filtered set),
+    // and the census total rides the same Window sort as the prefix
+    // sum (full-frame spec, same ordering — no extra exchange).
     def thresholds(dim: String): DataFrame = {
       val census = users.groupBy(dim).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(dim)
       val cum = census
-        .withColumn("cum", sum("c").over(Window.orderBy(dim)
+        .withColumn("cum", sum("c").over(w
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .crossJoin(broadcast(census.agg(sum("c").as("n"))))
-      val ths = (1 to 3).map(k => cum
-        .filter(expr(s"cum >= ($k * n + 3) div 4"))
-        .agg(min(dim).as(s"${dim}_t$k")))
-      ths.reduce(_.crossJoin(_))
+        .withColumn("n", sum("c").over(w
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      cum.agg(
+        min(when(expr(s"cum >= (1 * n + 3) div 4"), col(dim)))
+          .as(s"${dim}_t1"),
+        min(when(expr(s"cum >= (2 * n + 3) div 4"), col(dim)))
+          .as(s"${dim}_t2"),
+        min(when(expr(s"cum >= (3 * n + 3) div 4"), col(dim)))
+          .as(s"${dim}_t3"))
     }
     val scored = users
       .crossJoin(broadcast(thresholds("r_days")))
@@ -1565,7 +1579,12 @@ object EventWindows {
         "((aggregate(slice(ys, 8, 7), 0L, (a, x) -> a + x) " +
           "- aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x)) " +
           "* 1000000L) div 49"))
-      .withColumn("fin", expr(hw))
+      // evalOnce (r20): posexplode's pushed size(fc)>0 generator guard
+      // and the level/trend/fc projections each inlined the WHOLE
+      // recursion via alias substitution — the committed r19 plan
+      // shows the fold duplicated into two Filter conditions. The
+      // Generate barrier restores one fold per series row.
+      .withColumn("fin", graft.core.Spread.evalOnce(expr(hw)))
       .select(col("event_type"),
         size(col("ys")).cast("long").as("n_days"),
         expr("fin.l div 10000").as("level_e2"),
@@ -1695,7 +1714,11 @@ object EventWindows {
         "(aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x) * 1000000L) div 7"))
       .withColumn("kk", expr("mu div 20"))
       .withColumn("hh", expr("mu div 2"))
-      .withColumn("st", expr(agg))
+      // evalOnce (r20): same duplicated-fold pushdown as
+      // [[holtWintersCore]] — the CUSUM recursion was re-evaluated in
+      // posexplode's pushed generator guard (r19 plan: 2 Filter
+      // conditions carrying the whole aggregate).
+      .withColumn("st", graft.core.Spread.evalOnce(expr(agg)))
       .select(col("event_type"),
         size(col("ys")).cast("long").as("n_days"),
         expr("mu div 10000").as("mu_e2"), col("hh"),

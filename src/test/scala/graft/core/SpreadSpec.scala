@@ -74,4 +74,26 @@ class SpreadSpec extends SparkSuite {
       "byKey must return the input unchanged when the scan already " +
         "has >= defaultParallelism partitions")
   }
+
+  test("byKey's partition probe runs no Spark job (r19 verdict nit: " +
+      "the rdd conversion is plan-build work only)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = spark.range(0, 100, 1, numPartitions = 2).toDF("id")
+      Spread.byKey(df, col("id"))
+      Spread.acrossCores(df)
+      // listener delivery is async; a real job start would enqueue
+      // within well under this bound
+      Thread.sleep(500)
+      assert(jobs.get() === 0,
+        s"partition probe launched ${jobs.get()} job(s); it must stay " +
+          "a driver-side plan walk")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
