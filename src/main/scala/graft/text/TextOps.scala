@@ -862,6 +862,13 @@ object TextOps {
     * fusion ([[graft.sim.SimilarityOps.hybridRrfTopK]]).
     */
   def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
+    // r20 note: a localCheckpoint of this tokenized relation (its
+    // three consumers — totals, matched, dfCounts — each re-scan and
+    // re-split the corpus) was A/B-measured WORSE at sf0.1
+    // (bm25 0.54 -> 0.64 s, hybrid_rrf 0.79 -> 0.98 s) and reverted:
+    // materializing 5k wide token arrays costs more than the cheap
+    // parallel re-scans, and the eager barrier serializes
+    // hybrid_rrf's two otherwise-concurrent arms.
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
       .withColumn("len", size(col("tk")).cast("long"))
