@@ -1444,12 +1444,18 @@ object TextOps {
     val cnt = scored.groupBy("nll_e4").agg(
       count(lit(1)).as("cnt"), sum("n_bigrams").as("tok"))
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("nll_e4")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // r20 (same collapse as ev_rfm's thresholds): the census total
+    // rides the SAME Window sort as the prefix sum (full-frame spec,
+    // identical ordering — one Window exec, no extra exchange),
+    // replacing the separate agg job + broadcast crossJoin.
+    val wBase = org.apache.spark.sql.expressions.Window.orderBy("nll_e4")
     val ranked = cnt
-      .withColumn("cum_lt", coalesce(sum("cnt").over(w), lit(0L)))
-      .crossJoin(broadcast(cnt.agg(sum("cnt").as("n"))))
+      .withColumn("cum_lt", coalesce(sum("cnt").over(wBase.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", sum("cnt").over(wBase.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .withColumn("decile", expr("(cum_lt * 10) div n + 1"))
     ranked.groupBy("decile")
       .agg(sum("cnt").as("n_docs"),
